@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The engine's input row: a Common-Crawl-style web page.
+  *
+  * Schema is fixed and declared (per BASELINE.json `input_hint`), mirroring the
+  * reference's compile-time-fixed record schema (cf. reference
+  * internal/metric/model/metric_model.go:32-41 — Go structs with JSON tags).
+  * Dimension/shape mismatches are *violations*, not crashes.
+  */
+final case class WebPage(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+object WebSchema {
+
+  /** Exactly the `input_hint` schema. Order matters for the equality check. */
+  val expected: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("warc_ts", TimestampType, nullable = true),
+    StructField("html", BinaryType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)
+  ))
+
+  /** Names + types must match (nullability is advisory in parquet, ignored). */
+  def conforms(schema: StructType): Boolean = {
+    val got = schema.fields.map(f => (f.name, f.dataType))
+    val want = expected.fields.map(f => (f.name, f.dataType))
+    got.sameElements(want)
+  }
+
+  /** Schema-equality gate run before any pass (the first "constraint").
+    * Returns a typed Dataset on success — explicit encoder, never inferred.
+    */
+  def validate(df: DataFrame): Either[String, Dataset[WebPage]] = {
+    if (!conforms(StructType(df.schema.fields.take(5)))) {
+      val got = df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      Left(s"schema mismatch: expected ${expected.simpleString}, got [$got]")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      Right(df.select("url", "warc_ts", "html", "text", "lang").as[WebPage])
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-partition column statistics — the engine's analog of the reference's
+  * per-entity accumulated dataset state (SURVEY §1.4 `column_stats`;
+  * geom/point.go:82-167 reductions, metric/database/metric.go:224-240 counts).
+  *
+  * ONE wide `groupBy(partition).agg(...)` computes every stat for every
+  * monitored column in a single scan (no per-column re-scan — SURVEY §4.2).
+  * All aggregates here are partial/final mergeable, so Spark's map-side
+  * combine keeps the shuffle at O(#partitions × #stats), independent of row
+  * count — this is what makes the pass viable at 10^12 rows.
+  *
+  * Cardinality uses HLL++ (`approx_count_distinct`) plus a mergeable
+  * DataSketches HLL sketch (`hll_sketch_agg`, binary, unioned across resumed
+  * runs); quantiles use `percentile_approx`. Exact variants exist only in
+  * tests/oracle at small SF.
+  */
+object StatsPass {
+
+  /** Wide per-partition stats frame. Input must carry `partition` + WebPage
+    * columns. Deterministic except the `*_approx`/sketch columns (which are
+    * deterministic for a fixed input partitioning; tests pin exact columns).
+    */
+  def partitionStats(df: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    df.groupBy(col("partition"))
+      .agg(
+        count(lit(1)).as("row_cnt"),
+        sum(col("url").isNull.cast("long")).as("null_url"),
+        sum(col("text").isNull.cast("long")).as("null_text"),
+        sum(col("lang").isNull.cast("long")).as("null_lang"),
+        sum(col("html").isNull.cast("long")).as("null_html"),
+        min(col("warc_ts")).as("min_ts"),
+        max(col("warc_ts")).as("max_ts"),
+        min(len).as("min_len"),
+        max(len).as("max_len"),
+        avg(len).as("avg_len"),
+        sum(len.cast("long")).as("sum_len"),
+        approx_count_distinct(col("url")).as("distinct_url_approx"),
+        hll_sketch_agg(col("url")).as("url_hll_sketch"),
+        percentile_approx(len, array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+          .as("len_quantiles"),
+        avg(length(col("html"))).as("avg_html_bytes")
+      )
+  }
+
+  /** Narrow (partition, column, stat, value) view for the `column_stats`
+    * output table — stack() stays in codegen.
+    */
+  def narrow(stats: DataFrame): DataFrame =
+    stats.select(
+      col("partition"),
+      expr(
+        """stack(6,
+           'row_cnt', cast(row_cnt as double),
+           'null_url', cast(null_url as double),
+           'null_text', cast(null_text as double),
+           'null_lang', cast(null_lang as double),
+           'avg_len', avg_len,
+           'distinct_url_approx', cast(distinct_url_approx as double)
+          ) as (stat, value)"""))
+
+  /** Lang-distribution profile per partition, fixed category order
+    * (FIXTURES.md §4): [p(en), p(de), p(fr), p(es), p(ru), p(other)].
+    * One shuffle; probabilities via conditional counts in the same agg.
+    */
+  val LangOrder: Seq[String] = Seq("en", "de", "fr", "es", "ru")
+
+  def langProfiles(df: DataFrame): DataFrame = {
+    val knowns = LangOrder.map(l =>
+      (sum((col("lang") === l).cast("long")) / count(lit(1))).cast("double").as(s"p_$l"))
+    val other =
+      (sum((!col("lang").isin(LangOrder: _*) || col("lang").isNull).cast("long")) /
+        count(lit(1))).cast("double").as("p_other")
+    df.groupBy(col("partition"))
+      .agg(knowns.head, (knowns.tail :+ other): _*)
+      .select(
+        col("partition"),
+        array((LangOrder.map(l => col(s"p_$l")) :+ col("p_other")): _*).as("profile"))
+  }
+
+  /** Log-scaled text-length quantile profile per partition (FIXTURES.md §4):
+    * [q05, q25, q50, q75, q95] of ln(1 + length(text)).
+    */
+  def lengthProfiles(df: DataFrame): DataFrame = {
+    val len = log(lit(1.0) + length(col("text")).cast("double"))
+    df.groupBy(col("partition"))
+      .agg(percentile_approx(len,
+        array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+        .as("profile"))
+  }
+}

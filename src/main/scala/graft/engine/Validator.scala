@@ -1,0 +1,183 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Orchestration of one validation pass — the engine's flagship DAG
+  * (SURVEY §3.1 re-expression):
+  *
+  *   read → stats agg → constraint checks → drift score vs baseline →
+  *   violations union → verdict agg → (optional) ledger-gated write
+  *
+  * All row-scale work is declarative DataFrame code over ALL partitions at
+  * once (one DAG, shuffles only where semantics demand: the stats/profile
+  * groupBys and the salted uniqueness/referential shuffles). Only the drift
+  * scoring runs driver-side — deliberately, over O(#partitions) profile
+  * vectors, never rows (SURVEY §7.4).
+  */
+object Validator {
+
+  final case class Config(
+      checks: Seq[Constraints.Check],
+      lofK: Int = Lof.MinKNum,
+      zThreshold: Double = 3.0,
+      ksThreshold: Double = 0.25,
+      /** warm-up guard: partitions with fewer rows are `skipped` not scored
+        * (reference skipItems, manager.go:374-379 / SURVEY F7).
+        */
+      minRowsToScore: Long = 3L,
+      /** minimum baseline partitions for LOF (brute k-NN errors below k). */
+      driftEnabled: Boolean = true
+  )
+
+  val DefaultChecks: Seq[Constraints.Check] = Seq(
+    Constraints.NotNull("url"),
+    Constraints.NotNull("text"),
+    Constraints.NotNull("lang"),
+    Constraints.Unique("url"),
+    Constraints.ByteIdenticalText
+  )
+
+  final case class Result(
+      stats: DataFrame,
+      violations: DataFrame,
+      verdicts: DataFrame
+  )
+
+  private case class VerdictRow(
+      partition: String,
+      check_name: String,
+      status: String,
+      passed: Boolean,
+      score: Double,
+      n_violations: Long)
+
+  /** One full pass over `wp` (must carry `partition` + WebPage columns).
+    *
+    * `baselineProfiles`: profile vectors of a reference snapshot keyed by
+    * profile kind ("lang" / "text_length"). When empty, each partition is
+    * scored leave-one-out against all other partitions of this run — the
+    * deterministic batch analog of the reference's "model = everything seen so
+    * far" (ST7 snapshot semantics).
+    */
+  def validate(
+      wp: DataFrame,
+      config: Config = Config(DefaultChecks),
+      baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty
+  ): Result = {
+    val spark = wp.sparkSession
+    import spark.implicits._
+
+    val stats = StatsPass.partitionStats(wp).cache()
+
+    val violations = Constraints.runAll(wp, config.checks)
+
+    // --- constraint verdicts: (partition × check) grid, zero-fill, pass/fail.
+    val perPartCounts = violations
+      .where(col("partition") =!= "<global>")
+      .groupBy(col("partition"), col("check_name"))
+      .agg(count(lit(1)).as("n_violations"))
+    val globalCounts = violations
+      .where(col("partition") === "<global>")
+      .groupBy(col("partition"), col("check_name"))
+      .agg(count(lit(1)).as("n_violations"))
+    val checkNames = config.checks.map(_.name).toDF("check_name")
+    val grid = stats.select(col("partition")).crossJoin(broadcast(checkNames))
+    val constraintVerdicts = grid
+      .join(perPartCounts, Seq("partition", "check_name"), "left")
+      .na.fill(0L, Seq("n_violations"))
+      .unionByName(globalCounts)
+      .select(
+        col("partition"),
+        col("check_name"),
+        lit("scored").as("status"),
+        (col("n_violations") === 0L).as("passed"),
+        lit(Double.NaN).as("score"),
+        col("n_violations"))
+
+    // --- drift verdicts (driver-side over O(#partitions) profiles).
+    val driftVerdicts: DataFrame =
+      if (!config.driftEnabled) spark.emptyDataset[VerdictRow].toDF()
+      else {
+        val warm: Map[String, Long] = stats
+          .select(col("partition"), col("row_cnt"))
+          .as[(String, Long)].collect().toMap
+        val profKinds = Seq(
+          "lang" -> StatsPass.langProfiles(wp),
+          "text_length" -> StatsPass.lengthProfiles(wp))
+        val rows = profKinds.flatMap { case (kind, profDf) =>
+          val profiles: Seq[(String, Array[Double])] = profDf
+            .as[(String, Array[Double])].collect().toSeq.sortBy(_._1)
+          val scorers: Seq[Drift.Scorer] = Seq(
+            Drift.LofScorer(config.lofK),
+            Drift.ZScoreScorer(config.zThreshold),
+            Drift.KsScorer(config.ksThreshold))
+          profiles.flatMap { case (p, vec) =>
+            val baseline: IndexedSeq[Array[Double]] =
+              baselineProfiles.getOrElse(kind,
+                profiles.filter(_._1 != p).map(_._2).toIndexedSeq)
+            val belowWarmup = warm.getOrElse(p, 0L) < config.minRowsToScore
+            scorers.map { s =>
+              val v =
+                if (belowWarmup) Drift.DriftSkipped
+                else s.score(vec, baseline)
+              v match {
+                case Drift.DriftSkipped =>
+                  VerdictRow(p, s"${s.name}_$kind", "skipped", passed = true,
+                    Double.NaN, 0L)
+                case Drift.DriftScored(score, drifted) =>
+                  VerdictRow(p, s"${s.name}_$kind", "scored", passed = !drifted,
+                    score, if (drifted) 1L else 0L)
+              }
+            }
+          }
+        }
+        rows.toDF()
+      }
+
+    val verdicts = constraintVerdicts
+      .unionByName(driftVerdicts)
+      .orderBy(col("partition"), col("check_name"))
+
+    Result(stats, violations, verdicts)
+  }
+
+  /** Ledger-gated run: skip partitions already `done`, mark `pending` before
+    * the pass, `done` after outputs are written (ST9/S13 semantics). Returns
+    * the partitions actually processed this run.
+    */
+  def runWithLedger(
+      wp: DataFrame,
+      ledger: Ledger,
+      runId: String,
+      outDir: String,
+      config: Config = Config(DefaultChecks)
+  ): Seq[String] = {
+    val spark = wp.sparkSession
+    import spark.implicits._
+    val allParts = wp.select(col("partition")).distinct()
+      .as[String].collect().toSeq.sorted
+    val done = ledger.donePartitions()
+    val todo = allParts.filterNot(done)
+    if (todo.isEmpty) return Seq.empty
+
+    todo.foreach(p => ledger.markPending(p, runId))
+    // Partition pruning: one pass over only the pending partitions (S5).
+    val scoped = wp.where(col("partition").isin(todo: _*))
+    val res = validate(scoped, config)
+
+    res.violations.write.mode("overwrite")
+      .partitionBy("partition").parquet(s"$outDir/violations")
+    res.verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts")
+
+    val counts = res.violations
+      .groupBy(col("partition")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val rows = res.stats.select(col("partition"), col("row_cnt"))
+      .as[(String, Long)].collect().toMap
+    todo.foreach { p =>
+      ledger.markDone(p, rows.getOrElse(p, 0L), counts.getOrElse(p, 0L), runId)
+    }
+    todo
+  }
+}

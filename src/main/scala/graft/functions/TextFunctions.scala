@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for web-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting, shingling.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (codegen'd,
+  * no UDFs) and is deterministic. Rules are deliberately simple and exactly
+  * specified so an external oracle can replicate them in ANSI SQL.
+  */
+object TextFunctions {
+
+  /** Whitespace-token count. Empty/blank → 0. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Word array (whitespace split of trimmed text). */
+  def words(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"). Rows with fewer than n
+    * words yield a single shingle of all words (never empty for non-blank
+    * text) — keeps downstream MinHash total.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val cnt = size(ws)
+    val full = transform(
+      sequence(lit(0), cnt - n),
+      j => concat_ws(" ", slice(ws, j + 1, lit(n))))
+    when(cnt === 0, array().cast("array<string>"))
+      .when(cnt < n, array(concat_ws(" ", ws)))
+      .otherwise(full)
+  }
+
+  /** n-gram-heuristic language ID: fixed marker-stopword rules, first match
+    * wins (en → de → fr → es → ru), 'und' (undetermined) otherwise. The rule
+    * is the spec — accuracy is secondary to determinism and SQL parity.
+    */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), lower(coalesce(text, lit(""))), lit(" "))
+    when(t.contains(" the ") || t.contains(" and ") || t.contains(" of "), "en")
+      .when(t.contains(" der ") || t.contains(" und ") || t.contains(" die "), "de")
+      .when(t.contains(" le ") || t.contains(" la ") || t.contains(" et "), "fr")
+      .when(t.contains(" el ") || t.contains(" los ") || t.contains(" que "), "es")
+      .when(t.contains(" и ") || t.contains(" в ") || t.contains(" не "), "ru")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0,1]: blends length band, alpha ratio and
+    * word-length sanity. Exact formula (SQL-replicable):
+    *   len_score   = least(1, length(text)/200)
+    *   alpha_ratio = (# of [a-z ] chars after lower()) / length
+    *   word_len    = avg word length penalty: 1 if in [3,12], else 0.5
+    *   score       = round(0.4*len_score + 0.4*alpha_ratio + 0.2*word_len, 6)
+    */
+  def qualityScore(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val len = length(t).cast("double")
+    val lenScore = least(lit(1.0), len / 200.0)
+    val alpha = length(regexp_replace(lower(t), "[^a-z ]", "")).cast("double")
+    val alphaRatio = when(len === 0, 0.0).otherwise(alpha / len)
+    val nTok = tokenCount(t).cast("double")
+    val avgWordLen = when(nTok === 0, 0.0)
+      .otherwise((len - (nTok - 1.0)) / nTok)
+    val wordLenScore = when(avgWordLen.between(3.0, 12.0), 1.0).otherwise(0.5)
+    round(lit(0.4) * lenScore + lit(0.4) * alphaRatio + lit(0.2) * wordLenScore, 6)
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased text.
+    * Deterministic and replicable in any SQL engine with md5().
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " "))
+
+  /** 64-bit rolling polynomial fingerprint (Karp–Rabin flavor) over the
+    * normalized text bytes, as a codegen-friendly aggregate over the char
+    * array: h = h*31 + c (wrapping Long). Used where a cheap orderable
+    * fingerprint beats md5 strings.
+    */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " ")
+    val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => acc * 31L + c)
+  }
+}

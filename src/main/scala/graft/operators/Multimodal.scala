@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in batches.
+  *
+  * The actual media decode is a STUB (this container has no image/audio
+  * libraries): [[fakeDecode]] derives deterministic pseudo-metadata from the
+  * bytes. Everything around it — schema, partition-wise batching, typed
+  * Dataset plumbing, downstream aggregation — is real and tested, so swapping
+  * in a real decoder (e.g. javacv or a Pandas-UDF stage in PySpark) is a
+  * one-function change.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      url: String,
+      n_bytes: Long,
+      sha256: String,
+      width: Int, // STUB: derived deterministically from content bytes
+      height: Int, // STUB
+      mean_byte: Double
+  )
+
+  /** STUB decoder — deterministic fake. A real implementation would parse the
+    * container header; the fake derives plausible dimensions from a content
+    * hash so tests exercise realistic value ranges.
+    */
+  def fakeDecode(url: String, bytes: Array[Byte]): MediaMeta = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(bytes)
+    val hex = digest.map("%02x".format(_)).mkString
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    val w = 160 + (((digest(0) & 0xff) << 8 | (digest(1) & 0xff)) % 1760)
+    val h = 90 + (((digest(2) & 0xff) << 8 | (digest(3) & 0xff)) % 990)
+    MediaMeta(url, bytes.length.toLong, hex, w, h, mean)
+  }
+
+  /** Per-partition batched decode of (url, payload) rows. `mapPartitions`
+    * (the documented last resort, used deliberately: imperative per-record
+    * byte work that no built-in expresses) — one decoder instance per
+    * partition, streaming the iterator, never materializing a partition.
+    */
+  def decodeMeta(df: DataFrame, urlCol: String, binCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol), col(binCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it => it.map { case (u, b) =>
+        fakeDecode(u, if (b == null) Array.emptyByteArray else b) } }
+  }
+
+  /** Aggregate media stats per partition key — the downstream consumer shape
+    * (join meta back to the page frame, groupBy partition).
+    */
+  def metaStats(pages: DataFrame, meta: Dataset[MediaMeta]): DataFrame = {
+    val withPart = pages.select(col("partition"), col("url"))
+      .join(meta.toDF(), Seq("url"))
+    withPart.groupBy(col("partition"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        round(avg(col("n_bytes")), 4).as("avg_bytes"),
+        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        min(col("width")).as("min_width"),
+        max(col("height")).as("max_height"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths (SURVEY-adjacent training-data ops):
+  *  - [[bruteTopK]]: exact cosine top-k via broadcast join — the correctness
+  *    baseline; right when the query set is small (queries × corpus scan).
+  *  - [[lshTopK]]: random-hyperplane LSH buckets — the 100 TB scale path: the
+  *    corpus is bucketed once (shuffle on a 32-bit bucket key), each query
+  *    probes only its bucket, so cost is corpus/2^bits per query instead of
+  *    the full corpus.
+  *
+  * All math is `zip_with`/`aggregate` expressions (whole-stage codegen; no
+  * UDF). Hyperplanes are pseudo-random but fully deterministic: component d of
+  * plane p is ±1 by bit parity of xxhash64(p, d) — reproducible anywhere.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns (null-safe: 0 when either
+    * norm is 0). Single pass per pair via zip_with + aggregate.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k by cosine for each query row.
+    * `queries(qid, qvec)`, `corpus(cid, cvec)` → (qid, cid, sim, rank).
+    * The query side is broadcast (small by contract); the corpus is scanned
+    * once with no shuffle of the corpus itself; per-query top-k is a ranking
+    * window over (query, candidate) pairs.
+    */
+  def bruteTopK(
+      queries: DataFrame, qid: Column, qvec: Column,
+      corpus: DataFrame, cid: Column, cvec: Column,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(qid.as("qid"), qvec.as("qvec"))
+    val c = corpus.select(cid.as("cid"), cvec.as("cvec"))
+    val pairs = c.join(broadcast(q),
+      if (excludeSelf) col("qid") =!= col("cid") else lit(true))
+    val scored = pairs.select(
+      col("qid"), col("cid"),
+      cosine(col("qvec").cast("array<double>"), col("cvec").cast("array<double>")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane sign sketch: bit p of the sketch is 1
+    * iff Σ_d (±1 from xxhash64(p,d) parity) · v[d] > 0. `bits` ≤ 31.
+    */
+  def hyperplaneSketch(vec: Column, bits: Int): Column = {
+    val v = vec.cast("array<double>")
+    val planeBits = transform(
+      sequence(lit(0), lit(bits - 1)),
+      p => {
+        val dotp = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, d) => x * when(xxhash64(p, d).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dotp > 0.0, lit(1)).otherwise(lit(0))
+      })
+    aggregate(
+      zip_with(planeBits, sequence(lit(0), lit(bits - 1)),
+        (bit, i) => bit * call_function("shiftleft", lit(1), i)),
+      lit(0), (acc, x) => acc + x)
+  }
+
+  /** LSH-bucketed ANN: corpus and queries sketched with `bits` hyperplanes;
+    * candidates share a bucket (multi-probe: exact bucket plus all 1-bit
+    * flips, recovering near misses); exact cosine re-rank, top-k.
+    */
+  def lshTopK(
+      queries: DataFrame, qid: Column, qvec: Column,
+      corpus: DataFrame, cid: Column, cvec: Column,
+      k: Int, bits: Int = 12, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(cid.as("cid"), cvec.as("cvec"),
+      hyperplaneSketch(cvec, bits).as("bucket"))
+    // multi-probe: query probes its own bucket and each 1-bit neighbor
+    val probes = flatten(array(
+      array(col("qsketch")),
+      transform(sequence(lit(0), lit(bits - 1)),
+        b => col("qsketch").bitwiseXOR(call_function("shiftleft", lit(1), b)))))
+    val q = queries.select(qid.as("qid"), qvec.as("qvec"),
+      hyperplaneSketch(qvec, bits).as("qsketch"))
+      .select(col("qid"), col("qvec"), explode(probes).as("bucket"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
+    val scored = pairs.select(
+      col("qid"), col("cid"),
+      cosine(col("qvec").cast("array<double>"), col("cvec").cast("array<double>")).as("sim"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
