@@ -1,13 +1,556 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Retention, Similarity}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible (LOF / MinHash / SimHash / LSH / peak
+  * detection are rows-only by design, covered by `sbt test` fixtures).
+  *
+  * Conventions shared with the oracle:
+  *  - the web-pages frame is [[Derive.webPages]] / [[Derive.WpSql]]
+  *  - partition column is aliased `part` (PARTITION is a SQL keyword)
+  *  - doubles rounded (round 4/6) on BOTH sides to absorb sum-order ulps
+  *  - every result carries an ORDER BY-stable total order
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full validation pass (stats + constraints + drift) on
+    * sf0.001-derived web pages; returns the verdicts frame (rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val wp = Derive.webPages(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("part", "partition")
+    Validator.validate(wp, Validator.Config(Validator.DefaultChecks)).verdicts
+  }
+
+  private def wp(s: SparkSession, dir: String): DataFrame = Derive.webPages(s, dir)
+
+  private def lenText: Column = length(col("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- S4/S7/A9: scan + per-partition counts --------------------------
+    "q_count_by_part" -> ((s, dir) =>
+      wp(s, dir).groupBy(col("part")).agg(count(lit(1)).as("row_cnt"))
+        .orderBy(col("part"))),
+
+    // ---- A8/U4: one-pass per-partition column stats ---------------------
+    "q_stats" -> ((s, dir) =>
+      wp(s, dir).groupBy(col("part")).agg(
+        count(lit(1)).as("row_cnt"),
+        sum(col("text").isNull.cast("long")).as("null_text"),
+        min(lenText).as("min_len"),
+        max(lenText).as("max_len"),
+        round(avg(lenText), 4).as("avg_len"),
+        countDistinct(col("url")).as("distinct_url"))
+        .orderBy(col("part"))),
+
+    // ---- F1-F3: predicate + null-rate -----------------------------------
+    "q_nullrate" -> ((s, dir) =>
+      wp(s, dir).groupBy(col("part")).agg(
+        round(sum(col("text").isNull.cast("long")).cast("double") / count(lit(1)), 6)
+          .as("null_rate"))
+        .orderBy(col("part"))),
+
+    // ---- J5: salted uniqueness check ------------------------------------
+    "q_unique_url" -> ((s, dir) => {
+      val frame = wp(s, dir).withColumnRenamed("part", "partition")
+      SaltedJoin.saltedDupGroups(frame, col("url"), col("warc_ts").cast("string"))
+        .select(col("k").as("url"), col("cnt"))
+        .orderBy(col("url"))
+    }),
+
+    // ---- J6: salted left-anti referential check -------------------------
+    "q_ref_orphans" -> ((s, dir) => {
+      val child = Derive.linkChild(s, dir).withColumnRenamed("part", "partition")
+      val parent = s.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"))
+      val orphans = SaltedJoin.saltedAntiJoin(
+        child, col("ck"), col("url"), parent, col("o_orderkey"))
+      orphans.groupBy(col("partition").as("part"))
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("ck")).as("n_orphan_keys"))
+        .orderBy(col("part"))
+    }),
+
+    // ---- input_hint invariant: byte-identical extracted text ------------
+    "q_text_identity" -> ((s, dir) => {
+      val frame = wp(s, dir).withColumnRenamed("part", "partition")
+      Constraints.ByteIdenticalText.violations(frame)
+        .groupBy(col("partition").as("part"))
+        .agg(count(lit(1)).as("n_mismatch"))
+        .orderBy(col("part"))
+    }),
+
+    // ---- flagship verdict aggregation (grid zero-fill, pass/fail) -------
+    "q_verdicts" -> ((s, dir) => {
+      val frame = wp(s, dir).withColumnRenamed("part", "partition")
+      val res = Validator.validate(
+        frame,
+        Validator.Config(
+          checks = Seq(Constraints.NotNull("text"), Constraints.ByteIdenticalText),
+          driftEnabled = false))
+      res.verdicts
+        .select(col("partition").as("part"), col("check_name"),
+          col("n_violations"), col("passed"))
+        .orderBy(col("part"), col("check_name"))
+    }),
+
+    // ---- A8: lang histogram + probabilities ------------------------------
+    "q_lang_hist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("part"))
+      wp(s, dir).groupBy(col("part"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("p", round(col("cnt") / sum(col("cnt")).over(w), 6))
+        .orderBy(col("part"), col("lang"))
+    }),
+
+    // ---- A8: entropy of the lang distribution ---------------------------
+    "q_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("part"))
+      wp(s, dir).groupBy(col("part"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("p", col("cnt") / sum(col("cnt")).over(w))
+        .groupBy(col("part"))
+        .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+        .orderBy(col("part"))
+    }),
+
+    // ---- A8: geometric + harmonic mean (reference point.go reductions) --
+    "q_gmean_hmean" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.where(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(exp(avg(log(col("l_quantity")))), 4).as("gmean_qty"),
+          round(count(lit(1)).cast("double") / sum(lit(1.0) / col("l_quantity")), 4)
+            .as("hmean_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- A8/sketches: exact quantiles (approx variant is rows-only) -----
+    "q_quantiles" -> ((s, dir) =>
+      wp(s, dir).where(col("text").isNotNull)
+        .groupBy(col("part"))
+        .agg(
+          round(expr("percentile(length(text), 0.25)"), 4).as("q25"),
+          round(expr("percentile(length(text), 0.5)"), 4).as("q50"),
+          round(expr("percentile(length(text), 0.75)"), 4).as("q75"))
+        .orderBy(col("part"))),
+
+    // ---- W4: global top-k (TakeOrderedAndProject) -----------------------
+    "q_topk" -> ((s, dir) =>
+      wp(s, dir).where(col("text").isNotNull)
+        .select(col("url"), lenText.as("text_len"))
+        .orderBy(col("text_len").desc, col("url").asc)
+        .limit(10)),
+
+    // ---- W2: count retention (newest N per partition) -------------------
+    "q_retention_count" -> ((s, dir) => {
+      val kept = Retention.byCount(
+        wp(s, dir), col("part"), col("warc_ts"), col("url"), 5)
+      kept.groupBy(col("part"))
+        .agg(count(lit(1)).as("kept_cnt"),
+          min(col("warc_ts")).as("oldest_kept"),
+          sum(coalesce(lenText, lit(0)).cast("long")).as("kept_len_sum"))
+        .orderBy(col("part"))
+    }),
+
+    // ---- W3/F4: time retention ------------------------------------------
+    "q_retention_time" -> ((s, dir) =>
+      Retention.byAge(wp(s, dir), col("warc_ts"), lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("part")).agg(count(lit(1)).as("row_cnt"))
+        .orderBy(col("part"))),
+
+    // ---- W7: gap sessionization over the events stream table ------------
+    "q_sessions" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Retention.sessionize(ev, col("user_id"), col("ts"), 1800L)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- F7: warm-up guard ------------------------------------------------
+    "q_warmup" -> ((s, dir) =>
+      wp(s, dir).groupBy(col("part")).agg(count(lit(1)).as("row_cnt"))
+        .withColumn("status",
+          when(col("row_cnt") < 100, "skipped").otherwise("scored"))
+        .orderBy(col("part"))),
+
+    // ---- F8: array-dimension constraint ----------------------------------
+    "q_dim_check" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum((size(col("embedding")) =!= 64).cast("long")).as("n_bad_dim"))
+        .orderBy(col("label"))),
+
+    // ---- A5-A7: distance functions (golden-value twins live in tests) ---
+    "q_distances" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 997 === 0)
+      val ax = col("l_quantity"); val ay = col("l_extendedprice") / 1000.0
+      val bx = col("l_discount") * 50.0; val by = col("l_tax") * 50.0
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(pow(ax - bx, 2) + pow(ay - by, 2)), 6).as("euclidean"),
+        round(abs(ax - bx) + abs(ay - by), 6).as("manhattan"),
+        round(greatest(abs(ax - bx), abs(ay - by)), 6).as("chebyshev"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- z-score drift of the en-share across partitions ----------------
+    "q_drift_z" -> ((s, dir) => {
+      val perPart = wp(s, dir).groupBy(col("part"))
+        .agg((sum((col("lang") === "en").cast("long")).cast("double") / count(lit(1)))
+          .as("p_en"))
+      val w = Window.partitionBy()
+      perPart
+        .withColumn("z", round(
+          (col("p_en") - avg(col("p_en")).over(w)) / stddev_samp(col("p_en")).over(w), 4))
+        .select(col("part"), round(col("p_en"), 6).as("p_en"), col("z"),
+          (abs(col("z")) > 3.0).as("drifted"))
+        .orderBy(col("part"))
+    }),
+
+    // ---- LOF drift over per-partition lang profiles (NOT SQL; fixtures) --
+    "q_drift_lof" -> ((s, dir) => {
+      val frame = wp(s, dir).withColumnRenamed("part", "partition")
+      val res = Validator.validate(frame,
+        Validator.Config(checks = Seq(Constraints.NotNull("text")), driftEnabled = true))
+      res.verdicts
+        .where(col("check_name").startsWith("drift_"))
+        .select(col("partition").as("part"), col("check_name"), col("status"),
+          col("passed"), round(col("score"), 6).as("score"))
+        .orderBy(col("part"), col("check_name"))
+    }),
+
+    // ---- smoothed z-score windowed peak detection (NOT SQL; fixtures) ----
+    "q_peaks" -> ((s, dir) => {
+      import s.implicits._
+      val daily = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("day"))
+        .as[(String, Long)].collect()
+      val signals = Drift.smoothedZScorePeaks(
+        daily.map(_._2.toDouble).toIndexedSeq, lag = 5, threshold = 3.0)
+      daily.zip(signals).map { case ((d, c), sig) => (d, c, sig) }.toSeq
+        .toDF("day", "cnt", "signal").orderBy(col("day"))
+    }),
+
+    // ---- dedup: exact content-hash groups --------------------------------
+    "d_dedup_exact" -> ((s, dir) => {
+      val docs = Derive.docsWithDups(s, dir)
+      Dedup.exactGroups(docs, col("doc_id"), col("text"))
+        .select(col("fp"), col("cnt"),
+          element_at(col("ids"), 1).as("min_id"),
+          element_at(col("ids"), -1).as("max_id"))
+        .orderBy(col("fp"))
+    }),
+
+    // ---- dedup: MinHash+LSH near-dup pairs (NOT SQL; tests vs ngram) -----
+    "d_minhash_pairs" -> ((s, dir) => {
+      val docs = Derive.docsWithDups(s, dir)
+      Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: SimHash near-dup pairs (NOT SQL) -------------------------
+    "d_simhash_pairs" -> ((s, dir) => {
+      val docs = Derive.docsWithDups(s, dir)
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: exact n-gram Jaccard pairs (NOT SQL) ---------------------
+    "d_ngram_pairs" -> ((s, dir) => {
+      val docs = Derive.docsWithDups(s, dir)
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- text analysis: language ID --------------------------------------
+    "d_langid" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // ---- text analysis: quality scoring ----------------------------------
+    "d_quality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"))
+        .agg(round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))),
+
+    // ---- text analysis: token counting -----------------------------------
+    "d_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"))
+        .orderBy(col("source"))),
+
+    // ---- text analysis: md5 fingerprint ----------------------------------
+    "d_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity: brute-force cosine top-k ----------------------------
+    "e_ann_brute" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.bruteTopK(
+        queries, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 3)
+        .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- similarity: LSH-bucketed ANN (NOT SQL; tested vs brute) ---------
+    "e_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.lshTopK(
+        queries, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 3, bits = 8)
+        .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- multimodal: binary payload metadata (decode stub; plumbing real)
+    "m_media_bytes" -> ((s, dir) => {
+      val frame = wp(s, dir).withColumnRenamed("part", "partition")
+      val meta = Multimodal.decodeMeta(frame, "partition", "url", "html")
+      Multimodal.metaStats(meta)
+        .select(col("partition").as("part"), col("n_media"), col("avg_bytes"))
+        .orderBy(col("part"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val wp = Derive.WpSql
+    Map(
+      "q_count_by_part" ->
+        (wp + "SELECT part, COUNT(*) AS row_cnt FROM wp GROUP BY part ORDER BY part"),
+
+      "q_stats" ->
+        (wp + """SELECT part, COUNT(*) AS row_cnt,
+          | CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+          | MIN(LENGTH(text)) AS min_len, MAX(LENGTH(text)) AS max_len,
+          | ROUND(AVG(LENGTH(text)), 4) AS avg_len,
+          | COUNT(DISTINCT url) AS distinct_url
+          |FROM wp GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_nullrate" ->
+        (wp + """SELECT part,
+          | ROUND(CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS null_rate
+          |FROM wp GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_unique_url" ->
+        (wp + """SELECT url, COUNT(*) AS cnt FROM wp
+          |GROUP BY url HAVING COUNT(*) > 1 ORDER BY url""".stripMargin),
+
+      "q_ref_orphans" ->
+        (Derive.LinkChildSql + """SELECT c.part, COUNT(*) AS n_orphans,
+          | COUNT(DISTINCT c.ck) AS n_orphan_keys
+          |FROM child c LEFT JOIN orders o ON c.ck = o.o_orderkey
+          |WHERE o.o_orderkey IS NULL
+          |GROUP BY c.part ORDER BY c.part""".stripMargin),
+
+      "q_text_identity" ->
+        (wp + """SELECT part, COUNT(*) AS n_mismatch FROM wp
+          |WHERE text IS NOT NULL AND text <> canon
+          |GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_verdicts" ->
+        (wp + """, months AS (SELECT DISTINCT part FROM wp),
+          |checks(check_name) AS (VALUES ('byte_identical_text'), ('not_null_text')),
+          |viol AS (
+          |  SELECT part, 'not_null_text' AS check_name, COUNT(*) AS n
+          |  FROM wp WHERE text IS NULL GROUP BY part
+          |  UNION ALL
+          |  SELECT part, 'byte_identical_text', COUNT(*)
+          |  FROM wp WHERE text IS NOT NULL AND text <> canon GROUP BY part)
+          |SELECT m.part, c.check_name,
+          |  CAST(COALESCE(v.n, 0) AS BIGINT) AS n_violations,
+          |  COALESCE(v.n, 0) = 0 AS passed
+          |FROM months m CROSS JOIN checks c
+          |LEFT JOIN viol v ON v.part = m.part AND v.check_name = c.check_name
+          |ORDER BY m.part, c.check_name""".stripMargin),
+
+      "q_lang_hist" ->
+        (wp + """SELECT part, lang, COUNT(*) AS cnt,
+          | ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY part), 6) AS p
+          |FROM wp GROUP BY part, lang ORDER BY part, lang""".stripMargin),
+
+      "q_entropy" ->
+        (wp + """, h AS (
+          |  SELECT part, lang, COUNT(*) AS cnt,
+          |    COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY part) AS p
+          |  FROM wp GROUP BY part, lang)
+          |SELECT part, ROUND(-SUM(p * LN(p)), 6) AS entropy
+          |FROM h GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_gmean_hmean" ->
+        """SELECT l_returnflag,
+          | ROUND(EXP(AVG(LN(l_quantity))), 4) AS gmean_qty,
+          | ROUND(COUNT(*) / SUM(1.0 / l_quantity), 4) AS hmean_qty
+          |FROM lineitem WHERE l_quantity > 0
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_quantiles" ->
+        (wp + """SELECT part,
+          | ROUND(quantile_cont(LENGTH(text), 0.25), 4) AS q25,
+          | ROUND(quantile_cont(LENGTH(text), 0.5), 4) AS q50,
+          | ROUND(quantile_cont(LENGTH(text), 0.75), 4) AS q75
+          |FROM wp WHERE text IS NOT NULL
+          |GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_topk" ->
+        (wp + """SELECT url, LENGTH(text) AS text_len FROM wp
+          |WHERE text IS NOT NULL
+          |ORDER BY text_len DESC, url ASC LIMIT 10""".stripMargin),
+
+      "q_retention_count" ->
+        (wp + """, ranked AS (
+          |  SELECT part, url, warc_ts, text,
+          |    ROW_NUMBER() OVER (PARTITION BY part ORDER BY warc_ts DESC, url ASC) AS rn
+          |  FROM wp)
+          |SELECT part, COUNT(*) AS kept_cnt, MIN(warc_ts) AS oldest_kept,
+          |  CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) AS kept_len_sum
+          |FROM ranked WHERE rn <= 5
+          |GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_retention_time" ->
+        (wp + """SELECT part, COUNT(*) AS row_cnt FROM wp
+          |WHERE warc_ts >= TIMESTAMP '1998-01-01'
+          |GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_sessions" ->
+        """WITH s AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN LAG(ts) OVER w IS NULL
+          |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+          |         THEN 1 ELSE 0 END AS is_new
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+          |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+          |  COUNT(*) AS n_events
+          |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_warmup" ->
+        (wp + """SELECT part, COUNT(*) AS row_cnt,
+          | CASE WHEN COUNT(*) < 100 THEN 'skipped' ELSE 'scored' END AS status
+          |FROM wp GROUP BY part ORDER BY part""".stripMargin),
+
+      "q_dim_check" ->
+        """SELECT label, COUNT(*) AS n,
+          | CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim
+          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+      "q_distances" ->
+        """SELECT l_orderkey, l_linenumber,
+          | ROUND(SQRT(POW(l_quantity - l_discount*50, 2) + POW(l_extendedprice/1000 - l_tax*50, 2)), 6) AS euclidean,
+          | ROUND(ABS(l_quantity - l_discount*50) + ABS(l_extendedprice/1000 - l_tax*50), 6) AS manhattan,
+          | ROUND(GREATEST(ABS(l_quantity - l_discount*50), ABS(l_extendedprice/1000 - l_tax*50)), 6) AS chebyshev
+          |FROM lineitem WHERE l_orderkey % 997 = 0
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q_drift_z" ->
+        (wp + """, pp AS (
+          |  SELECT part,
+          |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS p_en
+          |  FROM wp GROUP BY part)
+          |SELECT part, ROUND(p_en, 6) AS p_en,
+          |  ROUND((p_en - AVG(p_en) OVER ()) / STDDEV_SAMP(p_en) OVER (), 4) AS z,
+          |  ABS(ROUND((p_en - AVG(p_en) OVER ()) / STDDEV_SAMP(p_en) OVER (), 4)) > 3.0 AS drifted
+          |FROM pp ORDER BY part""".stripMargin),
+
+      "d_dedup_exact" ->
+        (Derive.DocsWithDupsSql + """SELECT sha256(COALESCE(text, ' NULL')) AS fp,
+          | COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+          |FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin),
+
+      "d_langid" ->
+        """SELECT lang,
+          | CASE WHEN ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% the %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% and %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% of %' THEN 'en'
+          |      WHEN ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% der %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% und %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% die %' THEN 'de'
+          |      WHEN ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% le %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% la %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% et %' THEN 'fr'
+          |      WHEN ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% el %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% los %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% que %' THEN 'es'
+          |      WHEN ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% и %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% в %'
+          |        OR ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% не %' THEN 'ru'
+          |      ELSE 'und' END AS pred_lang,
+          | COUNT(*) AS cnt
+          |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+      "d_quality" ->
+        """WITH scored AS (
+          |  SELECT lang,
+          |    ROUND(
+          |      0.4 * LEAST(1.0, LENGTH(COALESCE(text,'')) / 200.0) +
+          |      0.4 * (CASE WHEN LENGTH(COALESCE(text,'')) = 0 THEN 0.0
+          |             ELSE CAST(LENGTH(regexp_replace(LOWER(COALESCE(text,'')), '[^a-z ]', '', 'g')) AS DOUBLE)
+          |                  / LENGTH(COALESCE(text,'')) END) +
+          |      0.2 * (CASE WHEN (CASE WHEN LENGTH(TRIM(COALESCE(text,''))) = 0 THEN 0
+          |                        ELSE len(string_split_regex(TRIM(COALESCE(text,'')), '\s+')) END) = 0 THEN 0.5
+          |                  WHEN (CAST(LENGTH(COALESCE(text,'')) AS DOUBLE)
+          |                        - (len(string_split_regex(TRIM(COALESCE(text,'')), '\s+')) - 1.0))
+          |                       / len(string_split_regex(TRIM(COALESCE(text,'')), '\s+'))
+          |                       BETWEEN 3.0 AND 12.0 THEN 1.0
+          |                  ELSE 0.5 END), 6) AS q
+          |  FROM documents)
+          |SELECT lang, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n_docs
+          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "d_tokens" ->
+        """SELECT source,
+          | CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+          |   ELSE len(string_split_regex(TRIM(text), '\s+')) END) AS BIGINT) AS total_tokens,
+          | ROUND(AVG(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+          |   ELSE len(string_split_regex(TRIM(text), '\s+')) END), 4) AS avg_tokens
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "d_fingerprint" ->
+        """SELECT doc_id,
+          | md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+      "e_ann_brute" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          |pairs AS (
+          |  SELECT q.qid, e.vec_id AS cid,
+          |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+          |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+          |ranked AS (
+          |  SELECT qid, cid, sim,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+          |  FROM pairs)
+          |SELECT qid, rank, cid, ROUND(sim, 4) AS sim
+          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+      "m_media_bytes" ->
+        (wp + """SELECT part, COUNT(*) AS n_media,
+          | ROUND(AVG(15 + LENGTH(canon) + 18), 4) AS avg_bytes
+          |FROM wp GROUP BY part ORDER BY part""".stripMargin)
+    )
+  }
 }

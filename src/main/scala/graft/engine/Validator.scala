@@ -3,6 +3,15 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Top-level (encoder-friendly) verdict row. */
+final case class VerdictRow(
+    partition: String,
+    check_name: String,
+    status: String,
+    passed: Boolean,
+    score: Double,
+    n_violations: Long)
+
 /** Orchestration of one validation pass — the engine's flagship DAG
   * (SURVEY §3.1 re-expression):
   *
@@ -43,14 +52,6 @@ object Validator {
       violations: DataFrame,
       verdicts: DataFrame
   )
-
-  private case class VerdictRow(
-      partition: String,
-      check_name: String,
-      status: String,
-      passed: Boolean,
-      score: Double,
-      n_violations: Long)
 
   /** One full pass over `wp` (must carry `partition` + WebPage columns).
     *

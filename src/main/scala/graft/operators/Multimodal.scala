@@ -43,32 +43,31 @@ object Multimodal {
     MediaMeta(url, bytes.length.toLong, hex, w, h, mean)
   }
 
-  /** Per-partition batched decode of (url, payload) rows. `mapPartitions`
+  /** Per-partition batched decode of (key, url, payload) rows. `mapPartitions`
     * (the documented last resort, used deliberately: imperative per-record
     * byte work that no built-in expresses) — one decoder instance per
     * partition, streaming the iterator, never materializing a partition.
+    * The grouping key rides along so no join-back is needed (urls may
+    * legitimately duplicate; a join on url would multiply rows).
     */
-  def decodeMeta(df: DataFrame, urlCol: String, binCol: String): Dataset[MediaMeta] = {
+  def decodeMeta(df: DataFrame, keyCol: String, urlCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(urlCol), col(binCol))
-      .as[(String, Array[Byte])]
-      .mapPartitions { it => it.map { case (u, b) =>
-        fakeDecode(u, if (b == null) Array.emptyByteArray else b) } }
+    df.select(col(keyCol), col(urlCol), col(binCol))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it => it.map { case (k, u, b) =>
+        (k, fakeDecode(u, if (b == null) Array.emptyByteArray else b)) } }
+      .toDF("partition", "meta")
+      .select(col("partition"), col("meta.*"))
   }
 
-  /** Aggregate media stats per partition key — the downstream consumer shape
-    * (join meta back to the page frame, groupBy partition).
-    */
-  def metaStats(pages: DataFrame, meta: Dataset[MediaMeta]): DataFrame = {
-    val withPart = pages.select(col("partition"), col("url"))
-      .join(meta.toDF(), Seq("url"))
-    withPart.groupBy(col("partition"))
+  /** Aggregate media stats per partition key — the downstream consumer shape. */
+  def metaStats(meta: DataFrame): DataFrame =
+    meta.groupBy(col("partition"))
       .agg(
         count(lit(1)).as("n_media"),
         round(avg(col("n_bytes")), 4).as("avg_bytes"),
         round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
         min(col("width")).as("min_width"),
         max(col("height")).as("max_height"))
-  }
 }

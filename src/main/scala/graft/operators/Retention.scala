@@ -58,8 +58,12 @@ object Retention {
   def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ts.asc)
     val prev = lag(ts, 1).over(w)
+    // microsecond-exact gap (unix_timestamp would truncate to seconds and
+    // disagree with any oracle computing on full-resolution timestamps);
+    // cast handles TIMESTAMP_NTZ sources (session TZ is UTC, so lossless).
+    val micros = (c: Column) => unix_micros(c.cast("timestamp"))
     val isNew = when(prev.isNull ||
-      unix_timestamp(ts) - unix_timestamp(prev) > gapSeconds, 1L).otherwise(0L)
+      micros(ts) - micros(prev) > gapSeconds * 1000000L, 1L).otherwise(0L)
     df.withColumn("__new", isNew)
       .withColumn("session_seq", sum(col("__new")).over(
         Window.partitionBy(key).orderBy(ts.asc)
