@@ -39,8 +39,15 @@ object Drift {
 
   /** Per-dimension z-score vs the baseline population; drift when any |z|
     * exceeds the threshold. Deterministic two-pass mean/std (sample std, n-1).
+    *
+    * `minStd` floors the denominator: with few baseline partitions the sample
+    * std of a stable dimension underestimates real sampling noise, turning
+    * harmless per-partition jitter into huge z values. 0.01 is calibrated to
+    * the engine's profile vectors (probabilities / log-quantiles), where real
+    * drift moves dimensions by ≥ 0.1.
     */
-  final case class ZScoreScorer(threshold: Double = 3.0) extends Scorer {
+  final case class ZScoreScorer(threshold: Double = 3.0, minStd: Double = 0.01)
+      extends Scorer {
     val name = "drift_zscore"
     def score(current: Array[Double], baseline: IndexedSeq[Array[Double]]): DriftVerdict = {
       if (baseline.length < 2) return DriftSkipped
@@ -53,9 +60,8 @@ object Drift {
         val n = xs.length
         val mean = xs.sum / n
         val variance = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
-        val sd = math.sqrt(variance)
-        val z = if (sd == 0.0) { if (current(j) == mean) 0.0 else Double.PositiveInfinity }
-                else math.abs((current(j) - mean) / sd)
+        val sd = math.max(math.sqrt(variance), minStd)
+        val z = math.abs((current(j) - mean) / sd)
         if (z > worst) worst = z
         j += 1
       }

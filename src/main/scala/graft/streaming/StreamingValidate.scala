@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's stateful ingest path
+  * (SURVEY §2.8): per-key FIFO + watermark eviction + last-known-normal state.
+  *
+  * The reference pumps each entity's metrics through an unbounded in-memory
+  * queue with per-entity worker goroutines (pkg/iqueue/queue.go:48-75,
+  * manager.go:486-515) and keeps a `normVectors[entity]` map of the last
+  * non-outlier vector to attach to alerts (manager.go:234,395-407). Here:
+  *  - micro-batches replace the queue (ordering within key via event time),
+  *  - `withWatermark` replaces the timed eviction sweeps (W3/ST8),
+  *  - `flatMapGroupsWithState` holds the last-known-normal per key (ST4) —
+  *    Spark's per-key serial state update is *stronger* than the reference's
+  *    racy N-workers-per-entity (SURVEY ST2 note).
+  *
+  * Scale: state is O(#keys), shuffled once by key; watermark bounds state for
+  * windowed aggs. Both operators survive a 1000-executor deploy unchanged.
+  */
+object StreamingValidate {
+
+  /** Event-time windowed per-lang stats with late-data eviction (ST10/ST11):
+    * tumbling windows over warc_ts, watermarked. Works identically on batch
+    * frames (watermark is a no-op there) — used by tests for both modes.
+    */
+  def windowedLangStats(pages: DataFrame, watermarkDelay: String = "1 hour",
+      windowLen: String = "1 day"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupBy(window(col("warc_ts"), windowLen).as("win"), col("lang"))
+      .agg(
+        count(lit(1)).as("row_cnt"),
+        sum(col("text").isNull.cast("long")).as("null_text"))
+      .select(col("win.start").as("win_start"), col("lang"),
+        col("row_cnt"), col("null_text"))
+
+  /** One scored page event entering the stateful stage. */
+  final case class PageEvent(
+      key: String, // grouping key (partition / domain / entity)
+      url: String,
+      warc_ts: Timestamp,
+      violation: Boolean)
+
+  /** Rolling per-key state: the last known-normal event (ST4). */
+  final case class NormalState(url: String, warc_ts: Timestamp)
+
+  /** Alert record: a violation plus the last-known-normal before it —
+    * exactly the reference's alert payload shape {checked, norm}
+    * (internal/alert/alert.go:56-61).
+    */
+  final case class Alert(
+      key: String,
+      url: String,
+      warc_ts: Timestamp,
+      norm_url: String, // null when no normal seen yet
+      norm_ts: Timestamp)
+
+  /** Per-key last-known-normal alert stream. For each group (micro-batch
+    * slice of one key), events are processed in warc_ts order (explicit sort
+    * — within-batch arrival order is not guaranteed); violations emit an
+    * Alert carrying the most recent non-violating event, which may come from
+    * an earlier micro-batch (state persists).
+    */
+  def lastKnownNormalAlerts(events: Dataset[PageEvent]): Dataset[Alert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[PageEvent], state: GroupState[NormalState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.warc_ts.getTime, e.url))
+          var normal: Option[NormalState] = state.getOption
+          val alerts = Seq.newBuilder[Alert]
+          sorted.foreach { e =>
+            if (e.violation) {
+              alerts += Alert(key, e.url, e.warc_ts,
+                normal.map(_.url).orNull, normal.map(_.warc_ts).orNull)
+            } else {
+              normal = Some(NormalState(e.url, e.warc_ts))
+            }
+          }
+          normal.foreach(state.update)
+          alerts.result().iterator
+        })
+  }
+}

@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.fixtures.WebGen
+
+/** Dirty-variant fixtures → exact expected violation counts (FIXTURES.md §1). */
+class ConstraintsSpec extends SparkSpec {
+
+  private val N = 2000L
+
+  private def frame(flags: WebGen.Flags) =
+    WebGen.generate(spark, N, flags = flags).withColumnRenamed("p_day", "partition")
+
+  test("schema gate accepts the declared shape and rejects others") {
+    val good = WebGen.generate(spark, 10)
+      .select("url", "warc_ts", "html", "text", "lang")
+    assert(WebSchema.validate(good).isRight)
+    assert(WebSchema.validate(good.drop("lang")).isLeft)
+    assert(WebSchema.validate(good.withColumn("lang", lit(1))).isLeft)
+  }
+
+  test("clean fixture: zero violations from default checks") {
+    val v = Constraints.runAll(frame(WebGen.Flags()),
+      Seq(Constraints.NotNull("text"), Constraints.Unique("url"),
+        Constraints.ByteIdenticalText))
+    assert(v.count() == 0)
+  }
+
+  test("dup_urls: exactly floor((n-1)/97) duplicate groups") {
+    val v = Constraints.Unique("url")
+      .violations(frame(WebGen.Flags(dupUrls = true)))
+    // rows 97, 194, ... reuse the previous row's url (row 0 excluded)
+    val expected = (N - 1) / 97
+    assert(v.count() == expected)
+    assert(v.select("check_name").distinct().collect().head.getString(0) == "unique_url")
+  }
+
+  test("null_text: exactly ceil(n/53) not-null violations") {
+    val v = Constraints.NotNull("text")
+      .violations(frame(WebGen.Flags(nullText = true)))
+    val expected = (0L until N).count(_ % 53 == 0)
+    assert(v.count() == expected)
+  }
+
+  test("bad_extract: exactly ceil(n/71) byte-identical-text violations") {
+    val v = Constraints.ByteIdenticalText
+      .violations(frame(WebGen.Flags(badExtract = true)))
+    val expected = (0L until N).count(_ % 71 == 0)
+    assert(v.count() == expected)
+    // observed = text (with trailing space), expected = extracted
+    val row = v.orderBy(col("url")).select("observed", "expected").collect().head
+    assert(row.getString(0) == row.getString(1) + " ")
+  }
+
+  test("violation ids are deterministic across runs") {
+    val a = Constraints.NotNull("text")
+      .violations(frame(WebGen.Flags(nullText = true)))
+      .orderBy("violation_id").select("violation_id").collect().map(_.getString(0))
+    val b = Constraints.NotNull("text")
+      .violations(frame(WebGen.Flags(nullText = true)))
+      .orderBy("violation_id").select("violation_id").collect().map(_.getString(0))
+    assert(a.sameElements(b))
+  }
+
+  test("referential: orphan links flagged, valid links pass") {
+    val pages = frame(WebGen.Flags())
+    val links = WebGen.links(spark, 500, pages = N)
+      .select(lit("<links>").as("partition"), col("dst_url").as("url"),
+        lit(null).cast("timestamp").as("warc_ts"), col("dst_url").as("dst"))
+    val check = Constraints.Referential("dst", pages.select(col("url")), "url")
+    val v = check.violations(links)
+    val expected = (0L until 500L).count(_ % 31 == 0)
+    assert(v.count() == expected)
+  }
+
+  test("array-dim constraint flags wrong-dimension vectors") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", "u1", Seq(1.0, 2.0)),
+      ("p1", "u2", Seq(1.0, 2.0, 3.0)),
+      ("p1", "u3", Seq(0.0, 0.0))
+    ).toDF("partition", "url", "vec")
+    val v = Constraints.ArrayDim("vec", 2).violations(df)
+    assert(v.select("url").as[String].collect().toSeq == Seq("u2"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.fixtures.WebGen
+
+/** End-to-end: full pass over dirty fixtures; drift days flagged; ledger
+  * resume is idempotent and byte-identical (SURVEY §5.2 items 4-5).
+  */
+class ValidatorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val N = 12000L // ≈ 5+ days at 37s spacing
+
+  test("e2e: dirty fixture produces expected verdict grid") {
+    val wp = WebGen.generate(spark, N,
+      flags = WebGen.Flags(nullText = true, badExtract = true))
+      .withColumnRenamed("p_day", "partition")
+    val res = Validator.validate(wp,
+      Validator.Config(Validator.DefaultChecks, driftEnabled = false))
+    val verdicts = res.verdicts.collect()
+    val nParts = wp.select("partition").distinct().count()
+    // per-partition rows for each check + 1 global uniqueness row... none here
+    assert(verdicts.nonEmpty)
+    val nullFailParts = verdicts
+      .filter(r => r.getAs[String]("check_name") == "not_null_text" && !r.getAs[Boolean]("passed"))
+    assert(nullFailParts.nonEmpty)
+    val totalNull = nullFailParts.map(_.getAs[Long]("n_violations")).sum
+    assert(totalNull == (0L until N).count(_ % 53 == 0))
+    val badExtract = verdicts
+      .filter(r => r.getAs[String]("check_name") == "byte_identical_text")
+      .map(_.getAs[Long]("n_violations")).sum
+    // rows hit by BOTH mutations have NULL text → counted by not_null only
+    assert(badExtract == (0L until N).count(i => i % 71 == 0 && i % 53 != 0))
+  }
+
+  test("lang drift day flagged by z-score and LOF; clean days pass") {
+    val wp = WebGen.generate(spark, N,
+      flags = WebGen.Flags(langDriftDay = Some("2025-07-03")))
+      .withColumnRenamed("p_day", "partition")
+    val res = Validator.validate(wp,
+      Validator.Config(checks = Seq(Constraints.NotNull("text"))))
+    val drift = res.verdicts
+      .where(col("check_name") === "drift_zscore_lang" && col("status") === "scored")
+      .select("partition", "passed").as[(String, Boolean)].collect().toMap
+    assert(drift.contains("2025-07-03"))
+    assert(!drift("2025-07-03"), s"drift day not flagged: $drift")
+    val cleanDays = drift.filter(_._1 != "2025-07-03")
+    assert(cleanDays.values.forall(identity), s"false positives: $cleanDays")
+    val lof = res.verdicts
+      .where(col("check_name") === "drift_lof_lang" && col("status") === "scored")
+      .select("partition", "passed").as[(String, Boolean)].collect().toMap
+    assert(!lof("2025-07-03"), s"LOF missed drift day: $lof")
+  }
+
+  test("length drift day flagged via text_length profile") {
+    val wp = WebGen.generate(spark, N,
+      flags = WebGen.Flags(lenDriftDay = Some("2025-07-04")))
+      .withColumnRenamed("p_day", "partition")
+    val res = Validator.validate(wp,
+      Validator.Config(checks = Seq(Constraints.NotNull("text"))))
+    val z = res.verdicts
+      .where(col("check_name") === "drift_zscore_text_length" && col("status") === "scored")
+      .select("partition", "passed").as[(String, Boolean)].collect().toMap
+    assert(!z("2025-07-04"), s"length drift not flagged: $z")
+  }
+
+  test("ledger resume: done partitions skipped; re-run produces identical bytes") {
+    val tmp = Files.createTempDirectory("ledger").toString
+    val out1 = Files.createTempDirectory("out1").toString
+    val wp = WebGen.generate(spark, 5000L, flags = WebGen.Flags(nullText = true))
+      .withColumnRenamed("p_day", "partition")
+    val cfg = Validator.Config(Seq(Constraints.NotNull("text")), driftEnabled = false)
+
+    val ledger = new Ledger(tmp)
+    val first = Validator.runWithLedger(wp, ledger, "run1", out1, cfg)
+    assert(first.nonEmpty)
+    // all partitions now done → resume does nothing
+    val second = Validator.runWithLedger(wp, ledger, "run2", out1, cfg)
+    assert(second.isEmpty)
+
+    // simulate a crash: mark one partition pending again → only it re-runs
+    ledger.markPending(first.head, "crash")
+    val third = Validator.runWithLedger(wp, ledger, "run3",
+      Files.createTempDirectory("out3").toString, cfg)
+    assert(third == Seq(first.head))
+
+    // determinism: a fresh full run writes identical violation ids
+    val outA = Files.createTempDirectory("outA").toString
+    val outB = Files.createTempDirectory("outB").toString
+    Validator.runWithLedger(wp, new Ledger(Files.createTempDirectory("lA").toString), "a", outA, cfg)
+    Validator.runWithLedger(wp, new Ledger(Files.createTempDirectory("lB").toString), "b", outB, cfg)
+    val va = spark.read.parquet(s"$outA/violations")
+      .orderBy("violation_id").select("violation_id").as[String].collect().toSeq
+    val vb = spark.read.parquet(s"$outB/violations")
+      .orderBy("violation_id").select("violation_id").as[String].collect().toSeq
+    assert(va == vb && va.nonEmpty)
+  }
+
+  test("warm-up: partitions under minRowsToScore get skipped drift verdicts") {
+    val wp = WebGen.generate(spark, 3000L).withColumnRenamed("p_day", "partition")
+    val res = Validator.validate(wp,
+      Validator.Config(checks = Seq(Constraints.NotNull("text")),
+        minRowsToScore = 100000L))
+    val statuses = res.verdicts.where(col("check_name").startsWith("drift_"))
+      .select("status").distinct().as[String].collect().toSet
+    assert(statuses == Set("skipped"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(1).toDF("x").select(c.as("v")).as[T].collect().head
+
+  test("tokenCount: whitespace tokens, blank-safe") {
+    val df = Seq("one two three", "  padded  words  ", "", "single", null)
+      .toDF("t").select(TextFunctions.tokenCount(col("t")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 2, 0, 1, 0))
+  }
+
+  test("langId: marker stopwords, first-match-wins, und fallback") {
+    val cases = Seq(
+      "the cat sat on of mat" -> "en",
+      "der hund und die katze" -> "de",
+      "le chat et la souris" -> "fr",
+      "el gato que los perros" -> "es",
+      "foo bar baz qux" -> "und",
+      // 'the' rule fires before 'der' (first match wins)
+      "the der hybrid" -> "en")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.langId(col("t")).as("l")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val fps = Seq("Hello  World", "hello world", "hello worlds")
+      .toDF("t").select(TextFunctions.fingerprint(col("t")).as("f"))
+      .as[String].collect().toSeq
+    assert(fps(0) == fps(1))
+    assert(fps(1) != fps(2))
+    assert(fps(0) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  }
+
+  test("rollingHash: deterministic, order-sensitive") {
+    val hs = Seq("abc", "abc", "acb").toDF("t")
+      .select(TextFunctions.rollingHash(col("t")).as("h")).as[Long].collect().toSeq
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+    // h("abc") = (97*31 + 98)*31 + 99
+    assert(hs(0) == ((97L * 31 + 98) * 31 + 99))
+  }
+
+  test("qualityScore: long clean text scores higher than short junk") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running through the quiet field toward the river bank with steady pace and calm breath under the morning sun",
+      "x@#$ 1",
+      "").toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q")).as[Double].collect().toSeq
+    assert(scores(0) > 0.8)
+    assert(scores(1) < 0.5)
+    assert(scores(2) <= 0.2)
+  }
+
+  test("shingles: n-grams over words; short text yields single shingle") {
+    val sh = Seq("a b c d", "a b", "").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b"))
+    assert(sh(2) == Seq.empty)
+  }
+}

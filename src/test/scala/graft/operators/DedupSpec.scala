@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different text about spark engines and shuffles"),
+    (5L, "another unrelated document mentioning parquet and arrow"),
+    (6L, "the quick brown fox jumps over the lazy dog indeed") // near dup
+  ).toDF("doc_id", "text")
+
+  test("exact groups: only byte-identical texts group") {
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text")).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("cnt") == 2)
+    assert(g.head.getSeq[Long](g.head.fieldIndex("ids")).toList == List(1L, 2L))
+  }
+
+  test("minhash LSH finds near-dup pairs with verified jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
+  }
+
+  test("minhash pairs ⊆ exact n-gram jaccard pairs at same threshold") {
+    val mh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step makes MinHash precise; candidate loss only → subset
+    assert(mh.subsetOf(exact))
+    // and on this small fixture recall is total
+    assert(mh == exact)
+  }
+
+  test("ngram jaccard values are exact") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleN = 3, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc1: 7 distinct 3-gram shingles; doc3 differs in last word → shared 6 of 8 union
+    val d13 = pairs((1L, 3L))
+    assert(d13 == 6.0 / 8.0, s"got $d13")
+  }
+
+  test("simhash: identical texts have identical signatures; near dups close") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("dedup keeps first representative per exact group (keep-min policy)") {
+    // canonical dedup flow: drop all but min doc_id of each exact group
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
+      .select(explode(expr("slice(ids, 2, size(ids) - 1)")).as("drop_id"))
+    val dropIds = g.as[Long].collect().toSet
+    assert(dropIds == Set(2L))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0)),
+    (1L, Seq(0.9, 0.1, 0.0)), // close to 0
+    (2L, Seq(0.0, 1.0, 0.0)),
+    (3L, Seq(0.0, 0.9, 0.2)), // close to 2
+    (4L, Seq(-1.0, 0.0, 0.0)) // opposite of 0
+  ).toDF("vec_id", "vec")
+
+  test("cosine column expr matches hand-computed values") {
+    val sim = vecs.as("a").crossJoin(vecs.as("b"))
+      .where(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(Similarity.cosine(col("a.vec"), col("b.vec")).as("s"))
+      .as[Double].collect().head
+    val expected = 0.9 / (1.0 * math.sqrt(0.81 + 0.01))
+    assert(math.abs(sim - expected) < 1e-12)
+  }
+
+  test("brute top-k: nearest neighbors exact, self excluded") {
+    val top = Similarity.bruteTopK(
+      vecs, col("vec_id"), col("vec"), vecs, col("vec_id"), col("vec"), k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(top(0L) == 1L)
+    assert(top(1L) == 0L)
+    assert(top(2L) == 3L)
+    assert(top(3L) == 2L)
+  }
+
+  test("hyperplane sketch is deterministic and equal for equal vectors") {
+    val s = vecs.union(vecs)
+      .select(col("vec_id"), Similarity.hyperplaneSketch(col("vec"), 8).as("sk"))
+      .as[(Long, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(s.values.forall(_.size == 1)) // same vec → same sketch, always
+  }
+
+  test("LSH top-1 matches brute top-1 on well-separated fixture") {
+    val brute = Similarity.bruteTopK(
+      vecs, col("vec_id"), col("vec"), vecs, col("vec_id"), col("vec"), k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(
+      vecs, col("vec_id"), col("vec"), vecs, col("vec_id"), col("vec"),
+      k = 1, bits = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    // multi-probe with 1-bit flips must recover the true neighbor here
+    lsh.foreach { case (q, c) => assert(brute(q) == c, s"q=$q lsh=$c brute=${brute(q)}") }
+  }
+
+  test("LSH on the driver embeddings achieves recall vs brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(queries, col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"), k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"), k = 5, bits = 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // random 64-d embeddings are near-orthogonal: true top-5 are barely more
+    // similar than the rest, so hyperplane-LSH recall is inherently modest.
+    // On clustered real data (fixture above) recall is exact.
+    assert(recall >= 0.1, s"LSH recall too low: $recall")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamingValidate._
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed lang stats: batch-mode semantics") {
+    val df = Seq(
+      ("u1", ts("2025-07-01 01:00:00"), "hello", "en"),
+      ("u2", ts("2025-07-01 02:00:00"), null, "en"),
+      ("u3", ts("2025-07-02 01:00:00"), "bonjour", "fr")
+    ).toDF("url", "warc_ts", "text", "lang")
+    val out = windowedLangStats(df).orderBy("win_start", "lang").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("row_cnt") == 2 && out(0).getAs[Long]("null_text") == 1)
+    assert(out(1).getAs[String]("lang") == "fr")
+  }
+
+  test("last-known-normal alerts carry state across micro-batches (ST4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PageEvent]
+    val alerts = lastKnownNormalAlerts(mem.toDS())
+    val q = alerts.writeStream
+      .format("memory").queryName("alerts_test").outputMode("append").start()
+    try {
+      // batch 1: a normal then a violation → alert carries n1
+      mem.addData(
+        PageEvent("k1", "n1", ts("2025-07-01 00:00:01"), violation = false),
+        PageEvent("k1", "v1", ts("2025-07-01 00:00:02"), violation = true))
+      q.processAllAvailable()
+      // batch 2: violation with NO normal in this batch → must use state (n1)
+      mem.addData(PageEvent("k1", "v2", ts("2025-07-01 00:00:03"), violation = true))
+      q.processAllAvailable()
+      val got = spark.table("alerts_test").orderBy("warc_ts")
+        .select("url", "norm_url").as[(String, String)].collect().toSeq
+      assert(got == Seq(("v1", "n1"), ("v2", "n1")))
+    } finally q.stop()
+  }
+
+  test("last-known-normal: batch mode, events ordered by time within key") {
+    val events = Seq(
+      PageEvent("k1", "v0", ts("2025-07-01 00:00:00"), violation = true), // before any normal
+      PageEvent("k1", "n1", ts("2025-07-01 00:00:01"), violation = false),
+      PageEvent("k1", "v1", ts("2025-07-01 00:00:02"), violation = true),
+      PageEvent("k1", "n2", ts("2025-07-01 00:00:03"), violation = false),
+      PageEvent("k1", "v2", ts("2025-07-01 00:00:04"), violation = true),
+      PageEvent("k2", "v9", ts("2025-07-01 00:00:05"), violation = true)
+    ).toDS()
+    val got = lastKnownNormalAlerts(events)
+      .orderBy("warc_ts")
+      .select("url", "norm_url").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-"))).toSeq
+    assert(got == Seq(("v0", "-"), ("v1", "n1"), ("v2", "n2"), ("v9", "-")))
+  }
+}
