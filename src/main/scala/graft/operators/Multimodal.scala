@@ -30,10 +30,24 @@ object Multimodal {
     * container header; the fake derives plausible dimensions from a content
     * hash so tests exercise realistic value ranges.
     */
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   def fakeDecode(url: String, bytes: Array[Byte]): MediaMeta = {
     val md = MessageDigest.getInstance("SHA-256")
     val digest = md.digest(bytes)
-    val hex = digest.map("%02x".format(_)).mkString
+    val hex = toHex(digest)
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
