@@ -121,7 +121,10 @@ object StatsPass {
       hll_sketch_agg(col("url")).as("url_hll_sketch"),
       percentile_approx(loglen,
         array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
-        .as("len_profile")
+        .as("len_profile"),
+      // mergeable KLL sketch of raw text length: persisted with the ledger,
+      // unions across resumed runs / up to table level without re-scans
+      sketch.KllAgg.kllSketch(len.cast("double")).as("len_kll_sketch")
     ) ++ langCols :+ other
     df.groupBy(col("partition"))
       .agg(count(lit(1)).as("row_cnt"), aggs: _*)

@@ -163,6 +163,23 @@ object Validator {
     Result(stats, violations, verdicts)
   }
 
+  /** Persist the profile vectors of a (clean) snapshot as the drift baseline
+    * — the "green" immutable model of ST7 (gbkd.go:41-62 green/blue swap):
+    * later runs score against this snapshot instead of leave-one-out.
+    */
+  def saveBaseline(wp: DataFrame, path: String): Unit =
+    StatsPass.profiles(wp).write.mode("overwrite").parquet(path)
+
+  def loadBaseline(spark: SparkSession, path: String): Map[String, IndexedSeq[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("partition"), col("lang_profile"), col("len_profile"))
+      .as[(String, Array[Double], Array[Double])].collect().sortBy(_._1)
+    Map(
+      "lang" -> rows.map(_._2).toIndexedSeq,
+      "text_length" -> rows.map(_._3).toIndexedSeq)
+  }
+
   /** Ledger-gated run: skip partitions already `done`, mark `pending` before
     * the pass, `done` after outputs are written (ST9/S13 semantics). Returns
     * the partitions actually processed this run.
@@ -190,6 +207,10 @@ object Validator {
     res.violations.write.mode("overwrite")
       .partitionBy("partition").parquet(s"$outDir/violations")
     res.verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts")
+    // per-partition stats incl. mergeable HLL/KLL sketch rows — the ledger's
+    // metrics side (SURVEY §1.4 column_stats): a resumed or later run can
+    // merge these to table-level stats without touching the data
+    res.stats.write.mode("overwrite").parquet(s"$outDir/column_stats")
 
     val counts = res.violations
       .groupBy(col("partition")).agg(count(lit(1)).as("n"))

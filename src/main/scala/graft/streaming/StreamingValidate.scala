@@ -39,6 +39,33 @@ object StreamingValidate {
       .select(col("win.start").as("win_start"), col("lang"),
         col("row_cnt"), col("null_text"))
 
+  /** Micro-batched validated sink — the write-behind buffer (ST3,
+    * db_tx_executor.go:51-79) re-expressed: each micro-batch runs the row
+    * checks and appends violations + pages to parquet in one commit cycle.
+    * Flush size/interval become the stream trigger; the "final flush on
+    * shutdown" is the stream's normal stop semantics.
+    */
+  def validatedSink(pages: org.apache.spark.sql.DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.engine.Constraints
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.toDF()
+        if (!df.isEmpty) {
+          val withPart = df.withColumn("partition",
+            date_format(col("warc_ts"), "yyyy-MM-dd"))
+          withPart.write.mode("append").parquet(s"$outDir/pages")
+          Constraints.runAll(withPart,
+            Seq(Constraints.NotNull("text"), Constraints.ByteIdenticalText))
+            .write.mode("append").parquet(s"$outDir/violations")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** One scored page event entering the stateful stage. */
   final case class PageEvent(
       key: String, // grouping key (partition / domain / entity)
