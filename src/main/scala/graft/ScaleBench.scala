@@ -41,6 +41,8 @@ object ScaleBench {
     s
   }
 
+  private def warmDir = s"$FixtureDir.warm"
+
   private def ensureFixture(): Unit = {
     if (!Files.exists(Paths.get(FixtureDir))) {
       val s = session(32)
@@ -48,23 +50,33 @@ object ScaleBench {
         .withColumnRenamed("p_day", "partition")
         .repartition(64) // even file sizes → identical input layout for both runs
         .write.mode("overwrite").parquet(FixtureDir)
+      // small same-schema warm-up input: warming with an IDENTICALLY-shaped
+      // plan (plain parquet read, no limit) hits the codegen cache for the
+      // timed run — a `limit(n)` warm-up compiles different generated classes
+      // and leaves Janino+JIT cost inside the timed window
+      WebGen.generate(s, 50000, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
+        .withColumnRenamed("p_day", "partition")
+        .repartition(8)
+        .write.mode("overwrite").parquet(warmDir)
       s.stop()
     }
   }
 
-  /** One full validation pass over the fixture; returns wall seconds. */
+  /** One full validation pass over the given input; counts outputs. */
+  private def pass(s: SparkSession, dir: String): Unit = {
+    val wp = s.read.parquet(dir)
+    val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
+    res.violations.count()
+    res.verdicts.count()
+  }
+
+  /** Timed pass over the fixture; returns wall seconds. */
   private def run(cores: Int): Double = {
     val s = session(cores)
     try {
-      val wp = s.read.parquet(FixtureDir)
-      // warm-up codegen/JIT on a slice (not timed)
-      Validator.validate(wp.limit(10000),
-        Validator.Config(Validator.DefaultChecks, driftEnabled = false))
-        .violations.count()
+      pass(s, warmDir) // identical plan shape → codegen + JIT warm (untimed)
       val t0 = System.nanoTime()
-      val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
-      res.violations.count()
-      res.verdicts.count()
+      pass(s, FixtureDir)
       (System.nanoTime() - t0) / 1e9
     } finally s.stop()
   }

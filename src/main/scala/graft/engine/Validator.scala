@@ -156,9 +156,9 @@ object Validator {
         rows.toDF()
       }
 
-    val verdicts = constraintVerdicts
-      .unionByName(driftVerdicts)
-      .orderBy(col("partition"), col("check_name"))
+    // no global orderBy here: verdict order is presentation, not semantics —
+    // consumers that need one sort the (tiny) frame themselves
+    val verdicts = constraintVerdicts.unionByName(driftVerdicts)
 
     Result(stats, violations, verdicts)
   }
@@ -204,7 +204,12 @@ object Validator {
     val scoped = wp.where(col("partition").isin(todo: _*))
     val res = validate(scoped, config)
 
-    res.violations.write.mode("overwrite")
+    // W1 (ingest sort, collect/handler.go:75-77): order rows within each
+    // write task — deterministic file contents + better parquet RLE/dict
+    // compression on url/check_name at scale
+    res.violations
+      .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
+      .write.mode("overwrite")
       .partitionBy("partition").parquet(s"$outDir/violations")
     res.verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts")
     // per-partition stats incl. mergeable HLL/KLL sketch rows — the ledger's
