@@ -328,6 +328,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- similarity: IVF (k-means coarse quantizer) ANN (NOT SQL) ---------
+    "e_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.ivfTopK(
+        queries, col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 3, nCells = 8, nProbe = 4)
+        .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- text analysis: BPE-style pre-tokenizer counts --------------------
+    "d_tokens_bpe" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.bpeTokenCount(col("text")).cast("long")).as("total_bpe"),
+          round(avg(TextFunctions.bpeTokenCount(col("text"))), 4).as("avg_bpe"))
+        .orderBy(col("source"))),
+
     // ---- multimodal: binary payload metadata (decode stub; plumbing real)
     "m_media_bytes" -> ((s, dir) => {
       val frame = wp(s, dir).withColumnRenamed("part", "partition")
@@ -546,6 +565,12 @@ object SparkEntry {
           |  FROM pairs)
           |SELECT qid, rank, cid, ROUND(sim, 4) AS sim
           |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+      "d_tokens_bpe" ->
+        """SELECT source,
+          | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
+          | ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 4) AS avg_bpe
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "m_media_bytes" ->
         (wp + """SELECT part, COUNT(*) AS n_media,

@@ -17,6 +17,17 @@ object TextFunctions {
     when(text.isNull || length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-style pre-tokenizer count: letter runs, single digits, and single
+    * punctuation marks — the classic GPT-2-ish pre-tokenization shape,
+    * restricted to an ASCII-safe pattern every regex engine agrees on
+    * (so an external SQL oracle reproduces it exactly).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    when(text.isNull, lit(0))
+      .otherwise(size(regexp_extract_all(text, lit(BpePattern), lit(0))))
+
   /** Word array (whitespace split of trimmed text). */
   def words(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))

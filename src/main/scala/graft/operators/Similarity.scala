@@ -71,6 +71,78 @@ object Similarity {
       lit(0), (acc, x) => acc + x)
   }
 
+  /** IVF-style ANN (inverted-file with a k-means coarse quantizer) — the
+    * second scale path: the corpus is assigned once to its nearest centroid
+    * (one shuffle on a small int key); each query probes only the `nProbe`
+    * nearest cells. Centroids come from a deterministic Lloyd refinement
+    * seeded by evenly-strided corpus vectors (no RNG, reproducible).
+    *
+    * At 10^12 rows the assignment is a broadcast-join scan (centroids are
+    * tiny) and the probe-side join touches corpus/nCells per cell probed.
+    */
+  def ivfTopK(
+      queries: DataFrame, qid: Column, qvec: Column,
+      corpus: DataFrame, cid: Column, cvec: Column,
+      k: Int, nCells: Int = 16, nProbe: Int = 3, iters: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(cid.as("cid"), cvec.cast("array<double>").as("cvec"))
+
+    // --- deterministic coarse quantizer (driver-side Lloyd over a sample)
+    val sample: Array[(Long, Array[Double])] =
+      c.orderBy(col("cid")).limit(4096).as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "empty corpus")
+    val stride = math.max(1, sample.length / nCells)
+    var centroids: Array[Array[Double]] =
+      (0 until math.min(nCells, sample.length)).map(i => sample(i * stride % sample.length)._2).toArray
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < v.length) { val x = v(j) - cs(i)(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head._2.length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { case (_, v) =>
+        val n = nearest(v, centroids)
+        counts(n) += 1
+        var j = 0; while (j < v.length) { sums(n)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    val bCentroids = spark.sparkContext.broadcast(centroids)
+    val cellOf = udf((v: Seq[Double]) => nearest(v.toArray, bCentroids.value))
+    val probesOf = udf((v: Seq[Double]) => {
+      val cs = bCentroids.value
+      val arr = v.toArray
+      cs.indices.map { i =>
+        var d = 0.0; var j = 0
+        while (j < arr.length) { val x = arr(j) - cs(i)(j); d += x * x; j += 1 }
+        (d, i)
+      }.sorted.take(nProbe).map(_._2)
+    })
+
+    val assigned = c.withColumn("cell", cellOf(col("cvec")))
+    val q = queries.select(qid.as("qid"), qvec.cast("array<double>").as("qvec"))
+      .withColumn("cell", explode(probesOf(col("qvec"))))
+    val pairs = assigned.join(broadcast(q), Seq("cell"))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
+    val scored = pairs
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("sim"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries sketched with `bits` hyperplanes;
     * candidates share a bucket (multi-probe: exact bucket plus all 1-bit
     * flips, recovering near misses); exact cosine re-rank, top-k.

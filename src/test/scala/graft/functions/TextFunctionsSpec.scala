@@ -60,6 +60,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(scores(2) <= 0.2)
   }
 
+  test("bpeTokenCount: letter runs, single digits, single punctuation") {
+    val df = Seq("hello world", "a1b2", "don't stop!", "", null, "42")
+      .toDF("t").select(TextFunctions.bpeTokenCount(col("t")).as("n"))
+    // "a1b2" → a,1,b,2 ; "don't stop!" → don,',t,stop,! ; "42" → 4,2
+    assert(df.as[Int].collect().toSeq == Seq(2, 4, 5, 0, 0, 2))
+  }
+
   test("shingles: n-grams over words; short text yields single shingle") {
     val sh = Seq("a b c d", "a b", "").toDF("t")
       .select(TextFunctions.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()

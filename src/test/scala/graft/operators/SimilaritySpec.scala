@@ -54,6 +54,31 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (q, c) => assert(brute(q) == c, s"q=$q lsh=$c brute=${brute(q)}") }
   }
 
+  test("IVF top-1 matches brute top-1 on well-separated fixture") {
+    val brute = Similarity.bruteTopK(
+      vecs, col("vec_id"), col("vec"), vecs, col("vec_id"), col("vec"), k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(
+      vecs, col("vec_id"), col("vec"), vecs, col("vec_id"), col("vec"),
+      k = 1, nCells = 2, nProbe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    ivf.foreach { case (q, c) => assert(brute(q) == c, s"q=$q ivf=$c brute=${brute(q)}") }
+    assert(ivf.keySet == brute.keySet)
+  }
+
+  test("IVF on driver embeddings: recall vs brute with multi-probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(queries, col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"), k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("LSH on the driver embeddings achieves recall vs brute") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
