@@ -44,20 +44,26 @@ object ScaleBench {
   private def warmDir = s"$FixtureDir.warm"
 
   private def ensureFixture(): Unit = {
-    if (!Files.exists(Paths.get(FixtureDir))) {
+    val needMain = !Files.exists(Paths.get(FixtureDir))
+    val needWarm = !Files.exists(Paths.get(warmDir))
+    if (needMain || needWarm) {
       val s = session(32)
-      WebGen.generate(s, Rows, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
-        .withColumnRenamed("p_day", "partition")
-        .repartition(64) // even file sizes → identical input layout for both runs
-        .write.mode("overwrite").parquet(FixtureDir)
+      if (needMain) {
+        WebGen.generate(s, Rows, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
+          .withColumnRenamed("p_day", "partition")
+          .repartition(64) // even file sizes → identical input layout for both runs
+          .write.mode("overwrite").parquet(FixtureDir)
+      }
       // small same-schema warm-up input: warming with an IDENTICALLY-shaped
       // plan (plain parquet read, no limit) hits the codegen cache for the
       // timed run — a `limit(n)` warm-up compiles different generated classes
       // and leaves Janino+JIT cost inside the timed window
-      WebGen.generate(s, 50000, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
-        .withColumnRenamed("p_day", "partition")
-        .repartition(8)
-        .write.mode("overwrite").parquet(warmDir)
+      if (needWarm) {
+        WebGen.generate(s, 50000, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
+          .withColumnRenamed("p_day", "partition")
+          .repartition(8)
+          .write.mode("overwrite").parquet(warmDir)
+      }
       s.stop()
     }
   }
