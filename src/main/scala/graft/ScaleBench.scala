@@ -36,6 +36,10 @@ object ScaleBench {
       // here; on a real cluster this is the same knob you'd tune per
       // executor count (or let AQE+splittable formats handle).
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      // sketch aggregates (KLL/HLL via ObjectHashAggregate) must stay
+      // hash-based with thousands of partition groups; the default fallback
+      // threshold (128 keys) degrades them to a full per-task sort
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -119,12 +119,14 @@ object StatsPass {
       sum(len.cast("long")).as("sum_len"),
       approx_count_distinct(col("url")).as("distinct_url_approx"),
       hll_sketch_agg(col("url")).as("url_hll_sketch"),
-      percentile_approx(loglen,
-        array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
-        .as("len_profile"),
-      // mergeable KLL sketch of raw text length: persisted with the ledger,
-      // unions across resumed runs / up to table level without re-scans
-      sketch.KllAgg.kllSketch(len.cast("double")).as("len_kll_sketch")
+      // ONE mergeable KLL sketch (log-scale length) serves both the ledger's
+      // persisted stats AND the drift length-profile (quantiles pulled
+      // driver-side). percentile_approx was dropped from this hot path: its
+      // per-group QuantileSummaries buffer (~80 KB at accuracy 10⁴) ×
+      // thousands of partitions × sort-based ObjectHashAggregate fallback
+      // (threshold 128 keys) made the agg sort the full input per task —
+      // measured superlinear slowdown at 16M rows. KLL is ~2 KB per group.
+      sketch.KllAgg.kllSketch(loglen).as("len_kll_sketch")
     ) ++ langCols :+ other
     df.groupBy(col("partition"))
       .agg(count(lit(1)).as("row_cnt"), aggs: _*)

@@ -47,6 +47,9 @@ object Validator {
       maxBaseline: Int = 64
   )
 
+  /** Quantile ranks of the text-length drift profile (FIXTURES.md §4). */
+  val ProfileQs: Array[Double] = Array(0.05, 0.25, 0.5, 0.75, 0.95)
+
   val DefaultChecks: Seq[Constraints.Check] = Seq(
     Constraints.NotNull("url"),
     Constraints.NotNull("text"),
@@ -114,10 +117,14 @@ object Validator {
       if (!config.driftEnabled) spark.emptyDataset[VerdictRow].toDF()
       else {
         // warm counts + both profile kinds come from the ONE cached stats
-        // frame — the drift stage adds zero extra input scans
+        // frame — the drift stage adds zero extra input scans. The length
+        // profile is read off each partition's KLL sketch driver-side.
         val profRows = stats
-          .select(col("partition"), col("row_cnt"), col("lang_profile"), col("len_profile"))
-          .as[(String, Long, Array[Double], Array[Double])].collect().toSeq.sortBy(_._1)
+          .select(col("partition"), col("row_cnt"), col("lang_profile"), col("len_kll_sketch"))
+          .as[(String, Long, Array[Double], Array[Byte])].collect().toSeq.sortBy(_._1)
+          .map { case (p, n, lang, sk) =>
+            (p, n, lang, ProfileQs.map(q => sketch.KllAgg.quantile(sk, q)))
+          }
         val warm: Map[String, Long] = profRows.map(t => (t._1, t._2)).toMap
         val profKinds: Seq[(String, Seq[(String, Array[Double])])] = Seq(
           "lang" -> profRows.map(t => (t._1, t._3)),
@@ -166,9 +173,21 @@ object Validator {
   /** Persist the profile vectors of a (clean) snapshot as the drift baseline
     * — the "green" immutable model of ST7 (gbkd.go:41-62 green/blue swap):
     * later runs score against this snapshot instead of leave-one-out.
+    * Profiles use the SAME estimators as the scoring side (lang fractions +
+    * KLL quantiles) so baseline and current vectors are bias-compatible.
     */
-  def saveBaseline(wp: DataFrame, path: String): Unit =
-    StatsPass.profiles(wp).write.mode("overwrite").parquet(path)
+  def saveBaseline(wp: DataFrame, path: String): Unit = {
+    val spark = wp.sparkSession
+    import spark.implicits._
+    val rows = StatsPass.statsAndProfiles(wp)
+      .select(col("partition"), col("lang_profile"), col("len_kll_sketch"))
+      .as[(String, Array[Double], Array[Byte])].collect().sortBy(_._1)
+      .map { case (p, lang, sk) =>
+        (p, lang, ProfileQs.map(q => sketch.KllAgg.quantile(sk, q)))
+      }.toSeq
+    rows.toDF("partition", "lang_profile", "len_profile")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   def loadBaseline(spark: SparkSession, path: String): Map[String, IndexedSeq[Array[Double]]] = {
     import spark.implicits._
