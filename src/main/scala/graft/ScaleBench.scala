@@ -20,7 +20,7 @@ import graft.fixtures.WebGen
 object ScaleBench {
 
   private val Rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
-  private val FixtureDir = s"target/fixtures/bench_wp_$Rows"
+  private val FixtureDir = s"target/fixtures/bench_wp_v2_$Rows"
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -53,9 +53,14 @@ object ScaleBench {
     if (needMain || needWarm) {
       val s = session(32)
       if (needMain) {
+        // range-partitioned by day, like a real time-partitioned crawl table
+        // (Iceberg days(warc_ts)): each file covers a contiguous day range,
+        // so map-side partial aggregation sees ~P/64 groups per task instead
+        // of all P (round-robin repartition inflated agg partials 64×)
         WebGen.generate(s, Rows, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
           .withColumnRenamed("p_day", "partition")
-          .repartition(64) // even file sizes → identical input layout for both runs
+          .repartitionByRange(64, org.apache.spark.sql.functions.col("partition"),
+            org.apache.spark.sql.functions.col("url"))
           .write.mode("overwrite").parquet(FixtureDir)
       }
       // small same-schema warm-up input: warming with an IDENTICALLY-shaped
