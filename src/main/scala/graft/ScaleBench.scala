@@ -53,14 +53,14 @@ object ScaleBench {
     if (needMain || needWarm) {
       val s = session(32)
       if (needMain) {
-        // range-partitioned by day, like a real time-partitioned crawl table
-        // (Iceberg days(warc_ts)): each file covers a contiguous day range,
-        // so map-side partial aggregation sees ~P/64 groups per task instead
-        // of all P (round-robin repartition inflated agg partials 64×)
-        WebGen.generate(s, Rows, flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true))
+        // 64 id-contiguous slices → each file covers a contiguous day range,
+        // like a real time-partitioned crawl table (Iceberg days(warc_ts)):
+        // map-side partial aggregation sees ~P/64 groups per task instead of
+        // all P (round-robin repartition had inflated agg partials 64×)
+        WebGen.generate(s, Rows,
+          flags = WebGen.Flags(nullText = true, badExtract = true, dupUrls = true),
+          slices = 64)
           .withColumnRenamed("p_day", "partition")
-          .repartitionByRange(64, org.apache.spark.sql.functions.col("partition"),
-            org.apache.spark.sql.functions.col("url"))
           .write.mode("overwrite").parquet(FixtureDir)
       }
       // small same-schema warm-up input: warming with an IDENTICALLY-shaped

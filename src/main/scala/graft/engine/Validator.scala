@@ -134,31 +134,52 @@ object Validator {
             Drift.LofScorer(config.lofK),
             Drift.ZScoreScorer(config.zThreshold),
             Drift.KsScorer(config.ksThreshold))
-          profiles.flatMap { case (p, vec) =>
-            val baseline: IndexedSeq[Array[Double]] =
-              baselineProfiles.getOrElse(kind, {
-                val others = profiles.filter(_._1 != p)
-                // deterministic stride sample bounds the O(P²) loop
-                val stride = math.max(1, others.size / config.maxBaseline)
-                others.indices.collect {
-                  case i if i % stride == 0 => others(i)._2
-                }.take(config.maxBaseline).toIndexedSeq
-              })
-            val belowWarmup = warm.getOrElse(p, 0L) < config.minRowsToScore
-            scorers.map { s =>
-              val v =
-                if (belowWarmup) Drift.DriftSkipped
-                else s.score(vec, baseline)
-              v match {
-                case Drift.DriftSkipped =>
-                  VerdictRow(p, s"${s.name}_$kind", "skipped", passed = true,
-                    Double.NaN, 0L)
-                case Drift.DriftScored(score, drifted) =>
-                  VerdictRow(p, s"${s.name}_$kind", "scored", passed = !drifted,
-                    score, if (drifted) 1L else 0L)
+          val profArr = profiles.toArray
+          // Scored in parallel on the driver (pure functions over immutable
+          // profiles; output order restored by index) — single-threaded this
+          // loop is a data-proportional Amdahl term at many partitions.
+          val out = new Array[Seq[VerdictRow]](profArr.length)
+          val parallelism = math.max(1, Runtime.getRuntime.availableProcessors)
+          val threads = (0 until parallelism).map { t =>
+            new Thread(() => {
+              var i = t
+              while (i < profArr.length) {
+                val (p, vec) = profArr(i)
+                val baseline: IndexedSeq[Array[Double]] =
+                  baselineProfiles.getOrElse(kind, {
+                    val stride = math.max(1, (profArr.length - 1) / config.maxBaseline)
+                    val b = IndexedSeq.newBuilder[Array[Double]]
+                    var j = 0
+                    var taken = 0
+                    while (j < profArr.length && taken < config.maxBaseline) {
+                      if (profArr(j)._1 != p && (j % stride == 0)) {
+                        b += profArr(j)._2; taken += 1
+                      }
+                      j += 1
+                    }
+                    b.result()
+                  })
+                val belowWarmup = warm.getOrElse(p, 0L) < config.minRowsToScore
+                out(i) = scorers.map { s =>
+                  val v =
+                    if (belowWarmup) Drift.DriftSkipped
+                    else s.score(vec, baseline)
+                  v match {
+                    case Drift.DriftSkipped =>
+                      VerdictRow(p, s"${s.name}_$kind", "skipped", passed = true,
+                        Double.NaN, 0L)
+                    case Drift.DriftScored(score, drifted) =>
+                      VerdictRow(p, s"${s.name}_$kind", "scored", passed = !drifted,
+                        score, if (drifted) 1L else 0L)
+                  }
+                }
+                i += parallelism
               }
-            }
+            })
           }
+          threads.foreach(_.start())
+          threads.foreach(_.join())
+          out.toSeq.flatten
         }
         rows.toDF()
       }

@@ -56,7 +56,7 @@ object WebGen {
     * (url, warc_ts, html, text, lang, p_day). Seeded, fully deterministic.
     */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L,
-      flags: Flags = Flags()): DataFrame = {
+      flags: Flags = Flags(), slices: Int = 0): DataFrame = {
     val i = col("id")
 
     // Zipf-ish hot domains (FIXTURES.md): a few domains take most rows.
@@ -98,7 +98,8 @@ object WebGen {
       when(pmod(i, lit(53)) === 0, lit(null).cast("string")).otherwise(textWithSpace)
     else textWithSpace
 
-    spark.range(n).select(
+    val base = if (slices > 0) spark.range(0L, n, 1L, slices) else spark.range(n)
+    base.select(
       url.as("url"),
       ts.as("warc_ts"),
       html.as("html"),
