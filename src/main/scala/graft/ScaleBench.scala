@@ -79,10 +79,22 @@ object ScaleBench {
 
   /** One full validation pass over the given input; counts outputs. */
   private def pass(s: SparkSession, dir: String): Unit = {
-    val wp = s.read.parquet(dir)
-    val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
-    res.violations.count()
-    res.verdicts.count()
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("scan")) {
+      // perfectly-parallel control: single stage, no shuffle, no driver work
+      // (regex-extract + compare over every row) — measures the machine's
+      // scaling ceiling for the engine's string-heavy workload class
+      val wp = s.read.parquet(dir)
+      wp.where(org.apache.spark.sql.functions.col("text").isNotNull &&
+          org.apache.spark.sql.functions.col("text") =!=
+            graft.engine.TextExtract.extractTextCol(org.apache.spark.sql.functions.col("html")))
+        .count()
+      ()
+    } else {
+      val wp = s.read.parquet(dir)
+      val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
+      res.violations.count()
+      res.verdicts.count()
+    }
   }
 
   /** Timed pass over the fixture; returns wall seconds. */
