@@ -71,11 +71,10 @@ object SparkEntry {
     "q_ref_orphans" -> ((s, dir) => {
       val child = Derive.linkChild(s, dir).withColumnRenamed("part", "partition")
       val parent = s.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"))
-      val orphans = SaltedJoin.saltedAntiJoin(
-        child, col("ck"), col("url"), parent, col("o_orderkey"))
-      orphans.groupBy(col("partition").as("part"))
+      Constraints.Referential("ck", parent, "o_orderkey").violations(child)
+        .groupBy(col("partition").as("part"))
         .agg(count(lit(1)).as("n_orphans"),
-          countDistinct(col("ck")).as("n_orphan_keys"))
+          countDistinct(col("observed")).as("n_orphan_keys"))
         .orderBy(col("part"))
     }),
 
