@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Ledger, Validator, WebSchema}
+
+/** spark-submit entry point:
+  *
+  *   spark-submit --class graft.Main sodspark.jar \
+  *     validate <inputPath> <outDir> [--ledger <dir>] [--run <id>]
+  *        [--partition-col <col>] [--baseline <dir>]
+  *   spark-submit --class graft.Main sodspark.jar \
+  *     save-baseline <inputPath> <baselineDir> [--partition-col <col>]
+  *
+  * `validate` runs the full pass (schema gate → stats/sketches → constraints
+  * → drift) over an `input_hint`-shaped table, writing violations, verdicts
+  * and column_stats under <outDir>. With --ledger, completed partitions are
+  * skipped on re-run (resume). Exit code 1 when any verdict failed, 2 on
+  * schema mismatch — usable as a data-quality gate in a pipeline.
+  *
+  * No master/config is forced here: spark-submit supplies them (cluster
+  * deploys set executors/shuffle partitions per cluster size).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(usage); sys.exit(64) }
+    val cmd = args(0)
+    val opts = parseFlags(args.drop(1))
+    val positional = args.drop(1).filterNot(_.startsWith("--"))
+      .filterNot(a => opts.values.toSeq.contains(a))
+
+    val builder = SparkSession.builder()
+      .appName("sodspark")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // spark-submit injects the master; fall back to local[*] for direct runs
+    val spark = (if (sys.props.contains("spark.master") ||
+        sys.env.contains("SPARK_MASTER")) builder
+      else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val partitionCol = opts.getOrElse("partition-col", "")
+
+    def load(path: String) = {
+      val raw = spark.read.parquet(path)
+      WebSchema.validate(raw) match {
+        case Left(err) =>
+          System.err.println(s"[sodspark] $err")
+          sys.exit(2)
+          throw new IllegalStateException
+        case Right(_) =>
+          if (partitionCol.nonEmpty) raw.withColumn("partition", col(partitionCol).cast("string"))
+          else raw.withColumn("partition", date_format(col("warc_ts"), "yyyy-MM-dd"))
+      }
+    }
+
+    cmd match {
+      case "validate" =>
+        val Array(in, out) = positional.take(2)
+        val wp = load(in)
+        val baseline = opts.get("baseline")
+          .map(Validator.loadBaseline(spark, _)).getOrElse(Map.empty)
+        val failed: Long = opts.get("ledger") match {
+          case Some(ledgerDir) =>
+            val runId = opts.getOrElse("run", "run-" + java.util.UUID.randomUUID())
+            val processed = Validator.runWithLedger(wp, new Ledger(ledgerDir), runId, out)
+            println(s"[sodspark] processed partitions: ${processed.size}")
+            spark.read.parquet(s"$out/verdicts").where(!col("passed")).count()
+          case None =>
+            val res = Validator.validate(wp, baselineProfiles = baseline)
+            res.violations
+              .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
+              .write.mode("overwrite").partitionBy("partition").parquet(s"$out/violations")
+            res.verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
+            res.stats.write.mode("overwrite").parquet(s"$out/column_stats")
+            res.verdicts.where(!col("passed")).count()
+        }
+        println(s"[sodspark] failed checks: $failed")
+        spark.stop()
+        sys.exit(if (failed > 0) 1 else 0)
+
+      case "save-baseline" =>
+        val Array(in, out) = positional.take(2)
+        Validator.saveBaseline(load(in), out)
+        println(s"[sodspark] baseline written to $out")
+        spark.stop()
+
+      case other =>
+        System.err.println(s"unknown command: $other\n$usage")
+        sys.exit(64)
+    }
+  }
+
+  private def parseFlags(args: Array[String]): Map[String, String] =
+    args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  private val usage =
+    """usage:
+      |  graft.Main validate <inputPath> <outDir> [--ledger <dir>] [--run <id>]
+      |      [--partition-col <col>] [--baseline <dir>]
+      |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
+      |""".stripMargin
+}

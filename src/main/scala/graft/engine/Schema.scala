@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** The engine's input row: a Common-Crawl-style web page.
@@ -29,9 +30,15 @@ object WebSchema {
     StructField("lang", StringType, nullable = true)
   ))
 
-  /** Names + types must match (nullability is advisory in parquet, ignored). */
+  /** Names + types must match (nullability is advisory in parquet, ignored;
+    * TIMESTAMP_NTZ is accepted for warc_ts — parquet writers routinely emit
+    * naive timestamps, normalized losslessly under the UTC session).
+    */
   def conforms(schema: StructType): Boolean = {
-    val got = schema.fields.map(f => (f.name, f.dataType))
+    val got = schema.fields.map(f => (f.name, f.dataType match {
+      case TimestampNTZType => TimestampType
+      case dt => dt
+    }))
     val want = expected.fields.map(f => (f.name, f.dataType))
     got.sameElements(want)
   }
@@ -40,13 +47,14 @@ object WebSchema {
     * Returns a typed Dataset on success — explicit encoder, never inferred.
     */
   def validate(df: DataFrame): Either[String, Dataset[WebPage]] = {
-    if (!conforms(StructType(df.schema.fields.take(5)))) {
+    if (df.schema.fields.length < 5 || !conforms(StructType(df.schema.fields.take(5)))) {
       val got = df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
       Left(s"schema mismatch: expected ${expected.simpleString}, got [$got]")
     } else {
       val spark = df.sparkSession
       import spark.implicits._
-      Right(df.select("url", "warc_ts", "html", "text", "lang").as[WebPage])
+      Right(df.select(col("url"), col("warc_ts").cast(TimestampType).as("warc_ts"),
+        col("html"), col("text"), col("lang")).as[WebPage])
     }
   }
 }
