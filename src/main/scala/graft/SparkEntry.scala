@@ -327,6 +327,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- dedup: embedding-cosine near-dups (NOT SQL; planted-twin test) ---
+    "e_dedup_cos" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(v, x -> x * 1.001 + 0.0001)").as("v"))
+      Dedup.embeddingNearDups(emb.unionByName(planted), col("vec_id"), col("v"),
+        threshold = 0.99, bits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity: IVF (k-means coarse quantizer) ANN (NOT SQL) ---------
     "e_ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -75,6 +75,43 @@ object Multimodal {
       .select(col("partition"), col("meta.*"))
   }
 
+  /** STUB resize: a real implementation would decode → scale → re-encode;
+    * the fake deterministically derives the resized payload (so schema,
+    * sizing math and plumbing are testable without media libs). Target box
+    * semantics: aspect-preserving fit into (maxW, maxH).
+    */
+  def fakeResize(meta: MediaMeta, maxW: Int, maxH: Int): MediaMeta = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+    val w = math.max(1, (meta.width * scale).toInt)
+    val h = math.max(1, (meta.height * scale).toInt)
+    // fake payload size shrinks with area ratio (real: re-encoded bytes)
+    val bytes = math.max(1L, (meta.n_bytes * (w.toLong * h) / (meta.width.toLong * meta.height)))
+    meta.copy(width = w, height = h, n_bytes = bytes)
+  }
+
+  /** STUB frame sampling for video payloads: deterministic frame indices
+    * (every `stride`-th of `nFrames` fake frames derived from content hash).
+    * Returns (url, frame_idx) rows — the explode shape a real sampler needs.
+    */
+  def frameSampleIndices(meta: MediaMeta, stride: Int): Seq[(String, Int)] = {
+    val nFrames = 1 + (java.lang.Long.parseLong(meta.sha256.take(4), 16) % 300).toInt
+    (0 until nFrames by stride).map(i => (meta.url, i))
+  }
+
+  /** Resize stage over decoded metadata (Dataset transform, typed). */
+  def resizeAll(meta: DataFrame, maxW: Int = 640, maxH: Int = 360): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select(col("partition"), col("url"), col("n_bytes"), col("sha256"),
+        col("width"), col("height"), col("mean_byte"))
+      .as[(String, String, Long, String, Int, Int, Double)]
+      .map { case (p, u, n, sha, w, h, m) =>
+        val r = fakeResize(MediaMeta(u, n, sha, w, h, m), maxW, maxH)
+        (p, r.url, r.n_bytes, r.sha256, r.width, r.height, r.mean_byte)
+      }
+      .toDF("partition", "url", "n_bytes", "sha256", "width", "height", "mean_byte")
+  }
+
   /** Aggregate media stats per partition key — the downstream consumer shape. */
   def metaStats(meta: DataFrame): DataFrame =
     meta.groupBy(col("partition"))

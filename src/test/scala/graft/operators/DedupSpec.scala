@@ -66,6 +66,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("embedding-cosine near-dups: planted near-duplicates found, distinct pairs not") {
+    // base embeddings + planted near-dups (tiny deterministic perturbation)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .where(col("vec_id") < 50)
+    val planted = emb.select((col("vec_id") + 1000L).as("vec_id"),
+      expr("transform(v, (x, i) -> x * 1.001 + 0.0001)").as("v"))
+    val all = emb.unionByName(planted)
+    val pairs = Dedup.embeddingNearDups(all, col("vec_id"), col("v"),
+      threshold = 0.99, bits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted twin must be found (cos ≈ 1)
+    val expectedTwins = (0L until 50L).map(i => (i, i + 1000L)).toSet
+    val found = pairs intersect expectedTwins
+    assert(found.size >= 45, s"found only ${found.size}/50 planted twins")
+    // random 64-d pairs are near-orthogonal — none should pass 0.99
+    assert((pairs -- expectedTwins).isEmpty, s"false positives: ${pairs -- expectedTwins}")
+  }
+
   test("dedup keeps first representative per exact group (keep-min policy)") {
     // canonical dedup flow: drop all but min doc_id of each exact group
     val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))

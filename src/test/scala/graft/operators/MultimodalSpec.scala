@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.fixtures.WebGen
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pages = WebGen.generate(spark, 200)
+    .withColumnRenamed("p_day", "partition")
+
+  test("decodeMeta: deterministic metadata, counts preserved, no join-back") {
+    val meta = Multimodal.decodeMeta(pages, "partition", "url", "html")
+    assert(meta.count() == 200)
+    val a = meta.orderBy("url").select("sha256").as[String].collect()
+    val b = Multimodal.decodeMeta(pages, "partition", "url", "html")
+      .orderBy("url").select("sha256").as[String].collect()
+    assert(a.sameElements(b))
+    // n_bytes equals the actual html byte length
+    val row = meta.orderBy("url").select("url", "n_bytes").limit(1).collect().head
+    val htmlLen = pages.where(col("url") === row.getString(0))
+      .select(length(col("html"))).collect().head.getInt(0)
+    assert(row.getLong(1) == htmlLen)
+  }
+
+  test("metaStats aggregates per partition") {
+    val meta = Multimodal.decodeMeta(pages, "partition", "url", "html")
+    val stats = Multimodal.metaStats(meta)
+    assert(stats.agg(sum("n_media")).collect().head.getLong(0) == 200)
+  }
+
+  test("fakeResize: aspect-preserving fit, never upscales") {
+    val m = Multimodal.MediaMeta("u", 100000, "ab" * 32, 1920, 1080, 12.0)
+    val r = Multimodal.fakeResize(m, 640, 360)
+    assert(r.width == 640 && r.height == 360)
+    assert(r.n_bytes < m.n_bytes)
+    val small = Multimodal.MediaMeta("u", 1000, "cd" * 32, 320, 180, 1.0)
+    val r2 = Multimodal.fakeResize(small, 640, 360)
+    assert(r2.width == 320 && r2.height == 180) // no upscale
+  }
+
+  test("resizeAll pipeline keeps schema and row count") {
+    val meta = Multimodal.decodeMeta(pages, "partition", "url", "html")
+    val resized = Multimodal.resizeAll(meta, 100, 100)
+    assert(resized.count() == 200)
+    assert(resized.agg(max("width")).collect().head.getInt(0) <= 100)
+  }
+
+  test("frameSampleIndices: deterministic stride sampling") {
+    val m = Multimodal.MediaMeta("u", 1000, "ff00" + "ab" * 30, 640, 360, 1.0)
+    val frames = Multimodal.frameSampleIndices(m, stride = 10)
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._2 % 10 == 0))
+    assert(frames == Multimodal.frameSampleIndices(m, stride = 10))
+  }
+}
