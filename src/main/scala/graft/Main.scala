@@ -65,7 +65,8 @@ object Main {
         val failed: Long = opts.get("ledger") match {
           case Some(ledgerDir) =>
             val runId = opts.getOrElse("run", "run-" + java.util.UUID.randomUUID())
-            val processed = Validator.runWithLedger(wp, new Ledger(ledgerDir), runId, out)
+            val processed = Validator.runWithLedger(
+              wp, new Ledger(ledgerDir), runId, out, baselineProfiles = baseline)
             println(s"[sodspark] processed partitions: ${processed.size}")
             spark.read.parquet(s"$out/verdicts").where(!col("passed")).count()
           case None =>

@@ -110,12 +110,22 @@ object SparkEntry {
     }),
 
     // ---- A8: entropy of the lang distribution ---------------------------
+    // Order-pinned float math: H = ln(N) − (Σ cnt·ln cnt)/N computed from
+    // exact counts, with the addends summed in SORTED order via a sequential
+    // left fold — Spark's partial/final agg and DuckDB then add identical
+    // doubles in identical order, so 6-dp rounding is byte-stable (a plain
+    // -sum(p*ln p) differed in the last ulp between engines).
     "q_entropy" -> ((s, dir) => {
-      val w = Window.partitionBy(col("part"))
       wp(s, dir).groupBy(col("part"), col("lang")).agg(count(lit(1)).as("cnt"))
-        .withColumn("p", col("cnt") / sum(col("cnt")).over(w))
         .groupBy(col("part"))
-        .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+        .agg(
+          sum(col("cnt")).as("n"),
+          aggregate(sort_array(collect_list(col("cnt"))), lit(0.0),
+            (acc, c) => acc + c.cast("double") * log(c.cast("double"))).as("s"))
+        .select(
+          col("part"),
+          round(log(col("n").cast("double")) - col("s") / col("n").cast("double"), 6)
+            .as("entropy"))
         .orderBy(col("part"))
     }),
 
@@ -426,11 +436,13 @@ object SparkEntry {
 
       "q_entropy" ->
         (wp + """, h AS (
-          |  SELECT part, lang, COUNT(*) AS cnt,
-          |    COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY part) AS p
-          |  FROM wp GROUP BY part, lang)
-          |SELECT part, ROUND(-SUM(p * LN(p)), 6) AS entropy
-          |FROM h GROUP BY part ORDER BY part""".stripMargin),
+          |  SELECT part, lang, COUNT(*) AS cnt FROM wp GROUP BY part, lang),
+          |g AS (
+          |  SELECT part, CAST(SUM(cnt) AS DOUBLE) AS n, list_sort(list(cnt)) AS cs
+          |  FROM h GROUP BY part)
+          |SELECT part,
+          |  ROUND(LN(n) - list_aggregate(list_transform(cs, c -> CAST(c AS DOUBLE) * LN(c)), 'sum') / n, 6) AS entropy
+          |FROM g ORDER BY part""".stripMargin),
 
       "q_gmean_hmean" ->
         """SELECT l_returnflag,
@@ -507,7 +519,7 @@ object SparkEntry {
           |FROM pp ORDER BY part""".stripMargin),
 
       "d_dedup_exact" ->
-        (Derive.DocsWithDupsSql + """SELECT sha256(COALESCE(text, ' NULL')) AS fp,
+        (Derive.DocsWithDupsSql + """SELECT sha256(COALESCE(text, chr(0) || 'NULL')) AS fp,
           | COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
           |FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin),
 

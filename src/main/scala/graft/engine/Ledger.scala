@@ -83,16 +83,28 @@ final class Ledger(root: String) {
     }
   }
 
-  def all(): Seq[Entry] =
-    Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .flatMap { f =>
-        val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-        val p = field(json, "partition")
-        if (p.isEmpty) None else read(p)
-      }
-      .toSeq
-      .sortBy(_.partition)
+  def all(): Seq[Entry] = {
+    // Files.list must be closed (it holds a directory fd); parse the JSON we
+    // already read instead of a redundant read(p) round-trip.
+    val stream = Files.list(dir)
+    try {
+      stream.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .flatMap { f =>
+          val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+          val p = field(json, "partition")
+          if (p.isEmpty) None
+          else Some(Entry(
+            p,
+            field(json, "status"),
+            field(json, "row_cnt").toDouble.toLong,
+            field(json, "n_violations").toDouble.toLong,
+            field(json, "updated_run")))
+        }
+        .toSeq
+        .sortBy(_.partition)
+    } finally stream.close()
+  }
 
   /** Partitions safe to skip on resume (bulkLoad's Processed branch,
     * manager.go:326-333).

@@ -101,6 +101,49 @@ class ValidatorSpec extends SparkSpec {
     assert(va == vb && va.nonEmpty)
   }
 
+  test("ledger resume into the SAME outDir preserves done partitions' outputs") {
+    val tmp = Files.createTempDirectory("ledger_same").toString
+    val out = Files.createTempDirectory("out_same").toString
+    val wp = WebGen.generate(spark, 5000L, flags = WebGen.Flags(nullText = true))
+      .withColumnRenamed("p_day", "partition")
+    val cfg = Validator.Config(Seq(Constraints.NotNull("text")), driftEnabled = false)
+    val ledger = new Ledger(tmp)
+
+    val first = Validator.runWithLedger(wp, ledger, "run1", out, cfg)
+    assert(first.size > 1)
+
+    val keep = first.head // a partition that stays `done` through the resume
+    def violIds(p: String): Seq[String] =
+      spark.read.parquet(s"$out/violations").where(col("partition") === p)
+        .orderBy("violation_id").select("violation_id").as[String].collect().toSeq
+    def verdictCnt(p: String): Long =
+      spark.read.parquet(s"$out/verdicts").where(col("partition") === p).count()
+    val violBefore = violIds(keep)
+    val verdictBefore = verdictCnt(keep)
+    assert(violBefore.nonEmpty && verdictBefore > 0)
+
+    // crash: the LAST partition goes pending again → resume into the SAME out
+    val crashed = first.last
+    ledger.markPending(crashed, "crash")
+    val rerun = Validator.runWithLedger(wp, ledger, "run2", out, cfg)
+    assert(rerun == Seq(crashed))
+
+    // the untouched done partition's outputs survive byte-identical
+    assert(violIds(keep) == violBefore,
+      "resume destroyed a done partition's violations")
+    assert(verdictCnt(keep) == verdictBefore,
+      "resume destroyed a done partition's verdicts")
+    // and the re-run partition's outputs are present exactly once
+    assert(verdictCnt(crashed) > 0)
+    val reViol = spark.read.parquet(s"$out/violations")
+      .where(col("partition") === crashed).select("violation_id").as[String].collect()
+    assert(reViol.distinct.length == reViol.length, "replayed partition duplicated rows")
+    // stats side too: every first-run partition still has its column_stats row
+    val statParts = spark.read.parquet(s"$out/column_stats")
+      .select("partition").as[String].collect().toSet
+    assert(first.toSet.subsetOf(statParts))
+  }
+
   test("warm-up: partitions under minRowsToScore get skipped drift verdicts") {
     val wp = WebGen.generate(spark, 3000L).withColumnRenamed("p_day", "partition")
     val res = Validator.validate(wp,
