@@ -40,12 +40,20 @@ object Bench {
 
     val nDocs = spark.read.parquet(s"$sfDir/orders.parquet").count()
 
-    // warm-up: JIT + codegen caches on the tiny SF (not timed)
-    fullSuite(spark, "/root/testdata/sf0.001")
+    // Warm-up: one UNTIMED full pass over the ACTUAL benchmark input. This
+    // warms the OS page cache for the real files AND compiles/JITs the real
+    // sf-sized plans — a tiny-SF warmup warms neither, and round 1's headline
+    // was ~15× plan cost because first-touch I/O + codegen landed inside the
+    // timed window.
+    fullSuite(spark, sfDir)
 
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
+    // Min of N reps per query: the minimum is the plan cost; ambient noise
+    // (GC, other processes) only ever adds time.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def time(f: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
 
     val headline = time(fullSuite(spark, sfDir))
 

@@ -132,24 +132,25 @@ object Constraints {
   final case class Referential(
       childKeyCol: String,
       parent: DataFrame,
-      parentKeyCol: String,
-      salts: Int = 16
+      parentKeyCol: String
   ) extends Check {
     val name = s"ref_${childKeyCol}"
     def violations(df: DataFrame): DataFrame = {
       // Distinct child keys first: the anti join then runs over |distinct ck|
       // rows instead of |child| (often ≫ smaller — fact tables repeat their
       // foreign keys), and the rare orphan keys broadcast back to pick up
-      // the violating child rows. The distinct is a shuffle of bare keys;
-      // the salted SMJ defuses hot parent keys (SURVEY §2.3 J6).
+      // the violating child rows. The distinct ALSO kills skew — after it,
+      // every key appears exactly once, so there is no hot key left for
+      // salting to defuse; exploding the parent ×S salts here would just
+      // multiply the dominant shuffle by S for nothing. Plain left-anti SMJ
+      // on the distinct keys is the scale-correct plan (SURVEY §2.3 J6);
+      // [[SaltedJoin.saltedAntiJoin]] remains for the no-distinct path where
+      // per-row key skew is real.
       val distinctKeys = df.select(col(childKeyCol).as("ref_key")).distinct()
-      val orphanKeys = SaltedJoin.saltedAntiJoin(
-        distinctKeys,
-        col("ref_key"),
-        col("ref_key").cast("string"),
-        parent,
-        col(parentKeyCol),
-        salts)
+      val parentKeys = parent.select(col(parentKeyCol).as("__pk"))
+      val orphanKeys = distinctKeys
+        .join(parentKeys.hint("merge"),
+          distinctKeys("ref_key") === parentKeys("__pk"), "left_anti")
       val orphans = df.join(
         broadcast(orphanKeys),
         df(childKeyCol) === orphanKeys("ref_key"))

@@ -35,19 +35,28 @@ object SaltedJoin {
     *      subset both produce the violation keys and eliminate hash
     *      collisions.
     */
-  def saltedDupGroups(df: DataFrame, key: Column, saltSource: Column, s: Int = 16): DataFrame = {
+  def saltedDupGroups(df: DataFrame, key: Column, saltSource: Column, s: Int = 16,
+      maxBroadcastDupKeys: Long = 4000000L): DataFrame = {
     val keyed = df.select(key.as("k"), saltSource.as("ss"))
     val stage1 = keyed
       .groupBy(xxhash64(col("k")).as("h"), rowSalt(col("ss"), s).as("salt"))
       .agg(count(lit(1)).as("partial_cnt"))
+    // Materialized once (localCheckpoint — blocks auto-released on GC) so the
+    // size GUARD below doesn't recompute stage 1. Duplicates are rare by the
+    // validation contract, but a pathological mostly-duplicates input would
+    // make an unconditional broadcast OOM the driver — above the cap the
+    // plan degrades to a shuffle join instead (8-byte keys: the cap ≈ 32 MB).
     val dupHashes = stage1
       .groupBy(col("h"))
       .agg(sum("partial_cnt").as("hcnt"))
       .where(col("hcnt") > 1)
       .select(col("h"))
+      .localCheckpoint(true)
+    val nDup = dupHashes.count()
+    val dupSide = if (nDup <= maxBroadcastDupKeys) broadcast(dupHashes) else dupHashes
     keyed
       .select(col("k"), xxhash64(col("k")).as("h"))
-      .join(broadcast(dupHashes), Seq("h"))
+      .join(dupSide, Seq("h"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)

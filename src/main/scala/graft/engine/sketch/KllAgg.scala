@@ -16,47 +16,63 @@ import org.apache.spark.sql.functions.udaf
   * re-reading data. KLL is mergeable and deterministic for a fixed insert
   * order-set (merge is order-insensitive for rank queries at our accuracy).
   *
-  * Implemented as a typed `Aggregator` registered via `udaf()` (SURVEY §7.4
-  * chose Aggregator over a Catalyst TypedImperativeAggregate: no private
-  * Spark APIs, Kryo-free byte-array buffers, and the per-row serialization
-  * cost is avoided by Spark's ObjectAggregationIterator keeping the buffer
-  * deserialized within a partition).
+  * Implemented as a typed `Aggregator` registered via `udaf()`. The buffer
+  * is the LIVE sketch object (wrapped for Java serialization), not its byte
+  * image: Spark's ScalaAggregator is a TypedImperativeAggregate that keeps
+  * the buffer deserialized between rows, so `reduce` is a plain
+  * `sketch.update(v)` — the encoder (bytes via `toByteArray`) runs only at
+  * shuffle/spill boundaries. A byte-array buffer would force a
+  * heapify → update → toByteArray round-trip on EVERY input row inside the
+  * flagship stats pass (measured dominant cost at 16M rows).
   */
 object KllAgg {
 
   val K: Int = 200 // DataSketches default; ~1.65% rank error, mergeable
 
-  /** Buffer = serialized sketch bytes (encoder-friendly); null = empty. */
+  /** Mutable sketch holder; Java-serializes as the sketch's compact byte
+    * image (KllDoublesSketch itself is not Serializable). `sketch` is null
+    * until the first update.
+    */
+  final class KllBuf(@transient var sketch: KllDoublesSketch) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = if (sketch == null) Array.emptyByteArray else sketch.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      sketch = if (n == 0) null else KllDoublesSketch.heapify(Memory.wrap(bytes))
+    }
+  }
+
   final class KllDoubleAggregator(k: Int = K)
-      extends Aggregator[Option[Double], Array[Byte], Array[Byte]]
+      extends Aggregator[Option[Double], KllBuf, Array[Byte]]
       with Serializable {
 
-    private def sketchOf(b: Array[Byte]): KllDoublesSketch =
-      if (b == null || b.isEmpty) KllDoublesSketch.newHeapInstance(k)
-      else KllDoublesSketch.heapify(Memory.wrap(b))
+    def zero: KllBuf = new KllBuf(null)
 
-    def zero: Array[Byte] = Array.emptyByteArray
-
-    def reduce(buf: Array[Byte], in: Option[Double]): Array[Byte] = in match {
-      case Some(v) =>
-        val s = sketchOf(buf)
-        s.update(v)
-        s.toByteArray
-      case None => buf
+    def reduce(buf: KllBuf, in: Option[Double]): KllBuf = {
+      in match {
+        case Some(v) =>
+          if (buf.sketch == null) buf.sketch = KllDoublesSketch.newHeapInstance(k)
+          buf.sketch.update(v)
+        case None => ()
+      }
+      buf
     }
 
-    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      if (a == null || a.isEmpty) return b
-      if (b == null || b.isEmpty) return a
-      val s = sketchOf(a)
-      s.merge(sketchOf(b))
-      s.toByteArray
+    def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      if (a.sketch == null) b
+      else if (b.sketch == null) a
+      else { a.sketch.merge(b.sketch); a }
     }
 
-    def finish(buf: Array[Byte]): Array[Byte] =
-      if (buf == null) Array.emptyByteArray else buf
+    def finish(buf: KllBuf): Array[Byte] =
+      if (buf.sketch == null) Array.emptyByteArray else buf.sketch.toByteArray
 
-    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 

@@ -133,7 +133,11 @@ object Dedup {
     // The band explosion/self-join carries ONLY ids — shingle arrays would
     // multiply the shuffle by bands×|sh|; they are re-attached to the deduped
     // candidate pairs afterwards (two cheap hash joins).
-    val shingleSets = sig.select(col("id"), col("sh")).cache()
+    // localCheckpoint, not cache(): it is consumed by two joins (compute
+    // once), and its blocks are released by the ContextCleaner as soon as
+    // the plan is unreferenced — a cache() entry would pin executor memory
+    // until someone remembers to unpersist (leak in a long-running pipeline).
+    val shingleSets = sig.select(col("id"), col("sh")).localCheckpoint(true)
     val banded = sig.select(
       col("id"),
       posexplode(transform(
@@ -186,7 +190,8 @@ object Dedup {
       bucketCap: Int = 1000
   ): DataFrame = {
     val shUdf = udf((t: String) => shinglesOf(t, shingleN))
-    val sh = df.select(id.as("id"), shUdf(text).as("sh")).cache()
+    // localCheckpoint for the same no-leak reason as minhashLshPairs
+    val sh = df.select(id.as("id"), shUdf(text).as("sh")).localCheckpoint(true)
     // candidate generation on (token-hash, id) only — payload arrays rejoined
     // after dedup, as in minhashLshPairs
     val tokens = sh.select(col("id"),

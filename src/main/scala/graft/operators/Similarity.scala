@@ -51,24 +51,56 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** ±1 sign matrix of the deterministic hyperplanes, precomputed ONCE per
+    * (bits, dim) and cached per executor. Sign of plane p, component d is the
+    * parity of Spark's `xxhash64(p, d)` (seed 42 chained over two ints —
+    * reproduced via the same catalyst XXH64 primitive), so buckets are
+    * byte-compatible with the previous in-plan expression. The matrix is
+    * data-INDEPENDENT; the old nested-HOF expression recomputed all
+    * bits×dim hashes per row in interpreted lambdas — measured as the
+    * dominant cost of the LSH paths (same lesson as MinHash/SimHash,
+    * BENCH_SCALING.md §6).
+    */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private[operators] def signMatrix(bits: Int, dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((bits, dim), { key =>
+      val (b, n) = key
+      Array.tabulate(b, n) { (p, d) =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val h = XXH64.hashInt(d, XXH64.hashInt(p, 42L))
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+    })
+
+  /** Scala twin of the sketch (tight loop, same float-op order as the old
+    * zip_with/aggregate fold: acc + v[d]*sign, d ascending — equality is
+    * asserted in SimilaritySpec).
+    */
+  def hyperplaneSketchScala(v: Array[Double], bits: Int): Int = {
+    val m = signMatrix(bits, v.length)
+    var sketch = 0
+    var p = 0
+    while (p < bits) {
+      val row = m(p)
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * row(d); d += 1 }
+      if (dot > 0.0) sketch |= (1 << p)
+      p += 1
+    }
+    sketch
+  }
+
   /** Deterministic random-hyperplane sign sketch: bit p of the sketch is 1
     * iff Σ_d (±1 from xxhash64(p,d) parity) · v[d] > 0. `bits` ≤ 31.
+    * Scala-loop UDF over the precomputed sign matrix (null vec → null).
     */
   def hyperplaneSketch(vec: Column, bits: Int): Column = {
-    val v = vec.cast("array<double>")
-    val planeBits = transform(
-      sequence(lit(0), lit(bits - 1)),
-      p => {
-        val dotp = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, d) => x * when(xxhash64(p, d).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(dotp > 0.0, lit(1)).otherwise(lit(0))
-      })
-    aggregate(
-      zip_with(planeBits, sequence(lit(0), lit(bits - 1)),
-        (bit, i) => bit * call_function("shiftleft", lit(1), i)),
-      lit(0), (acc, x) => acc + x)
+    val f = udf((v: Seq[Double]) =>
+      if (v == null) None else Some(hyperplaneSketchScala(v.toArray, bits)))
+    f(vec.cast("array<double>"))
   }
 
   /** IVF-style ANN (inverted-file with a k-means coarse quantizer) — the

@@ -38,6 +38,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p.take(500))
   }
 
+  test("referential check: anti join on distinct keys, parent NOT salt-exploded") {
+    val child = Derive.linkChild(spark, dir).withColumnRenamed("part", "partition")
+    val parent = spark.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"))
+    val p = graft.engine.Constraints.Referential("ck", parent, "o_orderkey")
+      .violations(child.withColumn("url", col("url")))
+      .queryExecution.executedPlan.toString
+    // post-distinct there is no hot key left: the parent side must go into
+    // the SMJ once, not ×16 salts (round-1 scale-killer, VERDICT #3)
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p.take(800))
+    assert(!p.toLowerCase.contains("explode"),
+      "parent side of the referential anti join is salt-exploded again")
+  }
+
   test("e_ann_brute broadcasts the query side") {
     val p = plan("e_ann_brute")
     assert(p.contains("Broadcast"), p.take(500))

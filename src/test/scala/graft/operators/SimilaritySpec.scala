@@ -42,6 +42,42 @@ class SimilaritySpec extends SparkSpec {
     assert(s.values.forall(_.size == 1)) // same vec → same sketch, always
   }
 
+  test("precomputed sign-matrix sketch equals the original xxhash64 expression") {
+    // the pre-r2 in-plan expression, kept verbatim as the semantic pin: the
+    // Scala-loop sketch must produce byte-identical buckets
+    def legacySketch(vec: org.apache.spark.sql.Column, bits: Int) = {
+      val v = vec.cast("array<double>")
+      val planeBits = transform(
+        sequence(lit(0), lit(bits - 1)),
+        p => {
+          val dotp = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1),
+              (x, d) => x * when(xxhash64(p, d).bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
+            lit(0.0), (acc, x) => acc + x)
+          when(dotp > 0.0, lit(1)).otherwise(lit(0))
+        })
+      aggregate(
+        zip_with(planeBits, sequence(lit(0), lit(bits - 1)),
+          (bit, i) => bit * call_function("shiftleft", lit(1), i)),
+        lit(0), (acc, x) => acc + x)
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    for (bits <- Seq(4, 8, 12)) {
+      val mismatch = emb.select(
+        Similarity.hyperplaneSketch(col("embedding"), bits).as("new"),
+        legacySketch(col("embedding"), bits).as("old"))
+        .where(col("new") =!= col("old")).count()
+      assert(mismatch == 0, s"bits=$bits: $mismatch sketches differ from legacy")
+    }
+    // tiny fixture too (3-dim, incl. negative components)
+    val mism2 = vecs.select(
+      Similarity.hyperplaneSketch(col("vec"), 8).as("new"),
+      legacySketch(col("vec"), 8).as("old"))
+      .where(col("new") =!= col("old")).count()
+    assert(mism2 == 0)
+  }
+
   test("LSH top-1 matches brute top-1 on well-separated fixture") {
     val brute = Similarity.bruteTopK(
       vecs, col("vec_id"), col("vec"), vecs, col("vec_id"), col("vec"), k = 1)
