@@ -22,7 +22,10 @@ object DebugScale {
       f
       println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    val wp = spark.read.parquet("target/fixtures/bench_wp")
+    // fixture dir = ScaleBench's current layout (arg 2 overrides)
+    val fixture =
+      if (args.length > 1) args(1) else "target/fixtures/bench_wp_v2_8000000"
+    val wp = spark.read.parquet(fixture)
     // warmups
     Validator.validate(wp.limit(10000), Validator.Config(Validator.DefaultChecks)) match {
       case r => r.violations.count(); r.verdicts.count()

@@ -88,6 +88,17 @@ object Main {
         println(s"[sodspark] baseline written to $out")
         spark.stop()
 
+      // Incremental ingest (S3): each invocation = one poll tick — processes
+      // only parquet files under <inputPath> not recorded in the checkpoint.
+      case "ingest" =>
+        val Array(in, out) = positional.take(2)
+        val ckpt = opts.getOrElse("checkpoint", s"$out/_checkpoint")
+        val q = graft.streaming.StreamingValidate
+          .incrementalValidate(spark, in, out, ckpt)
+        q.awaitTermination()
+        println(s"[sodspark] incremental ingest tick complete")
+        spark.stop()
+
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
         sys.exit(64)
@@ -104,5 +115,6 @@ object Main {
       |  graft.Main validate <inputPath> <outDir> [--ledger <dir>] [--run <id>]
       |      [--partition-col <col>] [--baseline <dir>]
       |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
+      |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>]
       |""".stripMargin
 }

@@ -278,7 +278,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- dedup: exact n-gram Jaccard pairs (NOT SQL) ---------------------
+    // ---- dedup: exact n-gram Jaccard pairs (SQL-expressible; oracled) ----
     "d_ngram_pairs" -> ((s, dir) => {
       val docs = Derive.docsWithDups(s, dir)
       Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
@@ -337,7 +337,8 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // ---- dedup: embedding-cosine near-dups (NOT SQL; planted-twin test) ---
+    // ---- dedup: embedding-cosine near-dups (verify stage oracled against
+    // DuckDB's brute all-pairs cosine; round 4 as in e_ann_brute) ----------
     "e_dedup_cos" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -346,6 +347,7 @@ object SparkEntry {
           expr("transform(v, x -> x * 1.001 + 0.0001)").as("v"))
       Dedup.embeddingNearDups(emb.unionByName(planted), col("vec_id"), col("v"),
         threshold = 0.99, bits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -367,6 +369,41 @@ object SparkEntry {
         .agg(sum(TextFunctions.bpeTokenCount(col("text")).cast("long")).as("total_bpe"),
           round(avg(TextFunctions.bpeTokenCount(col("text"))), 4).as("avg_bpe"))
         .orderBy(col("source"))),
+
+    // ---- multimodal: REAL image decode round trip — deterministic PNGs
+    // encoded with ImageIO.write, dimensions read back header-only via the
+    // javax.imageio path in Multimodal.decode; oracle knows the dims formula.
+    "m_image_dims" -> ((s, dir) => {
+      val mkPng = udf((id: Long) => {
+        val w = (8 + id % 24).toInt
+        val h = (8 + id % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt); y += 1
+          }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 30)
+        .select(lit("imgs").as("partition"),
+          concat(lit("img:"), col("doc_id")).as("url"),
+          mkPng(col("doc_id")).as("payload"))
+      Multimodal.decodeMeta(docs, "partition", "url", "payload")
+        .select(
+          regexp_replace(col("url"), "^img:", "").cast("long").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("format"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- multimodal: binary payload metadata (decode stub; plumbing real)
     "m_media_bytes" -> ((s, dir) => {
@@ -523,6 +560,45 @@ object SparkEntry {
           | COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
           |FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin),
 
+      // Exact twin of Dedup.ngramJaccardPairs: same shingling (trim, split
+      // \s+, <3 words → one all-words shingle), shared-shingle candidates,
+      // distinct-set Jaccard ≥ 0.5. bucketCap is a no-op at this SF (largest
+      // shared-shingle bucket ≪ 1000), so the uncapped oracle is equivalent.
+      "d_ngram_pairs" ->
+        (Derive.DocsWithDupsSql.stripSuffix("\n") + """,
+          |t AS (SELECT doc_id, CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+          |                          ELSE string_split_regex(TRIM(text), '\s+') END AS ws FROM docs2),
+          |shg AS (SELECT doc_id,
+          |         CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+          |              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+          |              ELSE list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+          |       FROM t),
+          |tok AS (SELECT doc_id, UNNEST(list_distinct(sh)) AS s FROM shg),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |         FROM tok a JOIN tok b USING (s) WHERE a.doc_id < b.doc_id),
+          |j AS (SELECT id_a, id_b,
+          |        CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+          |          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+          |      FROM cand JOIN shg sa ON sa.doc_id = cand.id_a JOIN shg sb ON sb.doc_id = cand.id_b)
+          |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+          |FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+
+      // Brute all-pairs twin of the LSH-bucketed embeddingNearDups verify
+      // stage: the planted twins' cosine (≈1) is far above the 0.99 gate and
+      // random 64-d pairs are near 0, so bucketed-vs-brute membership is
+      // stable; values compared at 4 dp like e_ann_brute.
+      "e_dedup_cos" ->
+        """WITH emb2 AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001 + 0.0001)
+          |  FROM embeddings WHERE vec_id % 10 = 0)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+          |FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+          |ORDER BY id_a, id_b""".stripMargin,
+
       "d_langid" ->
         """SELECT lang,
           | CASE WHEN ' ' || LOWER(COALESCE(text,'')) || ' ' LIKE '% the %'
@@ -594,6 +670,13 @@ object SparkEntry {
           | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
           | ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 4) AS avg_bpe
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "m_image_dims" ->
+        """SELECT doc_id,
+          | CAST(8 + doc_id % 24 AS BIGINT) AS width,
+          | CAST(8 + doc_id % 16 AS BIGINT) AS height,
+          | 'png' AS format
+          |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
 
       "m_media_bytes" ->
         (wp + """SELECT part, COUNT(*) AS n_media,

@@ -19,10 +19,23 @@ import org.apache.spark.sql.functions._
 object Constraints {
 
   val ViolationCols: Seq[String] =
-    Seq("partition", "url", "check_name", "observed", "expected", "violation_id")
+    Seq("partition", "url", "check_name", "observed", "expected", "violation_id",
+      "extra")
+
+  /** Opaque JSON passthrough (reference `Extra interface{}`,
+    * metric_model.go:40, echoed into alerts alert/alert.go:56-61): when the
+    * input frame carries an `extra` string column it rides along into every
+    * row-scoped violation; aggregate-scoped violations (Unique) have no
+    * single source row and carry null.
+    */
+  private def extraCol(df: DataFrame): Column =
+    if (df.columns.contains("extra")) col("extra").cast("string")
+    else lit(null).cast("string")
 
   private def finish(df: DataFrame): DataFrame =
-    df.withColumn(
+    (if (df.columns.contains("extra")) df
+     else df.withColumn("extra", lit(null).cast("string")))
+      .withColumn(
         "violation_id",
         sha2(concat_ws("\u0000", col("url"), col("check_name")), 256))
       .select(ViolationCols.map(col): _*)
@@ -48,10 +61,14 @@ object Constraints {
     def observed: Column
     def expected: Column
 
-    def violations(df: DataFrame): DataFrame = finish(
-      prepare(df).where(condition)
-        .select(col("partition"), col("url"), lit(name).as("check_name"),
-          observed.as("observed"), expected.as("expected")))
+    def violations(df: DataFrame): DataFrame = {
+      val prepared = prepare(df)
+      finish(
+        prepared.where(condition)
+          .select(col("partition"), col("url"), lit(name).as("check_name"),
+            observed.as("observed"), expected.as("expected"),
+            extraCol(prepared).as("extra")))
+    }
   }
 
   /** Not-null constraint on one column (reference analog: required JSON
@@ -160,7 +177,8 @@ object Constraints {
           col("url"),
           lit(name).as("check_name"),
           col(childKeyCol).cast("string").as("observed"),
-          lit(s"exists in parent.$parentKeyCol").as("expected")))
+          lit(s"exists in parent.$parentKeyCol").as("expected"),
+          extraCol(df).as("extra")))
     }
   }
 
@@ -181,10 +199,10 @@ object Constraints {
     finish(
       prepared
         .select(
-          col("partition"), col("url"),
+          col("partition"), col("url"), extraCol(prepared).as("extra"),
           explode(filter(array(entries: _*), e => coalesce(e("bad"), lit(false))))
             .as("v"))
-        .select(col("partition"), col("url"),
+        .select(col("partition"), col("url"), col("extra"),
           col("v.check_name").as("check_name"),
           col("v.observed").as("observed"),
           col("v.expected").as("expected")))

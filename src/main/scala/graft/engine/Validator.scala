@@ -210,6 +210,24 @@ object Validator {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** ST5 append policy (reference manager.go:409-418, allowAppendOutlier):
+    * the reference optionally EXCLUDES outliers from the model it
+    * accumulates. Batch analog: build the baseline snapshot only from rows
+    * that pass the given row checks — violating rows never enter the model
+    * the next run scores against.
+    */
+  def saveBaseline(
+      wp: DataFrame,
+      path: String,
+      excludeViolating: Seq[Constraints.RowCheck]): Unit = {
+    if (excludeViolating.isEmpty) { saveBaseline(wp, path); return }
+    val prepared = excludeViolating.foldLeft(wp)((d, c) => c.prepare(d))
+    val bad = excludeViolating
+      .map(c => coalesce(c.condition, lit(false)))
+      .reduce(_ || _)
+    saveBaseline(prepared.where(!bad).select(wp.columns.map(col): _*), path)
+  }
+
   def loadBaseline(spark: SparkSession, path: String): Map[String, IndexedSeq[Array[Double]]] = {
     import spark.implicits._
     val rows = spark.read.parquet(path)

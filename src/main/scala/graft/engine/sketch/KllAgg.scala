@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions.udaf
   */
 object KllAgg {
 
+  // Determinism note: a KLL sketch is EXACT (and therefore bit-stable) while
+  // a group holds ≤ k values; beyond that, compaction picks a randomized
+  // offset, so sketch BYTES and the last ulps of quantiles can differ across
+  // runs while staying inside the ~1.65% rank-error bound. Violation/verdict
+  // outputs stay byte-identical (they never embed sketch bytes); column_stats
+  // sketch blobs are rank-accurate, not bit-stable. Tests compare
+  // sketch-derived quantiles with an error-bound tolerance.
   val K: Int = 200 // DataSketches default; ~1.65% rank error, mergeable
 
   /** Mutable sketch holder; Java-serializes as the sketch's compact byte

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition in batches.
   *
-  * The actual media decode is a STUB (this container has no image/audio
-  * libraries): [[fakeDecode]] derives deterministic pseudo-metadata from the
-  * bytes. Everything around it — schema, partition-wise batching, typed
-  * Dataset plumbing, downstream aggregation — is real and tested, so swapping
-  * in a real decoder (e.g. javacv or a Pandas-UDF stage in PySpark) is a
-  * one-function change.
+  * IMAGE decode is REAL where the JDK can do it: PNG/JPEG/GIF/BMP payloads
+  * are sniffed by magic bytes and their true dimensions read header-only via
+  * `javax.imageio` (ships in the JDK — no external media libs). Audio/video
+  * decode remains a documented STUB ([[fakeDecode]] derives deterministic
+  * pseudo-metadata from the bytes); everything around it — schema,
+  * partition-wise batching, typed Dataset plumbing, downstream aggregation —
+  * is real and tested, so swapping in a real A/V decoder (javacv, or a
+  * Pandas-UDF stage in PySpark) is a one-function change.
   */
 object Multimodal {
 
@@ -21,10 +23,40 @@ object Multimodal {
       url: String,
       n_bytes: Long,
       sha256: String,
-      width: Int, // STUB: derived deterministically from content bytes
-      height: Int, // STUB
-      mean_byte: Double
+      width: Int, // real for PNG/JPEG/GIF/BMP; content-hash fake otherwise
+      height: Int,
+      mean_byte: Double,
+      format: String // "png"/"jpeg"/… from the real decoder; "fake" otherwise
   )
+
+  /** Header-only image decode for formats the JDK understands. Returns
+    * (width, height, format) or None for non-image payloads. Magic-byte
+    * sniff first so arbitrary binaries skip ImageIO entirely.
+    */
+  def decodeImageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.length < 8) return None
+    def b(i: Int) = bytes(i) & 0xff
+    val looksImage =
+      (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // png
+        (b(0) == 0xff && b(1) == 0xd8) || // jpeg
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') || // gif
+        (b(0) == 'B' && b(1) == 'M') // bmp
+    if (!looksImage) return None
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          // getWidth/getHeight(0) parse only the header, never the pixels
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch { case _: java.io.IOException => None } finally in.close()
+  }
 
   /** STUB decoder — deterministic fake. A real implementation would parse the
     * container header; the fake derives plausible dimensions from a content
@@ -54,8 +86,19 @@ object Multimodal {
     val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
     val w = 160 + (((digest(0) & 0xff) << 8 | (digest(1) & 0xff)) % 1760)
     val h = 90 + (((digest(2) & 0xff) << 8 | (digest(3) & 0xff)) % 990)
-    MediaMeta(url, bytes.length.toLong, hex, w, h, mean)
+    MediaMeta(url, bytes.length.toLong, hex, w, h, mean, "fake")
   }
+
+  /** Real-first decode: true dims for JDK-decodable images, deterministic
+    * fake for everything else (audio/video payloads — no media libs here).
+    */
+  def decode(url: String, bytes: Array[Byte]): MediaMeta =
+    decodeImageDims(bytes) match {
+      case Some((w, h, fmt)) =>
+        val base = fakeDecode(url, bytes) // reuses hash/size/mean math
+        base.copy(width = w, height = h, format = fmt)
+      case None => fakeDecode(url, bytes)
+    }
 
   /** Per-partition batched decode of (key, url, payload) rows. `mapPartitions`
     * (the documented last resort, used deliberately: imperative per-record
@@ -70,7 +113,7 @@ object Multimodal {
     df.select(col(keyCol), col(urlCol), col(binCol))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it => it.map { case (k, u, b) =>
-        (k, fakeDecode(u, if (b == null) Array.emptyByteArray else b)) } }
+        (k, decode(u, if (b == null) Array.emptyByteArray else b)) } }
       .toDF("partition", "meta")
       .select(col("partition"), col("meta.*"))
   }
@@ -103,13 +146,14 @@ object Multimodal {
     val spark = meta.sparkSession
     import spark.implicits._
     meta.select(col("partition"), col("url"), col("n_bytes"), col("sha256"),
-        col("width"), col("height"), col("mean_byte"))
-      .as[(String, String, Long, String, Int, Int, Double)]
-      .map { case (p, u, n, sha, w, h, m) =>
-        val r = fakeResize(MediaMeta(u, n, sha, w, h, m), maxW, maxH)
-        (p, r.url, r.n_bytes, r.sha256, r.width, r.height, r.mean_byte)
+        col("width"), col("height"), col("mean_byte"), col("format"))
+      .as[(String, String, Long, String, Int, Int, Double, String)]
+      .map { case (p, u, n, sha, w, h, m, f) =>
+        val r = fakeResize(MediaMeta(u, n, sha, w, h, m, f), maxW, maxH)
+        (p, r.url, r.n_bytes, r.sha256, r.width, r.height, r.mean_byte, r.format)
       }
-      .toDF("partition", "url", "n_bytes", "sha256", "width", "height", "mean_byte")
+      .toDF("partition", "url", "n_bytes", "sha256", "width", "height",
+        "mean_byte", "format")
   }
 
   /** Aggregate media stats per partition key — the downstream consumer shape. */

@@ -75,6 +75,23 @@ class ConstraintsSpec extends SparkSpec {
     assert(v.count() == expected)
   }
 
+  test("extra JSON passthrough rides into row-scoped violations end-to-end") {
+    import spark.implicits._
+    val wp = frame(WebGen.Flags(nullText = true))
+      .withColumn("extra", concat(lit("""{"crawl":""""), col("url"), lit("\"}")))
+    val v = Constraints.runAll(wp,
+      Seq(Constraints.NotNull("text"), Constraints.Unique("url")))
+    assert(v.columns.contains("extra"))
+    val rowScoped = v.where(col("check_name") === "not_null_text")
+      .select("extra").as[String].collect()
+    assert(rowScoped.nonEmpty && rowScoped.forall(_.startsWith("""{"crawl":""")))
+    // aggregate-scoped (no single source row) and extra-less inputs → null
+    val without = Constraints.NotNull("text")
+      .violations(frame(WebGen.Flags(nullText = true)))
+    assert(without.columns.contains("extra"))
+    assert(without.select("extra").as[String].collect().forall(_ == null))
+  }
+
   test("array-dim constraint flags wrong-dimension vectors") {
     import spark.implicits._
     val df = Seq(

@@ -144,6 +144,27 @@ class ValidatorSpec extends SparkSpec {
     assert(first.toSet.subsetOf(statParts))
   }
 
+  test("ST5 append policy: violating rows are excluded from the baseline model") {
+    val wp = WebGen.generate(spark, 3000L, flags = WebGen.Flags(nullText = true))
+      .withColumnRenamed("p_day", "partition")
+    val withPolicy = Files.createTempDirectory("base_policy").toString
+    val manual = Files.createTempDirectory("base_manual").toString
+    Validator.saveBaseline(wp, withPolicy, Seq(Constraints.NotNull("text")))
+    Validator.saveBaseline(wp.where(col("text").isNotNull), manual)
+    val a = Validator.loadBaseline(spark, withPolicy)
+    val b = Validator.loadBaseline(spark, manual)
+    // lang profiles are exact fractions → must be identical
+    assert(a("lang").map(_.toSeq) == b("lang").map(_.toSeq),
+      "append-policy lang profile must equal a manually pre-filtered baseline")
+    // length profiles come from KLL sketches whose compaction is randomized
+    // above k entries → equal within the sketch's rank-error bound
+    a("text_length").zip(b("text_length")).foreach { case (qa, qb) =>
+      qa.zip(qb).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 0.15, s"quantile drifted: $x vs $y")
+      }
+    }
+  }
+
   test("warm-up: partitions under minRowsToScore get skipped drift verdicts") {
     val wp = WebGen.generate(spark, 3000L).withColumnRenamed("p_day", "partition")
     val res = Validator.validate(wp,

@@ -33,13 +33,44 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("fakeResize: aspect-preserving fit, never upscales") {
-    val m = Multimodal.MediaMeta("u", 100000, "ab" * 32, 1920, 1080, 12.0)
+    val m = Multimodal.MediaMeta("u", 100000, "ab" * 32, 1920, 1080, 12.0, "fake")
     val r = Multimodal.fakeResize(m, 640, 360)
     assert(r.width == 640 && r.height == 360)
     assert(r.n_bytes < m.n_bytes)
-    val small = Multimodal.MediaMeta("u", 1000, "cd" * 32, 320, 180, 1.0)
+    val small = Multimodal.MediaMeta("u", 1000, "cd" * 32, 320, 180, 1.0, "fake")
     val r2 = Multimodal.fakeResize(small, 640, 360)
     assert(r2.width == 320 && r2.height == 180) // no upscale
+  }
+
+  test("real image decode: PNG and JPEG dims read from actual headers") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val m1 = Multimodal.decode("u1", png(123, 45))
+    assert(m1.width == 123 && m1.height == 45 && m1.format == "png")
+    val m2 = Multimodal.decode("u2", jpeg(64, 32))
+    assert(m2.width == 64 && m2.height == 32 && m2.format.startsWith("jp"))
+    // non-image bytes fall back to the documented deterministic fake
+    val m3 = Multimodal.decode("u3", "<html>not an image</html>".getBytes("UTF-8"))
+    assert(m3.format == "fake")
+    // distributed path: dims survive the mapPartitions plumbing
+    val df = Seq(("p", "img1", png(20, 10)), ("p", "img2", png(7, 9)))
+      .toDF("partition", "url", "payload")
+    val meta = Multimodal.decodeMeta(df, "partition", "url", "payload")
+      .orderBy("url").select("width", "height", "format")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(meta == Seq((20, 10, "png"), (7, 9, "png")))
   }
 
   test("resizeAll pipeline keeps schema and row count") {
@@ -50,7 +81,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frameSampleIndices: deterministic stride sampling") {
-    val m = Multimodal.MediaMeta("u", 1000, "ff00" + "ab" * 30, 640, 360, 1.0)
+    val m = Multimodal.MediaMeta("u", 1000, "ff00" + "ab" * 30, 640, 360, 1.0, "fake")
     val frames = Multimodal.frameSampleIndices(m, stride = 10)
     assert(frames.nonEmpty)
     assert(frames.forall(_._2 % 10 == 0))

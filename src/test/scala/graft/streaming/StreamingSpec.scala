@@ -47,6 +47,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental ingest (S3): second tick processes ONLY new files") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("ingest_in").toString
+    val out = Files.createTempDirectory("ingest_out").toString
+    val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+    def pages(ids: Range, day: String) = ids.map { i =>
+      (s"https://x/$i", ts(s"$day 00:00:0${i % 10}"),
+        s"<p>$i</p>".getBytes("UTF-8"), s"doc $i", "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+
+    pages(0 until 20, "2025-07-01").write.mode("append").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$out/pages").count() == 20)
+
+    // day 2 of the crawl: only the 30 new rows go through the pass
+    pages(100 until 130, "2025-07-02").write.mode("append").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt).awaitTermination()
+    val all = spark.read.parquet(s"$out/pages")
+    assert(all.count() == 50, "batch 1 was reprocessed (expected 50 rows)")
+    assert(all.select("url").distinct().count() == 50)
+    assert(all.where(col("partition") === "2025-07-02").count() == 30)
+
+    // idle tick: nothing new → no change
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$out/pages").count() == 50)
+  }
+
   test("last-known-normal: batch mode, events ordered by time within key") {
     val events = Seq(
       PageEvent("k1", "v0", ts("2025-07-01 00:00:00"), violation = true), // before any normal

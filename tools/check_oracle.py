@@ -1,4 +1,4 @@
-import duckdb, json, glob, sys
+import duckdb, json, glob, os, sys
 import pyarrow.parquet as pq
 import pandas as pd
 import numpy as np
@@ -53,7 +53,9 @@ for name, sql in sorted(oracle.items()):
 for n, m in fails: print(f'FAIL {n}: {m}')
 print(f'\n{len(oracle)-len(fails)}/{len(oracle)} oracle queries match')
 # rows-only queries
-for name in ['d_minhash_pairs','d_ngram_pairs','d_simhash_pairs','e_ann_lsh','q_drift_lof','q_peaks']:
+# every query in the out dir without an oracleSql entry is rows-only
+for name in sorted(d for d in os.listdir(out)
+                   if os.path.isdir(os.path.join(out, d)) and d not in oracle):
     files = glob.glob(f'{out}/{name}/*.parquet')
     if files:
         n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
