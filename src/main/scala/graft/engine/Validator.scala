@@ -263,34 +263,31 @@ object Validator {
     val scoped = wp.where(col("partition").isin(todo: _*))
     val res = validate(scoped, config, baselineProfiles)
 
-    // Resume-safe commit: every output is partitioned by `partition` and
-    // written with DYNAMIC partition overwrite, so a resumed run replaces
-    // ONLY the partitions it actually processed — prior `done` partitions'
-    // files survive byte-identical. Spark's default STATIC mode truncates the
-    // whole directory, which would silently delete done partitions' outputs
-    // while the ledger still says done (the write-side half of the
-    // reference's Status/bulkLoad contract, manager.go:312-354). Rows scoped
+    // Resume-safe, partition-ATOMIC commit (TableIO — the Parquet stand-in
+    // for an Iceberg snapshot commit): a resumed run stages its output and
+    // atomically swaps in ONLY the partitions it actually processed — prior
+    // `done` partitions' files survive byte-identical, and a concurrent
+    // reader never observes a half-written partition. (A plain whole-dir
+    // overwrite would silently delete done partitions' outputs while the
+    // ledger still says done — the write-side half of the reference's
+    // Status/bulkLoad contract, manager.go:312-354.) Rows scoped
     // partition="<global>" (cross-partition uniqueness) are per-run by
     // design: recomputed over the pending subset, they replace only the
     // previous run's global rows. Replay of a `pending` partition is
     // idempotent because all row content is deterministic (no uuid/now()).
-    def writePartitioned(df: DataFrame, path: String): Unit =
-      df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("partition").parquet(path)
 
     // W1 (ingest sort, collect/handler.go:75-77): order rows within each
     // write task — deterministic file contents + better parquet RLE/dict
     // compression on url/check_name at scale
-    writePartitioned(
+    TableIO.writePartitionsAtomic(
       res.violations
         .sortWithinPartitions(col("partition"), col("check_name"), col("url")),
       s"$outDir/violations")
-    writePartitioned(res.verdicts, s"$outDir/verdicts")
+    TableIO.writePartitionsAtomic(res.verdicts, s"$outDir/verdicts")
     // per-partition stats incl. mergeable HLL/KLL sketch rows — the ledger's
     // metrics side (SURVEY §1.4 column_stats): a resumed or later run can
     // merge these to table-level stats without touching the data
-    writePartitioned(res.stats, s"$outDir/column_stats")
+    TableIO.writePartitionsAtomic(res.stats, s"$outDir/column_stats")
 
     val counts = res.violations
       .groupBy(col("partition")).agg(count(lit(1)).as("n"))

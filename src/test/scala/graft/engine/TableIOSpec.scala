@@ -1,0 +1,79 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Partition-atomic commit semantics (SURVEY §7.1 TableIO / §7.5 risk 4). */
+class TableIOSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def table() = Files.createTempDirectory("tableio").toString
+
+  private def frame(rows: Seq[(String, String, Long)]) =
+    rows.toDF("partition", "k", "v")
+
+  test("swap replaces exactly the written partitions, leaves others untouched") {
+    val t = table()
+    TableIO.writePartitionsAtomic(
+      frame(Seq(("a", "x", 1L), ("b", "y", 2L))), t)
+    val bFile = Files.list(Paths.get(t, "partition=b")).iterator().next()
+    val bBytes = Files.readAllBytes(bFile)
+
+    // rewrite only partition a with new content
+    val committed = TableIO.writePartitionsAtomic(
+      frame(Seq(("a", "x2", 10L))), t)
+    assert(committed == Seq("a"))
+    val out = spark.read.parquet(t).orderBy("partition")
+      .select("partition", "k", "v").as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "x2", 10L), ("b", "y", 2L)))
+    // partition b byte-identical (same file, same bytes)
+    assert(Files.readAllBytes(bFile).sameElements(bBytes))
+    // no staging/trash residue visible or hidden
+    val leftover = Files.list(Paths.get(t)).iterator()
+    val names = Iterator.continually(leftover).takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
+    assert(!names.exists(n => n.startsWith(".staging") || n.startsWith(".trash")), names.toString)
+  }
+
+  test("partition values needing escaping round-trip (e.g. <global>)") {
+    val t = table()
+    val committed = TableIO.writePartitionsAtomic(
+      frame(Seq(("<global>", "g", 1L), ("2025-07-01", "d", 2L))), t)
+    assert(committed == Seq("2025-07-01", "<global>"))
+    val parts = spark.read.parquet(t).select("partition").distinct()
+      .as[String].collect().toSet
+    assert(parts == Set("<global>", "2025-07-01"))
+  }
+
+  test("crash between the two swap renames is recovered from trash") {
+    val t = table()
+    TableIO.writePartitionsAtomic(frame(Seq(("a", "old", 1L))), t)
+    // simulate: dest moved to trash, then crash (staged data lost with the job)
+    val dir = Paths.get(t)
+    Files.move(dir.resolve("partition=a"),
+      dir.resolve(".trash-.staging-dead-partition=a"))
+    assert(!Files.exists(dir.resolve("partition=a")))
+    val restored = TableIO.recoverTrash(spark, t)
+    assert(restored == Seq("partition=a"))
+    val out = spark.read.parquet(t).select("k").as[String].collect().toSeq
+    assert(out == Seq("old"))
+  }
+
+  test("completed swap's stale trash is discarded, not restored") {
+    val t = table()
+    TableIO.writePartitionsAtomic(frame(Seq(("a", "new", 2L))), t)
+    // simulate: crash AFTER the new data landed but before trash delete
+    val dir = Paths.get(t)
+    Files.createDirectories(dir.resolve(".trash-.staging-dead-partition=a"))
+    Files.write(dir.resolve(".trash-.staging-dead-partition=a/part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val restored = TableIO.recoverTrash(spark, t)
+    assert(restored.isEmpty)
+    assert(!Files.exists(dir.resolve(".trash-.staging-dead-partition=a")))
+    val out = spark.read.parquet(t).select("k").as[String].collect().toSeq
+    assert(out == Seq("new")) // live data untouched
+  }
+}
