@@ -35,25 +35,35 @@ object SaltedJoin {
     *      subset both produce the violation keys and eliminate hash
     *      collisions.
     */
+  /** `guardBroadcast`: the duplicate-hash set is broadcast back over the
+    * key scan — correct and cheapest under the validation contract
+    * (duplicates are RARE). On an untrusted input that may be mostly
+    * duplicates, set it true: stage 1 is then materialized once
+    * (localCheckpoint, blocks auto-released on GC) and counted, and above
+    * `maxBroadcastDupKeys` (8-byte keys → cap ≈ 32 MB) the plan degrades to
+    * a shuffle join instead of OOMing the driver. The guard costs one extra
+    * (tiny) job, so it is opt-in rather than taxing every contract-abiding
+    * run.
+    */
   def saltedDupGroups(df: DataFrame, key: Column, saltSource: Column, s: Int = 16,
+      guardBroadcast: Boolean = false,
       maxBroadcastDupKeys: Long = 4000000L): DataFrame = {
     val keyed = df.select(key.as("k"), saltSource.as("ss"))
     val stage1 = keyed
       .groupBy(xxhash64(col("k")).as("h"), rowSalt(col("ss"), s).as("salt"))
       .agg(count(lit(1)).as("partial_cnt"))
-    // Materialized once (localCheckpoint — blocks auto-released on GC) so the
-    // size GUARD below doesn't recompute stage 1. Duplicates are rare by the
-    // validation contract, but a pathological mostly-duplicates input would
-    // make an unconditional broadcast OOM the driver — above the cap the
-    // plan degrades to a shuffle join instead (8-byte keys: the cap ≈ 32 MB).
-    val dupHashes = stage1
+    val dupHashesPlan = stage1
       .groupBy(col("h"))
       .agg(sum("partial_cnt").as("hcnt"))
       .where(col("hcnt") > 1)
       .select(col("h"))
-      .localCheckpoint(true)
-    val nDup = dupHashes.count()
-    val dupSide = if (nDup <= maxBroadcastDupKeys) broadcast(dupHashes) else dupHashes
+    val dupSide =
+      if (!guardBroadcast) broadcast(dupHashesPlan)
+      else {
+        val dupHashes = dupHashesPlan.localCheckpoint(true)
+        if (dupHashes.count() <= maxBroadcastDupKeys) broadcast(dupHashes)
+        else dupHashes
+      }
     keyed
       .select(col("k"), xxhash64(col("k")).as("h"))
       .join(dupSide, Seq("h"))

@@ -34,6 +34,22 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted.nonEmpty) // fixture really has orphans (ck 21..36)
   }
 
+  test("guarded broadcast: identical results, degrades past the cap") {
+    val rows = (1 to 60).flatMap(k => Seq.fill(1000 / k)((s"key$k", k.toLong)))
+    val df = rows.toDF("key", "salt_src")
+    val plain = SaltedJoin.saltedDupGroups(df, col("key"), col("salt_src"), s = 8)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val guarded = SaltedJoin.saltedDupGroups(df, col("key"), col("salt_src"), s = 8,
+      guardBroadcast = true)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(guarded == plain)
+    // cap of 1 forces the degraded shuffle-join path — results unchanged
+    val degraded = SaltedJoin.saltedDupGroups(df, col("key"), col("salt_src"), s = 8,
+      guardBroadcast = true, maxBroadcastDupKeys = 1L)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(degraded == plain)
+  }
+
   test("property: salted ≡ unsalted dup detection under seeded random duplication") {
     val rng = new scala.util.Random(42)
     (1 to 10).foreach { _ =>
