@@ -47,6 +47,42 @@ object ScaleBench {
 
   private def warmDir = s"$FixtureDir.warm"
 
+  /** Realistic-vocabulary text fixture for the dedup scale mode. The WebGen
+    * page fixture draws from a 20-word bank — 8,000 possible 3-gram shingles
+    * across 8M docs turns EVERY LSH band bucket hot, a worst case real web
+    * text (vocab ≥ 10^5) does not exhibit. Here: 40 pseudo-words per doc from
+    * a 100k base-36 vocabulary, fully deterministic; every 10th doc is a
+    * near-dup of its predecessor with one word changed (3-gram Jaccard ≈ 0.85,
+    * above the 0.8 verify threshold), so the pass finds real pairs.
+    */
+  private def dedupFixtureDir = s"target/fixtures/bench_text_v1_$Rows"
+
+  private def ensureDedupFixture(): Unit = {
+    val needMain = !Files.exists(Paths.get(dedupFixtureDir))
+    val needWarm = !Files.exists(Paths.get(dedupFixtureDir + ".warm"))
+    if (!needMain && !needWarm) return
+    val s = session(32)
+    def corpus(n: Long, slices: Int) = {
+      val id = col("id")
+      val seed = when(id % 10 === 0 && id > 0, id - 1).otherwise(id)
+      val words = transform(
+        sequence(lit(0), lit(39)),
+        j => conv(pmod(xxhash64(seed, j), lit(100000)).cast("string"), 10, 36))
+      // the near-dup's last word differs (derived from the row's own id)
+      val text = concat_ws(" ",
+        concat(
+          slice(words, 1, 39),
+          array(conv(pmod(xxhash64(id, lit(40)), lit(100000)).cast("string"), 10, 36))))
+      s.range(0L, n, 1L, slices)
+        .select(concat(lit("doc:"), id.cast("string")).as("url"), text.as("text"))
+    }
+    if (needMain)
+      corpus(Rows, 64).write.mode("overwrite").parquet(dedupFixtureDir)
+    if (needWarm)
+      corpus(50000, 8).write.mode("overwrite").parquet(dedupFixtureDir + ".warm")
+    s.stop()
+  }
+
   private def ensureFixture(): Unit = {
     val needMain = !Files.exists(Paths.get(FixtureDir))
     val needWarm = !Files.exists(Paths.get(warmDir))
@@ -79,7 +115,18 @@ object ScaleBench {
 
   /** One full validation pass over the given input; counts outputs. */
   private def pass(s: SparkSession, dir: String): Unit = {
-    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("scan")) {
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")) {
+      // MinHash+LSH near-dup pass over realistic-vocabulary text: signature
+      // UDF (64 hashes), banded candidate shuffle (ids only), capped buckets,
+      // exact-Jaccard verify — the LLM-pipeline dedup path at row scale.
+      // (`dir` here is the dedup text fixture, swapped in by run().)
+      val docs = s.read.parquet(dir)
+      import org.apache.spark.sql.functions.col
+      graft.operators.Dedup
+        .minhashLshPairs(docs, col("url"), col("text"), threshold = 0.8)
+        .count()
+      ()
+    } else if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("scan")) {
       // perfectly-parallel control: single stage, no shuffle, no driver work
       // (regex-extract + compare over every row) — measures the machine's
       // scaling ceiling for the engine's string-heavy workload class
@@ -99,17 +146,22 @@ object ScaleBench {
 
   /** Timed pass over the fixture; returns wall seconds. */
   private def run(cores: Int): Double = {
+    val dedup = sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")
+    val (warm, main) =
+      if (dedup) (dedupFixtureDir + ".warm", dedupFixtureDir)
+      else (warmDir, FixtureDir)
     val s = session(cores)
     try {
-      pass(s, warmDir) // identical plan shape → codegen + JIT warm (untimed)
+      pass(s, warm) // identical plan shape → codegen + JIT warm (untimed)
       val t0 = System.nanoTime()
-      pass(s, FixtureDir)
+      pass(s, main)
       (System.nanoTime() - t0) / 1e9
     } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
-    ensureFixture()
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")) ensureDedupFixture()
+    else ensureFixture()
     // Single-measurement mode: `runMain graft.ScaleBench <cores> [reps]`
     // prints one JSON line. Meant to run under an OS-level core budget
     // (`taskset -c 0..N-1`) so the "cluster size" includes the JVM's GC/JIT

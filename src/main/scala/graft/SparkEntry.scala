@@ -151,6 +151,20 @@ object SparkEntry {
           round(expr("percentile(length(text), 0.75)"), 4).as("q75"))
         .orderBy(col("part"))),
 
+    // ---- A11 (beyond reference): rollup aggregation ---------------------
+    // Multi-level (part, lang) → (part) → () totals in one pass; grouped-out
+    // levels surfaced as a '<all>' sentinel so row ordering is engine-
+    // agnostic (NULL sort order differs between Spark and DuckDB).
+    "q_rollup_stats" -> ((s, dir) =>
+      wp(s, dir).rollup(col("part"), col("lang"))
+        .agg(count(lit(1)).as("row_cnt"),
+          sum(coalesce(lenText, lit(0)).cast("long")).as("sum_len"))
+        .select(
+          coalesce(col("part"), lit("<all>")).as("part"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("row_cnt"), col("sum_len"))
+        .orderBy(col("part"), col("lang"))),
+
     // ---- W4: global top-k (TakeOrderedAndProject) -----------------------
     "q_topk" -> ((s, dir) =>
       wp(s, dir).where(col("text").isNotNull)
@@ -225,6 +239,34 @@ object SparkEntry {
           (col("p_en") - avg(col("p_en")).over(w)) / stddev_samp(col("p_en")).over(w), 4))
         .select(col("part"), round(col("p_en"), 6).as("p_en"), col("z"),
           (abs(col("z")) > 3.0).as("drifted"))
+        .orderBy(col("part"))
+    }),
+
+    // ---- KS drift of each partition's lang CDF vs the global CDF --------
+    // All CDF values are exact-integer ratios (bigint cumsum / bigint total)
+    // so both engines compute identical doubles — no sum-order pinning needed.
+    "q_drift_ks" -> ((s, dir) => {
+      val base = wp(s, dir)
+      val perPart = base.groupBy(col("part"), col("lang")).agg(count(lit(1)).as("cnt"))
+      val grid = base.select(col("part")).distinct()
+        .crossJoin(base.select(col("lang")).distinct())
+      val filled = grid.join(perPart, Seq("part", "lang"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val wCum = Window.partitionBy(col("part")).orderBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("part"))
+      val cdfP = filled.withColumn(
+        "cdf_p", sum(col("cnt")).over(wCum) / sum(col("cnt")).over(wTot))
+      val wgCum = Window.orderBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdfG = base.groupBy(col("lang")).agg(count(lit(1)).as("gcnt"))
+        .withColumn("cdf_g",
+          sum(col("gcnt")).over(wgCum) / sum(col("gcnt")).over(Window.partitionBy()))
+        .select(col("lang"), col("cdf_g"))
+      cdfP.join(cdfG, Seq("lang"))
+        .groupBy(col("part"))
+        .agg(round(max(abs(col("cdf_p") - col("cdf_g"))), 6).as("ks"))
+        .withColumn("drifted", col("ks") > 0.05)
         .orderBy(col("part"))
     }),
 
@@ -496,6 +538,14 @@ object SparkEntry {
           |FROM wp WHERE text IS NOT NULL
           |GROUP BY part ORDER BY part""".stripMargin),
 
+      "q_rollup_stats" ->
+        (wp + """SELECT COALESCE(part, '<all>') AS part,
+          | COALESCE(lang, '<all>') AS lang,
+          | COUNT(*) AS row_cnt,
+          | CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) AS sum_len
+          |FROM wp GROUP BY ROLLUP(part, lang)
+          |ORDER BY part, lang""".stripMargin),
+
       "q_topk" ->
         (wp + """SELECT url, LENGTH(text) AS text_len FROM wp
           |WHERE text IS NOT NULL
@@ -554,6 +604,22 @@ object SparkEntry {
           |  ROUND((p_en - AVG(p_en) OVER ()) / STDDEV_SAMP(p_en) OVER (), 4) AS z,
           |  ABS(ROUND((p_en - AVG(p_en) OVER ()) / STDDEV_SAMP(p_en) OVER (), 4)) > 3.0 AS drifted
           |FROM pp ORDER BY part""".stripMargin),
+
+      "q_drift_ks" ->
+        (wp + """, grid AS (SELECT p.part, l.lang FROM (SELECT DISTINCT part FROM wp) p
+          |  CROSS JOIN (SELECT DISTINCT lang FROM wp) l),
+          |h AS (SELECT part, lang, COUNT(*) AS cnt FROM wp GROUP BY part, lang),
+          |f AS (SELECT g.part, g.lang, COALESCE(h.cnt, 0) AS cnt
+          |      FROM grid g LEFT JOIN h ON h.part = g.part AND h.lang = g.lang),
+          |cp AS (SELECT part, lang,
+          |         CAST(SUM(cnt) OVER (PARTITION BY part ORDER BY lang) AS DOUBLE)
+          |           / SUM(cnt) OVER (PARTITION BY part) AS cdf_p FROM f),
+          |gl AS (SELECT lang, COUNT(*) AS gcnt FROM wp GROUP BY lang),
+          |cg AS (SELECT lang, CAST(SUM(gcnt) OVER (ORDER BY lang) AS DOUBLE)
+          |         / SUM(gcnt) OVER () AS cdf_g FROM gl)
+          |SELECT cp.part, ROUND(MAX(ABS(cp.cdf_p - cg.cdf_g)), 6) AS ks,
+          |       ROUND(MAX(ABS(cp.cdf_p - cg.cdf_g)), 6) > 0.05 AS drifted
+          |FROM cp JOIN cg USING (lang) GROUP BY cp.part ORDER BY cp.part""".stripMargin),
 
       "d_dedup_exact" ->
         (Derive.DocsWithDupsSql + """SELECT sha256(COALESCE(text, chr(0) || 'NULL')) AS fp,

@@ -73,17 +73,47 @@ object Dedup {
     else Array.tabulate(ws.length - n + 1)(j => ws.slice(j, j + n).mkString(" "))
   }
 
+  /** FNV-1a hashes of the word n-gram shingles WITHOUT materializing the
+    * shingle strings: the hash of `w0 + ' ' + w1 + …` is streamed over the
+    * words' chars, so `fnv1a64(shinglesOf(t, n)(j)) == shingleHashes(t, n)(j)`
+    * exactly (property-tested). At 8M docs the string-building version
+    * allocated ~76 shingle strings per doc across the signature and verify
+    * paths — pure garbage; this is the allocation-free twin.
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val trimmed = text.trim
+    if (trimmed.isEmpty) return Array.empty
+    val ws = trimmed.split("\\s+")
+    def hashRange(start: Int, len: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var k = start
+      val end = start + len
+      while (k < end) {
+        if (k > start) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val w = ws(k)
+        var c = 0
+        while (c < w.length) { h ^= w.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+        k += 1
+      }
+      h
+    }
+    if (ws.length < n) Array(hashRange(0, ws.length))
+    else Array.tabulate(ws.length - n + 1)(j => hashRange(j, n))
+  }
+
   /** MinHash signature as a tight Scala loop. Higher-order-function column
     * expressions are NOT whole-stage-codegen'd in Spark (they interpret the
     * lambda per element), which made a 64×~150-shingle nested transform ~40ms
-    * per row; this loop is sub-microsecond per shingle.
+    * per row; this loop is sub-microsecond per shingle. Shingle base hashes
+    * are streamed (no shingle-string allocation).
     */
   def minhashSigScala(text: String, shingleN: Int, numHashes: Int): Array[Long] = {
-    val sh = shinglesOf(text, shingleN)
+    val hs = shingleHashes(text, shingleN)
     val out = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
-    while (i < sh.length) {
-      val base = fnv1a64(sh(i))
+    while (i < hs.length) {
+      val base = hs(i)
       var h = 0
       while (h < numHashes) {
         val v = CoefA(h) * base + CoefB(h)
@@ -123,7 +153,10 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val shUdf = udf((t: String) => shinglesOf(t, shingleN))
+    // Verify payload = 64-bit shingle hashes, not shingle strings: exact
+    // Jaccard over distinct hash sets equals Jaccard over distinct shingle
+    // sets up to a ~2^-64 collision (and the payload is ~3× smaller).
+    val shUdf = udf((t: String) => shingleHashes(t, shingleN))
     val sig = df.select(
       id.as("id"),
       shUdf(text).as("sh"),
@@ -146,24 +179,43 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
 
-    val wCap = Window.partitionBy(col("band"), col("band_sig")).orderBy(col("id"))
-    val capped = banded
-      .withColumn("__rn", row_number().over(wCap))
-      .where(col("__rn") <= bucketCap)
-      .drop("__rn")
-
-    val a = capped.select(col("band"), col("band_sig"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("band_sig"), col("id").as("id_b"))
-    val idPairs = a.join(b, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val idPairs = cappedBucketPairs(banded, Seq("band", "band_sig"), bucketCap)
     val pairs = idPairs
       .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
 
     val out = verifyJaccard(pairs, threshold)
     out
+  }
+
+  /** Capped within-bucket candidate pairs WITHOUT a bucket self-join.
+    *
+    * Shape: row_number window keeps the first `cap` ids per bucket (sort
+    * shuffle on the bucket key — spill-safe for degenerate buckets), then a
+    * groupBy on the SAME key collects the ≤cap survivors (memory-bounded
+    * list) and emits each bucket's (a < b) pairs via a double explode.
+    * Because the groupBy's key equals the window's partitioning, Catalyst
+    * reuses the exchange — candidate generation costs ONE shuffle of the
+    * banded rows total, where the join formulation paid a second full
+    * shuffle + sort-merge of the capped rows. Candidate SET is identical
+    * (verified by the unchanged pair outputs).
+    */
+  private def cappedBucketPairs(
+      banded: DataFrame, bucketCols: Seq[String], cap: Int): DataFrame = {
+    val wCap = Window.partitionBy(bucketCols.map(col): _*).orderBy(col("id"))
+    val capped = banded
+      .withColumn("__rn", row_number().over(wCap))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+    capped
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col("id")).as("ids")) // ≤ cap ids: bounded memory
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact Jaccard over shingle arrays for candidate pairs. */
@@ -189,22 +241,15 @@ object Dedup {
       threshold: Double = 0.5,
       bucketCap: Int = 1000
   ): DataFrame = {
-    val shUdf = udf((t: String) => shinglesOf(t, shingleN))
+    // hashed shingles as in minhashLshPairs (exact modulo 2^-64 collisions)
+    val shUdf = udf((t: String) => shingleHashes(t, shingleN))
     // localCheckpoint for the same no-leak reason as minhashLshPairs
     val sh = df.select(id.as("id"), shUdf(text).as("sh")).localCheckpoint(true)
-    // candidate generation on (token-hash, id) only — payload arrays rejoined
-    // after dedup, as in minhashLshPairs
+    // candidate generation on (shingle-hash, id) only — payload arrays
+    // rejoined after dedup, as in minhashLshPairs
     val tokens = sh.select(col("id"),
-      explode(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("tok"))
-    val wCap = Window.partitionBy(col("tok")).orderBy(col("id"))
-    val capped = tokens.withColumn("__rn", row_number().over(wCap))
-      .where(col("__rn") <= bucketCap).drop("__rn")
-    val a = capped.select(col("tok"), col("id").as("id_a"))
-    val b = capped.select(col("tok"), col("id").as("id_b"))
-    val idPairs = a.join(b, Seq("tok"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      explode(array_distinct(col("sh"))).as("tok"))
+    val idPairs = cappedBucketPairs(tokens, Seq("tok"), bucketCap)
     val pairs = idPairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -288,17 +333,23 @@ object Dedup {
         c => shr(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-    val wCap = Window.partitionBy(col("chunk"), col("chunk_val")).orderBy(col("id"))
+    // same one-shuffle capped-bucket shape as cappedBucketPairs, but the
+    // signature rides along in a struct so the Hamming verify needs no
+    // join-back (struct ordering is by first field = id, so the id-order cap
+    // semantics are unchanged)
+    val wCap = Window.partitionBy(col("chunk"), col("chunk_val"))
+      .orderBy(col("id"))
     val capped = chunked.withColumn("__rn", row_number().over(wCap))
       .where(col("__rn") <= bucketCap).drop("__rn")
-    val a = capped.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    capped
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }

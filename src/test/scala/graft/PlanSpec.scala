@@ -51,6 +51,18 @@ class PlanSpec extends SparkSpec {
       "parent side of the referential anti join is salt-exploded again")
   }
 
+  test("uniqueness: dup-hash prefilter joins back via broadcast, not a string shuffle") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"https://d${i % 7}.x/p/${i % 200}", i.toLong))
+      .toDF("url", "src").withColumn("partition", lit("p"))
+    val p = SaltedJoin.saltedDupGroups(df, col("url"), col("src"))
+      .queryExecution.executedPlan.toString
+    // the key-carrying side must meet the (tiny) dup-hash set in a broadcast
+    // hash join — an SMJ here would shuffle the url strings (the ~1.6 GB/16M
+    // rows BENCH_SCALING §4 eliminated)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("e_ann_brute broadcasts the query side") {
     val p = plan("e_ann_brute")
     assert(p.contains("Broadcast"), p.take(500))

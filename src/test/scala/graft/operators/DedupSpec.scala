@@ -24,6 +24,18 @@ class DedupSpec extends SparkSpec {
     assert(g.head.getSeq[Long](g.head.fieldIndex("ids")).toList == List(1L, 2L))
   }
 
+  test("shingleHashes streams exactly fnv1a64 of the shingle strings") {
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "x", "longerword", "1", "ü")
+    val texts = Seq("", " ", "one", "one two", "a  b   c", null) ++
+      (1 to 30).map(_ => Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString("  "))
+    for (t <- texts; n <- Seq(2, 3, 5)) {
+      val viaStrings = Dedup.shinglesOf(t, n).map(Dedup.fnv1a64).toSeq
+      val streamed = Dedup.shingleHashes(t, n).toSeq
+      assert(streamed == viaStrings, s"mismatch for text='$t' n=$n")
+    }
+  }
+
   test("minhash LSH finds near-dup pairs with verified jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
       shingleN = 3, threshold = 0.5)
