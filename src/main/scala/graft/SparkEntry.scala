@@ -246,7 +246,11 @@ object SparkEntry {
     // All CDF values are exact-integer ratios (bigint cumsum / bigint total)
     // so both engines compute identical doubles — no sum-order pinning needed.
     "q_drift_ks" -> ((s, dir) => {
+      // NULL lang folded to a sentinel BEFORE the cumulative windows: Spark
+      // sorts NULLS FIRST, DuckDB NULLS LAST, which would shift every CDF
+      // value when a null category exists.
       val base = wp(s, dir)
+        .withColumn("lang", coalesce(col("lang"), lit("<null>")))
       val perPart = base.groupBy(col("part"), col("lang")).agg(count(lit(1)).as("cnt"))
       val grid = base.select(col("part")).distinct()
         .crossJoin(base.select(col("lang")).distinct())
@@ -606,15 +610,16 @@ object SparkEntry {
           |FROM pp ORDER BY part""".stripMargin),
 
       "q_drift_ks" ->
-        (wp + """, grid AS (SELECT p.part, l.lang FROM (SELECT DISTINCT part FROM wp) p
-          |  CROSS JOIN (SELECT DISTINCT lang FROM wp) l),
-          |h AS (SELECT part, lang, COUNT(*) AS cnt FROM wp GROUP BY part, lang),
+        (wp + """, wpk AS (SELECT part, COALESCE(lang, '<null>') AS lang FROM wp),
+          |grid AS (SELECT p.part, l.lang FROM (SELECT DISTINCT part FROM wpk) p
+          |  CROSS JOIN (SELECT DISTINCT lang FROM wpk) l),
+          |h AS (SELECT part, lang, COUNT(*) AS cnt FROM wpk GROUP BY part, lang),
           |f AS (SELECT g.part, g.lang, COALESCE(h.cnt, 0) AS cnt
           |      FROM grid g LEFT JOIN h ON h.part = g.part AND h.lang = g.lang),
           |cp AS (SELECT part, lang,
           |         CAST(SUM(cnt) OVER (PARTITION BY part ORDER BY lang) AS DOUBLE)
           |           / SUM(cnt) OVER (PARTITION BY part) AS cdf_p FROM f),
-          |gl AS (SELECT lang, COUNT(*) AS gcnt FROM wp GROUP BY lang),
+          |gl AS (SELECT lang, COUNT(*) AS gcnt FROM wpk GROUP BY lang),
           |cg AS (SELECT lang, CAST(SUM(gcnt) OVER (ORDER BY lang) AS DOUBLE)
           |         / SUM(gcnt) OVER () AS cdf_g FROM gl)
           |SELECT cp.part, ROUND(MAX(ABS(cp.cdf_p - cg.cdf_g)), 6) AS ks,
@@ -631,9 +636,15 @@ object SparkEntry {
       // distinct-set Jaccard ≥ 0.5. bucketCap is a no-op at this SF (largest
       // shared-shingle bucket ≪ 1000), so the uncapped oracle is equivalent.
       "d_ngram_pairs" ->
+        // whitespace semantics mirror the Scala side exactly: String.trim
+        // strips chars <= 0x20 (not just spaces, as SQL TRIM would), and
+        // java's \s is [ \t\n\x0b\f\r] (RE2's \s lacks \x0b)
         (Derive.DocsWithDupsSql.stripSuffix("\n") + """,
-          |t AS (SELECT doc_id, CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
-          |                          ELSE string_split_regex(TRIM(text), '\s+') END AS ws FROM docs2),
+          |t0 AS (SELECT doc_id,
+          |         regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS tt
+          |       FROM docs2),
+          |t AS (SELECT doc_id, CASE WHEN tt IS NULL OR LENGTH(tt) = 0 THEN CAST([] AS VARCHAR[])
+          |                          ELSE string_split_regex(tt, '[ \t\n\x0b\f\r]+') END AS ws FROM t0),
           |shg AS (SELECT doc_id,
           |         CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
           |              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

@@ -212,13 +212,25 @@ object Constraints {
     * unionByName is the engine's only set op). Row-level checks are fused
     * into a single scan (see [[runRowChecks]]); shuffle-bearing checks
     * (Unique, Referential) contribute their own branches.
+    *
+    * `globalDf`: the frame GLOBAL-scoped checks (those whose violations are
+    * a property of the whole table, i.e. [[Unique]]'s cross-partition
+    * "<global>" rows) evaluate against. Defaults to `df`. A ledger-resumed
+    * run must pass the FULL table here while scoping partition-local checks
+    * to the pending subset — otherwise the resumed subset's global rows
+    * silently replace (or go stale against) the table-wide answer.
     */
-  def runAll(df: DataFrame, checks: Seq[Check]): DataFrame = {
+  def runAll(df: DataFrame, checks: Seq[Check],
+      globalDf: Option[DataFrame] = None): DataFrame = {
     val (rowChecks, rest) = checks.partition(_.isInstanceOf[RowCheck])
     val branches =
       (if (rowChecks.nonEmpty)
          Seq(runRowChecks(df, rowChecks.map(_.asInstanceOf[RowCheck])))
-       else Seq.empty) ++ rest.map(_.violations(df))
+       else Seq.empty) ++
+        rest.map {
+          case g: Unique => g.violations(globalDf.getOrElse(df))
+          case c => c.violations(df)
+        }
     branches.reduce(_.unionByName(_))
   }
 }

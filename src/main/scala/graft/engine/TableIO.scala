@@ -43,7 +43,14 @@ object TableIO {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tablePath)
-    recoverTrash(spark, table)
+    recoverTrash(spark, table, partitionCol)
+    // a crash during a previous run's staging write leaves its (invisible)
+    // .staging dir behind — reclaim the disk before staging anew. Single
+    // writer per table is this scheme's standing assumption (as with the
+    // ledger), so any existing staging dir is dead.
+    fs.listStatus(tablePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-"))
+      .foreach(s => fs.delete(s.getPath, true))
     val stagingName = s".staging-${java.util.UUID.randomUUID()}"
     val staging = new Path(tablePath, stagingName)
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(staging.toString)
@@ -77,18 +84,20 @@ object TableIO {
     * leave no trash (deleted in-line), so anything restorable is a crash
     * artifact. Called automatically at the start of every atomic write.
     */
-  def recoverTrash(spark: org.apache.spark.sql.SparkSession, table: String): Seq[String] = {
+  def recoverTrash(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): Seq[String] = {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tablePath)) return Seq.empty
+    val marker = s"-$partitionCol="
     fs.listStatus(tablePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".trash-"))
       .flatMap { st =>
         val name = st.getPath.getName
-        val idx = name.indexOf("-partition=")
+        val idx = name.indexOf(marker)
         if (idx < 0) None // unexpected layout; leave for the operator
         else {
-          val partName = name.substring(idx + 1) // "partition=X"
+          val partName = name.substring(idx + 1) // "<partitionCol>=X"
           val dest = new Path(tablePath, partName)
           if (!fs.exists(dest) && fs.rename(st.getPath, dest)) Some(partName)
           else { fs.delete(st.getPath, true); None } // swap completed; stale old

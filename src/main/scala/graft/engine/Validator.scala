@@ -75,7 +75,13 @@ object Validator {
   def validate(
       wp: DataFrame,
       config: Config = Config(DefaultChecks),
-      baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty
+      baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty,
+      /** Frame for GLOBAL-scoped checks (cross-partition uniqueness) when it
+        * must differ from `wp` — a ledger resume scopes `wp` to pending
+        * partitions but global properties are only correct over the full
+        * table (see [[Constraints.runAll]]).
+        */
+      globalFrame: Option[DataFrame] = None
   ): Result = {
     val spark = wp.sparkSession
     import spark.implicits._
@@ -87,7 +93,7 @@ object Validator {
     // count). They are small by contract — a fraction of the input — so
     // caching avoids re-traversing the full input DAG (incl. the regex-heavy
     // byte-identical check) per consumer.
-    val violations = Constraints.runAll(wp, config.checks).cache()
+    val violations = Constraints.runAll(wp, config.checks, globalFrame).cache()
 
     // --- constraint verdicts: (partition × check) grid, zero-fill, pass/fail.
     val perPartCounts = violations
@@ -259,9 +265,16 @@ object Validator {
     if (todo.isEmpty) return Seq.empty
 
     todo.foreach(p => ledger.markPending(p, runId))
-    // Partition pruning: one pass over only the pending partitions (S5).
+    // Partition pruning: one pass over only the pending partitions (S5) —
+    // EXCEPT global-scoped checks (cross-partition uniqueness), which run
+    // over the full frame: a global property computed on the pending subset
+    // would silently replace the table-wide answer on resume (a duplicate
+    // spanning a done and a pending partition would vanish). Cost: a resume
+    // re-scans the key column of all partitions for the uniqueness pass
+    // (hash-shuffled 8-byte digests) — correctness of a global invariant
+    // cannot be had cheaper.
     val scoped = wp.where(col("partition").isin(todo: _*))
-    val res = validate(scoped, config, baselineProfiles)
+    val res = validate(scoped, config, baselineProfiles, globalFrame = Some(wp))
 
     // Resume-safe, partition-ATOMIC commit (TableIO — the Parquet stand-in
     // for an Iceberg snapshot commit): a resumed run stages its output and

@@ -55,7 +55,12 @@ object Multimodal {
           Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
         } finally r.dispose()
       }
-    } catch { case _: java.io.IOException => None } finally in.close()
+      // NonFatal, not just IOException: JDK readers throw IllegalArgument /
+      // ArrayIndexOutOfBounds on malformed headers that pass the magic
+      // sniff — one corrupt crawl payload must fall back to the fake, not
+      // kill the whole pass (this is a data-quality engine over untrusted
+      // bytes).
+    } catch { case scala.util.control.NonFatal(_) => None } finally in.close()
   }
 
   /** STUB decoder — deterministic fake. A real implementation would parse the

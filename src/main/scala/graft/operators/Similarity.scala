@@ -95,11 +95,18 @@ object Similarity {
 
   /** Deterministic random-hyperplane sign sketch: bit p of the sketch is 1
     * iff Σ_d (±1 from xxhash64(p,d) parity) · v[d] > 0. `bits` ≤ 31.
-    * Scala-loop UDF over the precomputed sign matrix (null vec → null).
+    * Scala-loop UDF over the precomputed sign matrix. Null semantics match
+    * the original in-plan expression exactly (spec-pinned): a null vec or a
+    * null ELEMENT made every plane's dot null, and
+    * `when(null > 0, 1).otherwise(0)` zeroed every bit → sketch 0 (the
+    * outer transform ran over `sequence(0, bits-1)`, so even a null array
+    * produced 0, not null). Such vectors land in bucket 0 and are discarded
+    * by every caller's exact-similarity verify stage.
     */
   def hyperplaneSketch(vec: Column, bits: Int): Column = {
-    val f = udf((v: Seq[Double]) =>
-      if (v == null) None else Some(hyperplaneSketchScala(v.toArray, bits)))
+    val f = udf((v: Seq[java.lang.Double]) =>
+      if (v == null || v.contains(null)) 0
+      else hyperplaneSketchScala(v.map(_.doubleValue).toArray, bits))
     f(vec.cast("array<double>"))
   }
 

@@ -62,6 +62,29 @@ class TableIOSpec extends SparkSpec {
     assert(out == Seq("old"))
   }
 
+  test("recoverTrash honors a non-default partition column") {
+    val t = table()
+    TableIO.writePartitionsAtomic(
+      Seq(("a", "old", 1L)).toDF("part", "k", "v"), t, partitionCol = "part")
+    val dir = Paths.get(t)
+    Files.move(dir.resolve("part=a"), dir.resolve(".trash-.staging-dead-part=a"))
+    val restored = TableIO.recoverTrash(spark, t, partitionCol = "part")
+    assert(restored == Seq("part=a"))
+    assert(spark.read.parquet(t).count() == 1)
+  }
+
+  test("orphaned staging dirs from a crashed write are reclaimed by the next write") {
+    val t = table()
+    TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t)
+    val dir = Paths.get(t)
+    val orphan = dir.resolve(".staging-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk.parquet"), Array[Byte](9, 9))
+    TableIO.writePartitionsAtomic(frame(Seq(("b", "y", 2L))), t)
+    assert(!Files.exists(orphan), "dead staging dir not reclaimed")
+    assert(spark.read.parquet(t).count() == 2)
+  }
+
   test("completed swap's stale trash is discarded, not restored") {
     val t = table()
     TableIO.writePartitionsAtomic(frame(Seq(("a", "new", 2L))), t)

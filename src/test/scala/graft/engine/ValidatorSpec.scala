@@ -144,6 +144,37 @@ class ValidatorSpec extends SparkSpec {
     assert(first.toSet.subsetOf(statParts))
   }
 
+  test("resume recomputes GLOBAL uniqueness over the full table, not the pending subset") {
+    import java.sql.Timestamp
+    val out = Files.createTempDirectory("out_glob").toString
+    val ledgerDir = Files.createTempDirectory("ledger_glob").toString
+    def page(p: String, u: String, t: String) =
+      (p, u, Timestamp.valueOf(s"$t"), s"<html><body><p>x</p></body></html>".getBytes("UTF-8"), "x", "en")
+    // one url duplicated ACROSS partitions A and B; plus unique fillers
+    val rows = Seq(
+      page("A", "https://dup/1", "2025-07-01 00:00:00"),
+      page("A", "https://a/2", "2025-07-01 00:00:01"),
+      page("A", "https://a/3", "2025-07-01 00:00:02"),
+      page("B", "https://dup/1", "2025-07-02 00:00:00"),
+      page("B", "https://b/2", "2025-07-02 00:00:01"),
+      page("B", "https://b/3", "2025-07-02 00:00:02"))
+    val wp = rows.toDF("partition", "url", "warc_ts", "html", "text", "lang")
+    val cfg = Validator.Config(Seq(Constraints.Unique("url")), driftEnabled = false)
+    val ledger = new Ledger(ledgerDir)
+    val first = Validator.runWithLedger(wp, ledger, "r1", out, cfg)
+    assert(first.sorted == Seq("A", "B"))
+    def globalDups() = spark.read.parquet(s"$out/violations")
+      .where(col("partition") === "<global>").select("url").as[String].collect().toSeq
+    assert(globalDups() == Seq("https://dup/1"))
+    // crash B → resume: the pending subset (B alone) contains no duplicate,
+    // but the table still does — the cross-partition violation must survive
+    ledger.markPending("B", "crash")
+    val rerun = Validator.runWithLedger(wp, ledger, "r2", out, cfg)
+    assert(rerun == Seq("B"))
+    assert(globalDups() == Seq("https://dup/1"),
+      "cross-partition duplicate vanished after resuming a subset")
+  }
+
   test("ST5 append policy: violating rows are excluded from the baseline model") {
     val wp = WebGen.generate(spark, 3000L, flags = WebGen.Flags(nullText = true))
       .withColumnRenamed("p_day", "partition")

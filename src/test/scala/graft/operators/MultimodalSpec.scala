@@ -64,6 +64,14 @@ class MultimodalSpec extends SparkSpec {
     // non-image bytes fall back to the documented deterministic fake
     val m3 = Multimodal.decode("u3", "<html>not an image</html>".getBytes("UTF-8"))
     assert(m3.format == "fake")
+    // bytes that PASS the magic sniff but have corrupt headers must fall
+    // back too, not throw (JDK readers raise RuntimeExceptions here)
+    for (magic <- Seq(Array[Byte]('B', 'M'), Array[Byte]('G', 'I', 'F', '8'),
+        Array[Byte](0x89.toByte, 'P', 'N', 'G'), Array[Byte](0xff.toByte, 0xd8.toByte))) {
+      val corrupt = magic ++ Array.fill[Byte](12)(0x7f)
+      assert(Multimodal.decode("u4", corrupt).format == "fake",
+        s"corrupt ${magic.toSeq} payload did not fall back")
+    }
     // distributed path: dims survive the mapPartitions plumbing
     val df = Seq(("p", "img1", png(20, 10)), ("p", "img2", png(7, 9)))
       .toDF("partition", "url", "payload")

@@ -76,6 +76,18 @@ class SimilaritySpec extends SparkSpec {
       legacySketch(col("vec"), 8).as("old"))
       .where(col("new") =!= col("old")).count()
     assert(mism2 == 0)
+    // null vec / null-element vectors: legacy expression collapsed every bit
+    // to 0 (the outer transform never null-propagated) — pinned here
+    val withNullElem = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 2.0D) AS vec " +
+        "UNION ALL SELECT CAST(NULL AS ARRAY<DOUBLE>)")
+    val got = withNullElem.select(
+      Similarity.hyperplaneSketch(col("vec"), 8).as("new"),
+      legacySketch(col("vec"), 8).as("old")).collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getInt(0) == r.getInt(1) && r.getInt(0) == 0, r.toString)
+    }
   }
 
   test("LSH top-1 matches brute top-1 on well-separated fixture") {
