@@ -59,7 +59,7 @@ object Bench {
 
     val picks = Seq("q_stats", "q_unique_url", "q_ref_orphans", "q_retention_count",
       "d_minhash_pairs", "d_dedup_exact", "e_ann_brute", "m_media_bytes",
-      "d_quality", "q_quantiles")
+      "d_quality", "q_quantiles", "e_dedup_cos", "q_drift_ks", "d_simhash_pairs")
     val results: Seq[(String, Double)] =
       ("full_suite" -> headline) +: picks.map { name =>
         val fn = SparkEntry.queries(name)
