@@ -51,22 +51,35 @@ object StreamingValidate {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeValidatedBatch(batch.toDF(), outDir)
+        writeValidatedBatch(batch.toDF(), outDir, batchId)
       }
       .start()
 
   /** One micro-batch of the validated sink: partition, run row checks,
-    * append pages + violations (one commit cycle = one flush, ST3).
+    * write pages + violations (one commit cycle = one flush, ST3).
+    *
+    * Exactly-once under foreachBatch's at-least-once replay contract: each
+    * batch's rows land in their own `ingest_batch=<id>` partition via
+    * DYNAMIC partition overwrite, so a replayed batch (crash between the
+    * data write and the checkpoint commit) REPLACES its earlier partial
+    * output instead of double-appending. Readers scan the whole tree; the
+    * event-time `partition` column rides along as a data column.
     */
-  private def writeValidatedBatch(df: DataFrame, outDir: String): Unit = {
+  private[streaming] def writeValidatedBatch(df: DataFrame, outDir: String, batchId: Long): Unit = {
     import graft.engine.Constraints
     if (!df.isEmpty) {
       val withPart = df.withColumn("partition",
         date_format(col("warc_ts"), "yyyy-MM-dd"))
-      withPart.write.mode("append").parquet(s"$outDir/pages")
-      Constraints.runAll(withPart,
-        Seq(Constraints.NotNull("text"), Constraints.ByteIdenticalText))
-        .write.mode("append").parquet(s"$outDir/violations")
+      def idempotent(out: DataFrame, path: String): Unit =
+        out.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(path)
+      idempotent(withPart, s"$outDir/pages")
+      idempotent(
+        Constraints.runAll(withPart,
+          Seq(Constraints.NotNull("text"), Constraints.ByteIdenticalText)),
+        s"$outDir/violations")
     }
   }
 
@@ -93,7 +106,7 @@ object StreamingValidate {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeValidatedBatch(batch.toDF(), outDir)
+        writeValidatedBatch(batch.toDF(), outDir, batchId)
       }
       .start()
 

@@ -74,6 +74,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/pages").count() == 50)
   }
 
+  test("sink replay of the same micro-batch is idempotent (ST9 exactly-once)") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("sink_replay").toString
+    val batch = Seq(
+      ("https://x/1", ts("2025-07-01 00:00:01"), "<p>1</p>".getBytes("UTF-8"), "doc 1", "en"),
+      ("https://x/2", ts("2025-07-01 00:00:02"), "<p>2</p>".getBytes("UTF-8"), null, "en")
+    ).toDF("url", "warc_ts", "html", "text", "lang")
+    // foreachBatch is at-least-once: a crash between the data write and the
+    // checkpoint commit replays the batch with the SAME id — outputs must
+    // not double
+    StreamingValidate.writeValidatedBatch(batch, out, batchId = 7L)
+    StreamingValidate.writeValidatedBatch(batch, out, batchId = 7L)
+    assert(spark.read.parquet(s"$out/pages").count() == 2)
+    val v = spark.read.parquet(s"$out/violations")
+    assert(v.where(col("check_name") === "not_null_text").count() == 1)
+    // a DIFFERENT batch id appends alongside
+    StreamingValidate.writeValidatedBatch(batch, out, batchId = 8L)
+    assert(spark.read.parquet(s"$out/pages").count() == 4)
+  }
+
   test("last-known-normal: batch mode, events ordered by time within key") {
     val events = Seq(
       PageEvent("k1", "v0", ts("2025-07-01 00:00:00"), violation = true), // before any normal
