@@ -134,6 +134,30 @@ object StatsPass {
         array((LangOrder.map(l => col(s"p_$l")) :+ col("p_other")): _*))
   }
 
+  /** Table-level stats from PERSISTED per-partition `column_stats` rows —
+    * the merge half of the resume story (SURVEY §1.4): counters sum, bounds
+    * min/max, and the SKETCHES union (DataSketches HLL via the built-in
+    * `hll_union_agg`, KLL via [[sketch.KllAgg.kllSketchMerge]]) — so a later
+    * run reads O(#partitions) stats rows, never the data. `avg_len` is
+    * reconstructed exactly from sum_len over non-null text rows.
+    */
+  def mergeToTable(stats: DataFrame): DataFrame =
+    stats.agg(
+      sum(col("row_cnt")).as("row_cnt"),
+      sum(col("null_url")).as("null_url"),
+      sum(col("null_text")).as("null_text"),
+      sum(col("null_lang")).as("null_lang"),
+      sum(col("null_html")).as("null_html"),
+      min(col("min_ts")).as("min_ts"),
+      max(col("max_ts")).as("max_ts"),
+      min(col("min_len")).as("min_len"),
+      max(col("max_len")).as("max_len"),
+      sum(col("sum_len")).as("sum_len"),
+      (sum(col("sum_len")).cast("double") /
+        (sum(col("row_cnt")) - sum(col("null_text")))).as("avg_len"),
+      hll_union_agg(col("url_hll_sketch")).as("url_hll_sketch"),
+      sketch.KllAgg.kllSketchMerge(col("len_kll_sketch")).as("len_kll_sketch"))
+
   /** Both drift profiles in ONE scan/shuffle: (partition, lang_profile,
     * len_profile). At scale each extra profile kind must not cost another
     * full input traversal — all profile aggregates share one groupBy.

@@ -89,6 +89,44 @@ object KllAgg {
     f(col)
   }
 
+  /** Merges already-serialized KLL sketches (binary column) into one sketch
+    * — the aggregation half of the resume story: per-partition sketch ROWS
+    * persisted by one run are rolled up to table level by a later run
+    * without touching the data.
+    */
+  final class KllMergeAggregator(k: Int = K)
+      extends Aggregator[Array[Byte], KllBuf, Array[Byte]]
+      with Serializable {
+
+    def zero: KllBuf = new KllBuf(null)
+
+    def reduce(buf: KllBuf, in: Array[Byte]): KllBuf = {
+      if (in != null && in.nonEmpty) {
+        val other = KllDoublesSketch.heapify(Memory.wrap(in))
+        if (buf.sketch == null) buf.sketch = KllDoublesSketch.newHeapInstance(k)
+        buf.sketch.merge(other)
+      }
+      buf
+    }
+
+    def merge(a: KllBuf, b: KllBuf): KllBuf =
+      if (a.sketch == null) b
+      else if (b.sketch == null) a
+      else { a.sketch.merge(b.sketch); a }
+
+    def finish(buf: KllBuf): Array[Byte] =
+      if (buf.sketch == null) Array.emptyByteArray else buf.sketch.toByteArray
+
+    def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Column aggregate: union of binary KLL sketches. */
+  def kllSketchMerge(col: Column, k: Int = K): Column = {
+    val f = udaf(new KllMergeAggregator(k))
+    f(col)
+  }
+
   // ---- driver-side sketch ops (for reading back persisted sketch rows) ----
 
   def quantile(bytes: Array[Byte], q: Double): Double = {
