@@ -43,6 +43,14 @@ object Constraints {
   sealed trait Check {
     def name: String
 
+    /** True when violations are a property of the WHOLE table rather than a
+      * single partition (rows scoped partition="<global>"). Ledger-resumed
+      * runs evaluate global checks over the full frame, never the pending
+      * subset — any new cross-partition check MUST override this or its
+      * violations silently shrink to the subset on resume.
+      */
+    def globalScope: Boolean = false
+
     /** df must carry a `partition` string column plus the WebPage columns. */
     def violations(df: DataFrame): DataFrame
   }
@@ -86,6 +94,7 @@ object Constraints {
     */
   final case class Unique(column: String, salts: Int = 16) extends Check {
     val name = s"unique_$column"
+    override def globalScope: Boolean = true // duplicates may span partitions
     def violations(df: DataFrame): DataFrame = {
       // Salt from warc_ts (row-dependent) so one hot key value spreads across
       // reducers; partition alone would put all of a key's rows in one salt.
@@ -227,9 +236,8 @@ object Constraints {
       (if (rowChecks.nonEmpty)
          Seq(runRowChecks(df, rowChecks.map(_.asInstanceOf[RowCheck])))
        else Seq.empty) ++
-        rest.map {
-          case g: Unique => g.violations(globalDf.getOrElse(df))
-          case c => c.violations(df)
+        rest.map { c =>
+          c.violations(if (c.globalScope) globalDf.getOrElse(df) else df)
         }
     branches.reduce(_.unionByName(_))
   }

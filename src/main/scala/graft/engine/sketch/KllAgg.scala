@@ -54,33 +54,43 @@ object KllAgg {
     }
   }
 
-  final class KllDoubleAggregator(k: Int = K)
-      extends Aggregator[Option[Double], KllBuf, Array[Byte]]
-      with Serializable {
+  /** Shared Aggregator skeleton: both the value aggregator and the sketch
+    * merger differ ONLY in how one input lands in the live sketch — zero /
+    * merge / finish / encoders must stay identical or table-level rollups
+    * would diverge from per-partition sketches.
+    */
+  sealed abstract class KllAggBase[IN](k: Int)
+      extends Aggregator[IN, KllBuf, Array[Byte]] with Serializable {
 
-    def zero: KllBuf = new KllBuf(null)
+    protected def emptyInput(in: IN): Boolean
+    protected def updateWith(sketch: KllDoublesSketch, in: IN): Unit
 
-    def reduce(buf: KllBuf, in: Option[Double]): KllBuf = {
-      in match {
-        case Some(v) =>
-          if (buf.sketch == null) buf.sketch = KllDoublesSketch.newHeapInstance(k)
-          buf.sketch.update(v)
-        case None => ()
+    final def zero: KllBuf = new KllBuf(null)
+
+    final def reduce(buf: KllBuf, in: IN): KllBuf = {
+      if (!emptyInput(in)) {
+        if (buf.sketch == null) buf.sketch = KllDoublesSketch.newHeapInstance(k)
+        updateWith(buf.sketch, in)
       }
       buf
     }
 
-    def merge(a: KllBuf, b: KllBuf): KllBuf = {
+    final def merge(a: KllBuf, b: KllBuf): KllBuf =
       if (a.sketch == null) b
       else if (b.sketch == null) a
       else { a.sketch.merge(b.sketch); a }
-    }
 
-    def finish(buf: KllBuf): Array[Byte] =
+    final def finish(buf: KllBuf): Array[Byte] =
       if (buf.sketch == null) Array.emptyByteArray else buf.sketch.toByteArray
 
-    def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    final def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
+    final def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class KllDoubleAggregator(k: Int = K) extends KllAggBase[Option[Double]](k) {
+    protected def emptyInput(in: Option[Double]): Boolean = in.isEmpty
+    protected def updateWith(sketch: KllDoublesSketch, in: Option[Double]): Unit =
+      sketch.update(in.get)
   }
 
   /** Column aggregate: binary KLL sketch of a nullable double column. */
@@ -94,31 +104,10 @@ object KllAgg {
     * persisted by one run are rolled up to table level by a later run
     * without touching the data.
     */
-  final class KllMergeAggregator(k: Int = K)
-      extends Aggregator[Array[Byte], KllBuf, Array[Byte]]
-      with Serializable {
-
-    def zero: KllBuf = new KllBuf(null)
-
-    def reduce(buf: KllBuf, in: Array[Byte]): KllBuf = {
-      if (in != null && in.nonEmpty) {
-        val other = KllDoublesSketch.heapify(Memory.wrap(in))
-        if (buf.sketch == null) buf.sketch = KllDoublesSketch.newHeapInstance(k)
-        buf.sketch.merge(other)
-      }
-      buf
-    }
-
-    def merge(a: KllBuf, b: KllBuf): KllBuf =
-      if (a.sketch == null) b
-      else if (b.sketch == null) a
-      else { a.sketch.merge(b.sketch); a }
-
-    def finish(buf: KllBuf): Array[Byte] =
-      if (buf.sketch == null) Array.emptyByteArray else buf.sketch.toByteArray
-
-    def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  final class KllMergeAggregator(k: Int = K) extends KllAggBase[Array[Byte]](k) {
+    protected def emptyInput(in: Array[Byte]): Boolean = in == null || in.isEmpty
+    protected def updateWith(sketch: KllDoublesSketch, in: Array[Byte]): Unit =
+      sketch.merge(KllDoublesSketch.heapify(Memory.wrap(in)))
   }
 
   /** Column aggregate: union of binary KLL sketches. */

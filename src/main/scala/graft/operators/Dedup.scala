@@ -270,8 +270,12 @@ object Dedup {
       bucketCap: Int = 1000
   ): DataFrame = {
     import graft.operators.Similarity
-    val sk = df.select(id.as("id"), vec.cast("array<double>").as("v"),
-      Similarity.hyperplaneSketch(vec, bits).as("b0"))
+    // null / null-element vectors dropped before sketching — they would all
+    // collapse into bucket 0 and generate candidate pairs whose cosine is
+    // null anyway (pure wasted shuffle on dirty corpora)
+    val sk = Similarity.cleanVecs(
+      df.select(id.as("id"), vec.cast("array<double>").as("v")), "v")
+      .withColumn("b0", Similarity.hyperplaneSketch(col("v"), bits))
     val probed = sk.select(col("id"), col("v"),
       explode(flatten(array(
         array(col("b0")),

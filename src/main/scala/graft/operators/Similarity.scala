@@ -30,6 +30,15 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
   }
 
+  /** Drop null vectors and vectors with null ELEMENTS before any similarity
+    * math: a null-element dot/cosine is null, which would otherwise ride
+    * into ranking windows as sim=null rows (and a null vec would NPE the
+    * IVF assignment UDF). Dirty vectors are the dim-check's business
+    * (Constraints.ArrayDim), not the ANN operators'.
+    */
+  private[operators] def cleanVecs(df: DataFrame, vecCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
+
   /** Exact top-k by cosine for each query row.
     * `queries(qid, qvec)`, `corpus(cid, cvec)` → (qid, cid, sim, rank).
     * The query side is broadcast (small by contract); the corpus is scanned
@@ -40,8 +49,8 @@ object Similarity {
       queries: DataFrame, qid: Column, qvec: Column,
       corpus: DataFrame, cid: Column, cvec: Column,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(qid.as("qid"), qvec.as("qvec"))
-    val c = corpus.select(cid.as("cid"), cvec.as("cvec"))
+    val q = cleanVecs(queries.select(qid.as("qid"), qvec.as("qvec")), "qvec")
+    val c = cleanVecs(corpus.select(cid.as("cid"), cvec.as("cvec")), "cvec")
     val pairs = c.join(broadcast(q),
       if (excludeSelf) col("qid") =!= col("cid") else lit(true))
     val scored = pairs.select(
@@ -100,8 +109,8 @@ object Similarity {
     * null ELEMENT made every plane's dot null, and
     * `when(null > 0, 1).otherwise(0)` zeroed every bit → sketch 0 (the
     * outer transform ran over `sequence(0, bits-1)`, so even a null array
-    * produced 0, not null). Such vectors land in bucket 0 and are discarded
-    * by every caller's exact-similarity verify stage.
+    * produced 0, not null). The ANN/dedup operators filter null vectors out
+    * BEFORE sketching (see cleanVecs), so bucket 0 never fills with them.
     */
   def hyperplaneSketch(vec: Column, bits: Int): Column = {
     val f = udf((v: Seq[java.lang.Double]) =>
@@ -126,7 +135,8 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(cid.as("cid"), cvec.cast("array<double>").as("cvec"))
+    val c = cleanVecs(
+      corpus.select(cid.as("cid"), cvec.cast("array<double>").as("cvec")), "cvec")
 
     // --- deterministic coarse quantizer (driver-side Lloyd over a sample)
     val sample: Array[(Long, Array[Double])] =
@@ -171,7 +181,8 @@ object Similarity {
     })
 
     val assigned = c.withColumn("cell", cellOf(col("cvec")))
-    val q = queries.select(qid.as("qid"), qvec.cast("array<double>").as("qvec"))
+    val q = cleanVecs(
+      queries.select(qid.as("qid"), qvec.cast("array<double>").as("qvec")), "qvec")
       .withColumn("cell", explode(probesOf(col("qvec"))))
     val pairs = assigned.join(broadcast(q), Seq("cell"))
       .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
@@ -190,15 +201,15 @@ object Similarity {
       queries: DataFrame, qid: Column, qvec: Column,
       corpus: DataFrame, cid: Column, cvec: Column,
       k: Int, bits: Int = 12, excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(cid.as("cid"), cvec.as("cvec"),
-      hyperplaneSketch(cvec, bits).as("bucket"))
+    val c = cleanVecs(corpus.select(cid.as("cid"), cvec.as("cvec")), "cvec")
+      .withColumn("bucket", hyperplaneSketch(col("cvec"), bits))
     // multi-probe: query probes its own bucket and each 1-bit neighbor
     val probes = flatten(array(
       array(col("qsketch")),
       transform(sequence(lit(0), lit(bits - 1)),
         b => col("qsketch").bitwiseXOR(call_function("shiftleft", lit(1), b)))))
-    val q = queries.select(qid.as("qid"), qvec.as("qvec"),
-      hyperplaneSketch(qvec, bits).as("qsketch"))
+    val q = cleanVecs(queries.select(qid.as("qid"), qvec.as("qvec")), "qvec")
+      .withColumn("qsketch", hyperplaneSketch(col("qvec"), bits))
       .select(col("qid"), col("qvec"), explode(probes).as("bucket"))
     val pairs = c.join(broadcast(q), Seq("bucket"))
       .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))

@@ -46,35 +46,64 @@ object StreamingValidate {
     * shutdown" is the stream's normal stop semantics.
     */
   def validatedSink(pages: org.apache.spark.sql.DataFrame, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    @volatile var lineage: String = null
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeValidatedBatch(batch.toDF(), outDir, batchId)
+        if (lineage == null)
+          lineage = lineageOf(batch.sparkSession, checkpointDir)
+        writeValidatedBatch(batch.toDF(), outDir, lineage, batchId)
       }
       .start()
+  }
+
+  /** The checkpoint's stable query id — written to `<ckpt>/metadata` when
+    * the stream first starts (before any batch), stable across restarts of
+    * the same checkpoint, fresh for a new/recreated checkpoint. This is the
+    * discriminator that makes `ingest_batch` ids safe: batch ids restart
+    * from 0 whenever a checkpoint is recreated, so keying idempotent
+    * overwrites on the batch id alone would let a new lineage silently
+    * REPLACE an old lineage's partitions.
+    */
+  private def lineageOf(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("unknown")
+    } finally in.close()
+  }
 
   /** One micro-batch of the validated sink: partition, run row checks,
     * write pages + violations (one commit cycle = one flush, ST3).
     *
     * Exactly-once under foreachBatch's at-least-once replay contract: each
-    * batch's rows land in their own `ingest_batch=<id>` partition via
-    * DYNAMIC partition overwrite, so a replayed batch (crash between the
-    * data write and the checkpoint commit) REPLACES its earlier partial
-    * output instead of double-appending. Readers scan the whole tree; the
-    * event-time `partition` column rides along as a data column.
+    * batch's rows land in their own `lineage=<qid>/ingest_batch=<id>`
+    * partition via DYNAMIC partition overwrite, so a replayed batch (crash
+    * between the data write and the checkpoint commit) REPLACES its earlier
+    * partial output instead of double-appending, and a fresh checkpoint
+    * (new lineage, batch ids restarting at 0) appends beside prior
+    * lineages instead of clobbering them. Readers scan the whole tree; the
+    * event-time `partition` column rides along as a data column. Layout v2
+    * — not readable mixed with the pre-r2 flat-append layout; use a fresh
+    * outDir when upgrading.
     */
-  private[streaming] def writeValidatedBatch(df: DataFrame, outDir: String, batchId: Long): Unit = {
+  private[streaming] def writeValidatedBatch(df: DataFrame, outDir: String,
+      lineage: String, batchId: Long): Unit = {
     import graft.engine.Constraints
     if (!df.isEmpty) {
       val withPart = df.withColumn("partition",
         date_format(col("warc_ts"), "yyyy-MM-dd"))
       def idempotent(out: DataFrame, path: String): Unit =
-        out.withColumn("ingest_batch", lit(batchId))
+        out.withColumn("lineage", lit(lineage))
+          .withColumn("ingest_batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch").parquet(path)
+          .partitionBy("lineage", "ingest_batch").parquet(path)
       idempotent(withPart, s"$outDir/pages")
       idempotent(
         Constraints.runAll(withPart,
@@ -97,7 +126,8 @@ object StreamingValidate {
     * DAG as the batch path.
     */
   def incrementalValidate(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    @volatile var lineage: String = null
     spark.readStream
       .schema(graft.engine.WebSchema.expected)
       .parquet(inDir)
@@ -106,9 +136,12 @@ object StreamingValidate {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeValidatedBatch(batch.toDF(), outDir, batchId)
+        if (lineage == null)
+          lineage = lineageOf(batch.sparkSession, checkpointDir)
+        writeValidatedBatch(batch.toDF(), outDir, lineage, batchId)
       }
       .start()
+  }
 
   /** One scored page event entering the stateful stage. */
   final case class PageEvent(

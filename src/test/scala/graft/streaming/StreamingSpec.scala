@@ -84,14 +84,20 @@ class StreamingSpec extends SparkSpec {
     // foreachBatch is at-least-once: a crash between the data write and the
     // checkpoint commit replays the batch with the SAME id — outputs must
     // not double
-    StreamingValidate.writeValidatedBatch(batch, out, batchId = 7L)
-    StreamingValidate.writeValidatedBatch(batch, out, batchId = 7L)
+    StreamingValidate.writeValidatedBatch(batch, out, "q1", batchId = 7L)
+    StreamingValidate.writeValidatedBatch(batch, out, "q1", batchId = 7L)
     assert(spark.read.parquet(s"$out/pages").count() == 2)
     val v = spark.read.parquet(s"$out/violations")
     assert(v.where(col("check_name") === "not_null_text").count() == 1)
     // a DIFFERENT batch id appends alongside
-    StreamingValidate.writeValidatedBatch(batch, out, batchId = 8L)
+    StreamingValidate.writeValidatedBatch(batch, out, "q1", batchId = 8L)
     assert(spark.read.parquet(s"$out/pages").count() == 4)
+    // a recreated checkpoint restarts batch ids at 0 under a NEW lineage:
+    // it must append beside the old lineage, never clobber it
+    StreamingValidate.writeValidatedBatch(batch, out, "q2", batchId = 7L)
+    assert(spark.read.parquet(s"$out/pages").count() == 6)
+    assert(spark.read.parquet(s"$out/pages")
+      .where(col("lineage") === "q1").count() == 4)
   }
 
   test("last-known-normal: batch mode, events ordered by time within key") {
