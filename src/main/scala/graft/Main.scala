@@ -84,7 +84,18 @@ object Main {
 
       case "save-baseline" =>
         val Array(in, out) = positional.take(2)
-        Validator.saveBaseline(load(in), out)
+        // ST5 append policy (reference allowAppendOutlier=false analog):
+        // --append-policy strict keeps violating rows OUT of the model
+        opts.get("append-policy") match {
+          case Some("strict") =>
+            val rowChecks = Validator.DefaultChecks
+              .collect { case c: graft.engine.Constraints.RowCheck => c }
+            Validator.saveBaseline(load(in), out, rowChecks)
+          case Some(other) if other != "all" =>
+            System.err.println(s"unknown --append-policy: $other (strict|all)")
+            sys.exit(64)
+          case _ => Validator.saveBaseline(load(in), out)
+        }
         println(s"[sodspark] baseline written to $out")
         spark.stop()
 
@@ -115,6 +126,7 @@ object Main {
       |  graft.Main validate <inputPath> <outDir> [--ledger <dir>] [--run <id>]
       |      [--partition-col <col>] [--baseline <dir>]
       |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
+      |      [--append-policy strict|all]
       |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>]
       |""".stripMargin
 }
