@@ -27,6 +27,22 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(64) }
     val cmd = args(0)
+    // Strict flag hygiene: a typo'd flag name or a flag with no value must
+    // fail loudly, not silently fall back to defaults (e.g. an ignored
+    // --append-policy would pollute the baseline with the very rows strict
+    // mode exists to exclude).
+    val knownFlags =
+      Set("ledger", "run", "partition-col", "baseline", "checkpoint", "append-policy")
+    val flagNames = args.drop(1).filter(_.startsWith("--")).map(_.stripPrefix("--"))
+    val unknownFlags = flagNames.filterNot(knownFlags)
+    if (unknownFlags.nonEmpty) {
+      System.err.println(s"unknown flag(s): ${unknownFlags.mkString(", ")}\n$usage")
+      sys.exit(64)
+    }
+    if (args.last.startsWith("--")) {
+      System.err.println(s"flag ${args.last} is missing its value\n$usage")
+      sys.exit(64)
+    }
     val opts = parseFlags(args.drop(1))
     val positional = args.drop(1).filterNot(_.startsWith("--"))
       .filterNot(a => opts.values.toSeq.contains(a))

@@ -141,7 +141,14 @@ object Similarity {
     // --- deterministic coarse quantizer (driver-side Lloyd over a sample)
     val sample: Array[(Long, Array[Double])] =
       c.orderBy(col("cid")).limit(4096).as[(Long, Array[Double])].collect()
-    require(sample.nonEmpty, "empty corpus")
+    if (sample.isEmpty) {
+      // corpus empty (possibly emptied by cleanVecs on all-dirty vectors):
+      // degrade to an empty result like bruteTopK/lshTopK, don't abort
+      return queries.select(qid.as("qid"))
+        .join(c.select(col("cid")), lit(false))
+        .select(col("qid"), col("cid"), lit(0.0).as("sim"), lit(1).as("rank"))
+        .where(lit(false))
+    }
     val stride = math.max(1, sample.length / nCells)
     var centroids: Array[Array[Double]] =
       (0 until math.min(nCells, sample.length)).map(i => sample(i * stride % sample.length)._2).toArray

@@ -46,36 +46,32 @@ object StreamingValidate {
     * shutdown" is the stream's normal stop semantics.
     */
   def validatedSink(pages: org.apache.spark.sql.DataFrame, outDir: String,
-      checkpointDir: String): StreamingQuery = {
-    @volatile var lineage: String = null
+      checkpointDir: String): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (lineage == null)
-          lineage = lineageOf(batch.sparkSession, checkpointDir)
-        writeValidatedBatch(batch.toDF(), outDir, lineage, batchId)
+        writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession), batchId)
       }
       .start()
-  }
 
-  /** The checkpoint's stable query id — written to `<ckpt>/metadata` when
-    * the stream first starts (before any batch), stable across restarts of
-    * the same checkpoint, fresh for a new/recreated checkpoint. This is the
-    * discriminator that makes `ingest_batch` ids safe: batch ids restart
-    * from 0 whenever a checkpoint is recreated, so keying idempotent
+  /** The stream's stable query id — persisted in the checkpoint, stable
+    * across restarts of the same checkpoint, fresh for a new/recreated one.
+    * This is the discriminator that makes `ingest_batch` ids safe: batch ids
+    * restart from 0 whenever a checkpoint is recreated, so keying idempotent
     * overwrites on the batch id alone would let a new lineage silently
-    * REPLACE an old lineage's partitions.
+    * REPLACE an old lineage's partitions. Read from the engine-set local
+    * property on the stream-execution thread (the thread foreachBatch runs
+    * on) — no parsing of checkpoint internals; FAILS LOUDLY if absent,
+    * because a fallback constant would collapse all lineages into one and
+    * quietly reinstate the clobbering.
     */
-  private def lineageOf(spark: SparkSession, checkpointDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
-        .map(_.group(1)).getOrElse("unknown")
-    } finally in.close()
+  private def lineageOf(spark: SparkSession): String = {
+    val id = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    require(id != null && id.nonEmpty,
+      "streaming query id not present on this thread — writeValidatedBatch " +
+        "must run inside foreachBatch")
+    id
   }
 
   /** One micro-batch of the validated sink: partition, run row checks,
@@ -98,17 +94,37 @@ object StreamingValidate {
     if (!df.isEmpty) {
       val withPart = df.withColumn("partition",
         date_format(col("warc_ts"), "yyyy-MM-dd"))
-      def idempotent(out: DataFrame, path: String): Unit =
+      def idempotent(out: DataFrame, path: String): Unit = {
+        guardLayout(out.sparkSession, path)
         out.withColumn("lineage", lit(lineage))
           .withColumn("ingest_batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("lineage", "ingest_batch").parquet(path)
+      }
       idempotent(withPart, s"$outDir/pages")
       idempotent(
         Constraints.runAll(withPart,
           Seq(Constraints.NotNull("text"), Constraints.ByteIdenticalText)),
         s"$outDir/violations")
+    }
+  }
+
+  /** Refuse to mix layout v2 (lineage=…/ingest_batch=…) into a directory
+    * holding any other layout — Spark's partition discovery would make the
+    * WHOLE dataset unreadable ("conflicting directory structures"), which is
+    * far worse than failing the write with a clear message.
+    */
+  private def guardLayout(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val foreign = fs.listStatus(p).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("lineage=") || n.startsWith(".") || n.startsWith("_"))
+      require(foreign.isEmpty,
+        s"$path holds a different layout (${foreign.take(3).mkString(", ")}…); " +
+          "the v2 sink writes lineage=…/ingest_batch=… partitions — use a " +
+          "fresh output directory")
     }
   }
 
@@ -126,8 +142,7 @@ object StreamingValidate {
     * DAG as the batch path.
     */
   def incrementalValidate(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
-    @volatile var lineage: String = null
+      checkpointDir: String): StreamingQuery =
     spark.readStream
       .schema(graft.engine.WebSchema.expected)
       .parquet(inDir)
@@ -136,12 +151,9 @@ object StreamingValidate {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (lineage == null)
-          lineage = lineageOf(batch.sparkSession, checkpointDir)
-        writeValidatedBatch(batch.toDF(), outDir, lineage, batchId)
+        writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession), batchId)
       }
       .start()
-  }
 
   /** One scored page event entering the stateful stage. */
   final case class PageEvent(

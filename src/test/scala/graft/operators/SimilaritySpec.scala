@@ -102,6 +102,29 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (q, c) => assert(brute(q) == c, s"q=$q lsh=$c brute=${brute(q)}") }
   }
 
+  test("dirty vectors (null / null-element) are dropped, never ranked or fatal") {
+    // built via SQL to get a genuine null ELEMENT (not NaN)
+    val corpus = spark.sql(
+      """SELECT * FROM VALUES
+        | (0L, array(1.0D, 0.0D, 0.0D)),
+        | (1L, array(0.9D, CAST(NULL AS DOUBLE), 0.0D)),
+        | (2L, CAST(NULL AS ARRAY<DOUBLE>)),
+        | (3L, array(0.0D, 1.0D, 0.0D)) AS t(vec_id, vec)""".stripMargin)
+    val q = corpus.where(col("vec_id") === 0L)
+    for (res <- Seq(
+      Similarity.bruteTopK(q, col("vec_id"), col("vec"), corpus, col("vec_id"), col("vec"), k = 3),
+      Similarity.lshTopK(q, col("vec_id"), col("vec"), corpus, col("vec_id"), col("vec"), k = 3, bits = 4),
+      Similarity.ivfTopK(q, col("vec_id"), col("vec"), corpus, col("vec_id"), col("vec"), k = 3, nCells = 2, nProbe = 2))) {
+      val rows = res.select("cid").as[Long].collect().toSet
+      assert(!rows.contains(1L) && !rows.contains(2L), s"dirty vector ranked: $rows")
+      assert(res.where(col("sim").isNull).count() == 0)
+    }
+    // a corpus that cleanVecs empties entirely → empty result, not an abort
+    val allDirty = corpus.where(col("vec_id").isin(1L, 2L))
+    assert(Similarity.ivfTopK(q, col("vec_id"), col("vec"),
+      allDirty, col("vec_id"), col("vec"), k = 3).count() == 0)
+  }
+
   test("IVF top-1 matches brute top-1 on well-separated fixture") {
     val brute = Similarity.bruteTopK(
       vecs, col("vec_id"), col("vec"), vecs, col("vec_id"), col("vec"), k = 1)

@@ -100,6 +100,20 @@ class StreamingSpec extends SparkSpec {
       .where(col("lineage") === "q1").count() == 4)
   }
 
+  test("sink refuses to write v2 layout into a directory holding another layout") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("sink_guard").toString
+    val batch = Seq(
+      ("https://x/1", ts("2025-07-01 00:00:01"), "<p>1</p>".getBytes("UTF-8"), "doc 1", "en")
+    ).toDF("url", "warc_ts", "html", "text", "lang")
+    // a pre-existing v1 (flat) pages dir
+    batch.write.parquet(s"$out/pages")
+    val e = intercept[IllegalArgumentException] {
+      StreamingValidate.writeValidatedBatch(batch, out, "q1", 0L)
+    }
+    assert(e.getMessage.contains("different layout"), e.getMessage)
+  }
+
   test("last-known-normal: batch mode, events ordered by time within key") {
     val events = Seq(
       PageEvent("k1", "v0", ts("2025-07-01 00:00:00"), violation = true), // before any normal
