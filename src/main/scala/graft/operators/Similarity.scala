@@ -20,14 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (null-safe: 0 when either
-    * norm is 0). Single pass per pair via zip_with + aggregate.
+  /** Scala twin of the cosine fold, same float-op order as the original
+    * zip_with/aggregate expression (sequential ascending adds, multiply
+    * before add, dot/(sqrt(na)*sqrt(nb))) — byte-equality asserted in
+    * SimilaritySpec.
+    */
+  def cosineScala(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < n) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < n) { nb += b(i) * b(i); i += 1 }
+    val sna = math.sqrt(na)
+    val snb = math.sqrt(nb)
+    if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+  }
+
+  /** Cosine similarity of two double-array columns (null-safe: null when
+    * either side is null / has null elements / lengths differ — exactly the
+    * old expression's null propagation; 0 when either norm is 0).
+    *
+    * Tight-loop UDF, not zip_with/aggregate: higher-order-function column
+    * expressions interpret their lambda per ELEMENT (no codegen), which
+    * made this ~18 µs per candidate pair at 64 dims — and cosine runs per
+    * PAIR in every ANN ranking and dedup verify stage. Same medicine as
+    * MinHash/SimHash/hyperplanes (BENCH_SCALING.md §6, §11).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+    val f = udf((x: Seq[java.lang.Double], y: Seq[java.lang.Double]) =>
+      if (x == null || y == null || x.length != y.length ||
+        x.contains(null) || y.contains(null)) None
+      else Some(cosineScala(
+        x.map(_.doubleValue).toArray, y.map(_.doubleValue).toArray)))
+    f(a.cast("array<double>"), b.cast("array<double>"))
   }
 
   /** Drop null vectors and vectors with null ELEMENTS before any similarity

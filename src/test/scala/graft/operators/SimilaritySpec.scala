@@ -42,6 +42,40 @@ class SimilaritySpec extends SparkSpec {
     assert(s.values.forall(_.size == 1)) // same vec → same sketch, always
   }
 
+  test("loop cosine equals the original zip_with/aggregate expression bit-for-bit") {
+    // the pre-r2 expression, kept verbatim as the semantic pin
+    def legacyCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+      val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+      when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(40).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+    val mismatch = pairs.select(
+      Similarity.cosine(col("a.v"), col("b.v")).as("new"),
+      legacyCosine(col("a.v").cast("array<double>"), col("b.v").cast("array<double>")).as("old"))
+      .where(col("new") =!= col("old") || col("new").isNull =!= col("old").isNull)
+      .count()
+    assert(mismatch == 0, s"$mismatch cosine values differ from the legacy expression")
+    // null propagation parity: null array, null element, length mismatch
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        | (array(1.0D, 2.0D), CAST(NULL AS ARRAY<DOUBLE>)),
+        | (array(1.0D, 2.0D), array(1.0D, CAST(NULL AS DOUBLE))),
+        | (array(1.0D, 2.0D), array(1.0D)),
+        | (array(0.0D, 0.0D), array(1.0D, 2.0D)) AS t(x, y)""".stripMargin)
+    val got = edge.select(
+      Similarity.cosine(col("x"), col("y")).as("new"),
+      legacyCosine(col("x"), col("y")).as("old")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+  }
+
   test("precomputed sign-matrix sketch equals the original xxhash64 expression") {
     // the pre-r2 in-plan expression, kept verbatim as the semantic pin: the
     // Scala-loop sketch must produce byte-identical buckets
