@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *    probes only its bucket, so cost is corpus/2^bits per query instead of
   *    the full corpus.
   *
-  * All math is `zip_with`/`aggregate` expressions (whole-stage codegen; no
-  * UDF). Hyperplanes are pseudo-random but fully deterministic: component d of
-  * plane p is ±1 by bit parity of xxhash64(p, d) — reproducible anywhere.
+  * Per-pair/per-row math (cosine, hyperplane sketches) runs as tight Scala
+  * loops behind `udf` — higher-order-function column expressions interpret
+  * their lambdas per element and are NOT whole-stage-codegen'd (measured;
+  * BENCH_SCALING.md §6/§12) — each loop bit-equality-pinned against the
+  * original expression by spec. Hyperplanes are pseudo-random but fully
+  * deterministic: component d of plane p is ±1 by the bit parity of
+  * xxhash64(p, d) — reproducible anywhere.
   */
 object Similarity {
 
