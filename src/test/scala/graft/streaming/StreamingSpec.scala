@@ -26,6 +26,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[String]("lang") == "fr")
   }
 
+  test("windowed lang stats, TRUE streaming: watermark finalizes windows and drops late data (ST10/ST11)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String, String)]
+    val df = mem.toDF().toDF("url", "warc_ts", "text", "lang")
+    val q = windowedLangStats(df, watermarkDelay = "1 hour", windowLen = "1 day")
+      .writeStream.format("memory").queryName("win_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("u1", ts("2025-07-01 01:00:00"), "a", "en"),
+        ("u2", ts("2025-07-01 02:00:00"), null, "en"))
+      q.processAllAvailable()
+      // day-1 window still open: watermark (max event − 1h) < day boundary
+      assert(spark.table("win_stream_test").count() == 0)
+      // a far-future event pushes the watermark past day 1 → window emits
+      mem.addData(("u3", ts("2025-07-03 05:00:00"), "c", "fr"))
+      q.processAllAvailable()
+      val rows = spark.table("win_stream_test").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows.head.getAs[Long]("row_cnt") == 2 &&
+        rows.head.getAs[Long]("null_text") == 1)
+      // a LATE day-1 arrival beyond the watermark is dropped: the finalized
+      // window is never re-emitted or amended
+      mem.addData(("u4", ts("2025-07-01 03:00:00"), "late", "en"))
+      q.processAllAvailable()
+      assert(spark.table("win_stream_test").count() == 1)
+    } finally q.stop()
+  }
+
   test("last-known-normal alerts carry state across micro-batches (ST4)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PageEvent]
