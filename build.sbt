@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default TZ too: Timestamp.valueOf in fixtures parses in the
+  // host TZ while window()/watermark compute in the UTC session TZ — on a
+  // non-UTC host the two would disagree about day boundaries
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

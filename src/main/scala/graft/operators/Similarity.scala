@@ -45,22 +45,52 @@ object Similarity {
     if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
   }
 
-  /** Cosine similarity of two double-array columns (null-safe: null when
-    * either side is null / has null elements / lengths differ — exactly the
-    * old expression's null propagation; 0 when either norm is 0).
+  /** One traversal: (Σ v²  in ascending order, any-null?). */
+  private def sumSqScan(v: Seq[java.lang.Double]): (Double, Boolean) = {
+    var s = 0.0
+    var hasNull = false
+    val it = v.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e == null) hasNull = true
+      else { val d = e.doubleValue; s += d * d }
+    }
+    (s, hasNull)
+  }
+
+  /** Cosine similarity of two double-array columns.
     *
     * Tight-loop UDF, not zip_with/aggregate: higher-order-function column
     * expressions interpret their lambda per ELEMENT (no codegen), which
     * made this ~18 µs per candidate pair at 64 dims — and cosine runs per
     * PAIR in every ANN ranking and dedup verify stage. Same medicine as
-    * MinHash/SimHash/hyperplanes (BENCH_SCALING.md §6, §11).
+    * MinHash/SimHash/hyperplanes (BENCH_SCALING.md §6, §11). Casts its own
+    * inputs; no boxing-copy allocations on the pair path.
+    *
+    * Result semantics replicate the original expression EXACTLY, including
+    * its three-valued `when(na === 0 || nb === 0, 0).otherwise(...)` guard
+    * (pinned by spec): if either side is a VALID all-zero vector → 0.0 even
+    * when the other side is null/dirty (null OR true is true); otherwise
+    * null when either side is null / has null elements / lengths differ;
+    * else dot/(‖a‖·‖b‖) with ascending multiply-add fold order.
     */
   def cosine(a: Column, b: Column): Column = {
-    val f = udf((x: Seq[java.lang.Double], y: Seq[java.lang.Double]) =>
-      if (x == null || y == null || x.length != y.length ||
-        x.contains(null) || y.contains(null)) None
-      else Some(cosineScala(
-        x.map(_.doubleValue).toArray, y.map(_.doubleValue).toArray)))
+    val f = udf((x: Seq[java.lang.Double], y: Seq[java.lang.Double]) => {
+      val xs = if (x == null) null else sumSqScan(x)
+      val ys = if (y == null) null else sumSqScan(y)
+      val xZero = xs != null && !xs._2 && math.sqrt(xs._1) == 0.0
+      val yZero = ys != null && !ys._2 && math.sqrt(ys._1) == 0.0
+      if (xZero || yZero) Some(0.0)
+      else if (xs == null || ys == null || xs._2 || ys._2 || x.length != y.length)
+        None
+      else {
+        var dot = 0.0
+        val ix = x.iterator
+        val iy = y.iterator
+        while (ix.hasNext) dot += ix.next().doubleValue * iy.next().doubleValue
+        Some(dot / (math.sqrt(xs._1) * math.sqrt(ys._1)))
+      }
+    })
     f(a.cast("array<double>"), b.cast("array<double>"))
   }
 
@@ -89,7 +119,7 @@ object Similarity {
       if (excludeSelf) col("qid") =!= col("cid") else lit(true))
     val scored = pairs.select(
       col("qid"), col("cid"),
-      cosine(col("qvec").cast("array<double>"), col("cvec").cast("array<double>")).as("sim"))
+      cosine(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -256,7 +286,7 @@ object Similarity {
       .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
     val scored = pairs.select(
       col("qid"), col("cid"),
-      cosine(col("qvec").cast("array<double>"), col("cvec").cast("array<double>")).as("sim"))
+      cosine(col("qvec"), col("cvec")).as("sim"))
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

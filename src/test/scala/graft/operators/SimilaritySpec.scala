@@ -60,13 +60,20 @@ class SimilaritySpec extends SparkSpec {
       .where(col("new") =!= col("old") || col("new").isNull =!= col("old").isNull)
       .count()
     assert(mismatch == 0, s"$mismatch cosine values differ from the legacy expression")
-    // null propagation parity: null array, null element, length mismatch
+    // null propagation parity: null array, null element, length mismatch —
+    // INCLUDING the three-valued-logic corner where one side has zero norm
+    // and the other is null/dirty (legacy `when(null OR true, 0)` → 0.0)
     val edge = spark.sql(
       """SELECT * FROM VALUES
         | (array(1.0D, 2.0D), CAST(NULL AS ARRAY<DOUBLE>)),
         | (array(1.0D, 2.0D), array(1.0D, CAST(NULL AS DOUBLE))),
         | (array(1.0D, 2.0D), array(1.0D)),
-        | (array(0.0D, 0.0D), array(1.0D, 2.0D)) AS t(x, y)""".stripMargin)
+        | (array(0.0D, 0.0D), array(1.0D, 2.0D)),
+        | (array(0.0D, 0.0D), CAST(NULL AS ARRAY<DOUBLE>)),
+        | (CAST(NULL AS ARRAY<DOUBLE>), array(0.0D, 0.0D)),
+        | (array(0.0D, 0.0D), array(1.0D, CAST(NULL AS DOUBLE))),
+        | (array(0.0D, 0.0D), array(1.0D)),
+        | (array(0.0D), array(0.0D, 0.0D, 0.0D)) AS t(x, y)""".stripMargin)
     val got = edge.select(
       Similarity.cosine(col("x"), col("y")).as("new"),
       legacyCosine(col("x"), col("y")).as("old")).collect()
