@@ -24,27 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Scala twin of the cosine fold, same float-op order as the original
-    * zip_with/aggregate expression (sequential ascending adds, multiply
-    * before add, dot/(sqrt(na)*sqrt(nb))) — byte-equality asserted in
-    * SimilaritySpec.
-    */
-  def cosineScala(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { dot += a(i) * b(i); i += 1 }
-    i = 0
-    while (i < n) { na += a(i) * a(i); i += 1 }
-    i = 0
-    while (i < n) { nb += b(i) * b(i); i += 1 }
-    val sna = math.sqrt(na)
-    val snb = math.sqrt(nb)
-    if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
-  }
-
   /** One traversal: (Σ v²  in ascending order, any-null?). */
   private def sumSqScan(v: Seq[java.lang.Double]): (Double, Boolean) = {
     var s = 0.0
@@ -78,8 +57,9 @@ object Similarity {
     val f = udf((x: Seq[java.lang.Double], y: Seq[java.lang.Double]) => {
       val xs = if (x == null) null else sumSqScan(x)
       val ys = if (y == null) null else sumSqScan(y)
-      val xZero = xs != null && !xs._2 && math.sqrt(xs._1) == 0.0
-      val yZero = ys != null && !ys._2 && math.sqrt(ys._1) == 0.0
+      // sqrt(s) == 0 ⟺ s == 0 for a non-negative sum of squares
+      val xZero = xs != null && !xs._2 && xs._1 == 0.0
+      val yZero = ys != null && !ys._2 && ys._1 == 0.0
       if (xZero || yZero) Some(0.0)
       else if (xs == null || ys == null || xs._2 || ys._2 || x.length != y.length)
         None

@@ -193,7 +193,7 @@ class ValidatorSpec extends SparkSpec {
     // headroom over the ~0.05 typical run-to-run wobble)
     a("text_length").zip(b("text_length")).foreach { case (qa, qb) =>
       qa.zip(qb).foreach { case (x, y) =>
-        assert(math.abs(x - y) <= 0.3, s"quantile drifted: $x vs $y")
+        assert(math.abs(x - y) <= 0.2, s"quantile drifted: $x vs $y")
       }
     }
   }
