@@ -166,8 +166,10 @@ object Similarity {
   /** IVF-style ANN (inverted-file with a k-means coarse quantizer) — the
     * second scale path: the corpus is assigned once to its nearest centroid
     * (one shuffle on a small int key); each query probes only the `nProbe`
-    * nearest cells. Centroids come from a deterministic Lloyd refinement
-    * seeded by evenly-strided corpus vectors (no RNG, reproducible).
+    * nearest cells. Centroids come from a deterministic Lloyd refinement over
+    * a hash-uniform corpus sample (no RNG, reproducible, unbiased by id
+    * layout — the quantizer must represent the whole corpus the way the
+    * reference's model does by construction, predictor.go:28-34).
     *
     * At 10^12 rows the assignment is a broadcast-join scan (centroids are
     * tiny) and the probe-side join touches corpus/nCells per cell probed.
@@ -183,8 +185,17 @@ object Similarity {
       corpus.select(cid.as("cid"), cvec.cast("array<double>").as("cvec")), "cvec")
 
     // --- deterministic coarse quantizer (driver-side Lloyd over a sample)
+    // UNIFORM sample: the 4096 smallest xxhash64(cid) values — one
+    // TakeOrderedAndProject (per-partition top-k, no extra count job, no full
+    // shuffle), deterministic, and content/layout-INDEPENDENT. The previous
+    // `orderBy(cid).limit(4096)` trained the quantizer on the 4096 smallest
+    // ids; on a corpus where id order correlates with content (crawl order,
+    // shard order, time) the centroids cover one corner of the embedding
+    // space and probed queries silently lose recall at scale (invisible at
+    // small SF — pinned by the adversarial cluster-ordered SimilaritySpec).
     val sample: Array[(Long, Array[Double])] =
-      c.orderBy(col("cid")).limit(4096).as[(Long, Array[Double])].collect()
+      c.orderBy(xxhash64(col("cid")), col("cid")).limit(4096)
+        .as[(Long, Array[Double])].collect()
     if (sample.isEmpty) {
       // corpus empty (possibly emptied by cleanVecs on all-dirty vectors):
       // degrade to an empty result like bruteTopK/lshTopK, don't abort

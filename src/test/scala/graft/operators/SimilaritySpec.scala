@@ -191,6 +191,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF recall survives a cluster-ordered (adversarial) corpus layout") {
+    // Three tight, well-separated clusters; ids ORDERED BY CLUSTER and sized
+    // so the first 4096 ids cover only clusters A and B — the layout where a
+    // head-of-table centroid sample (the pre-r3 `orderBy(cid).limit(4096)`)
+    // trains the quantizer on one corner of the space (crawl/shard/time
+    // order in a real corpus; that code demonstrably fails this test).
+    // Cluster C sits EQUIDISTANT from A and B, so with no C-aware centroid
+    // its points split across cells by per-point noise and probed queries
+    // lose their true neighbors; a hash-uniform sample represents C and
+    // keeps recall intact. dim=32 so in-cluster k-NN neighborhoods are wide
+    // relative to the noise that decides the (arbitrary) Voronoi cut — the
+    // regime of a real high-dim embedding corpus.
+    val dim = 32
+    def center(axis: Int, v: Double) =
+      Array.tabulate(dim)(d => if (d == axis) v else 0.0)
+    val rnd = new scala.util.Random(42)
+    def cluster(c: Array[Double], n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i, c.map(_ + rnd.nextGaussian()).toSeq))
+    val corpus = (
+      cluster(center(0, 10.0), 2048, 0L) ++
+        cluster(center(0, -10.0), 2048, 2048L) ++
+        cluster(center(1, 10.0), 1904, 4096L)
+      ).toDF("vec_id", "vec")
+    val queries = corpus.where(col("vec_id") >= 4096L && col("vec_id") < 4101L)
+    val brute = Similarity.bruteTopK(queries, col("vec_id"), col("vec"),
+      corpus, col("vec_id"), col("vec"), k = 10)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, col("vec_id"), col("vec"),
+      corpus, col("vec_id"), col("vec"), k = 10, nCells = 3, nProbe = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"adversarial-layout IVF recall@10 (nProbe=1): $recall")
+    assert(recall >= 0.9, s"IVF recall collapsed on cluster-ordered layout: $recall")
+  }
+
   test("LSH on the driver embeddings achieves recall vs brute") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
