@@ -5,63 +5,191 @@ import java.net.{HttpURLConnection, URL}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPOutputStream
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Alert HTTP push sink (SURVEY §2.1 S11) — the reference's batched alert
-  * POST loop (internal/alert/alert.go:171-293: JSON payload, bearer auth,
-  * gzip-aware, rate-limited rworker pool) re-expressed executor-side:
-  * violation rows are serialized to JSON and POSTed in bounded batches from
-  * each partition's task, so the push parallelism IS Spark's task
-  * parallelism. Violations are rare by the validation contract, so the POST
-  * volume is tiny next to the pass itself.
+/** Alert HTTP push sink (SURVEY §2.1 S11) — the reference's crash-safe,
+  * rate-limited alert pipeline re-expressed:
   *
-  * Use after a batch run, or inside `foreachBatch` for the streaming path
-  * (per micro-batch = the reference's notifier tick). A non-2xx response
-  * fails the task → Spark retries it; combined with deterministic
-  * violation_ids the receiver can dedupe replays (the reference keeps its
-  * crash-safe alert queue for the same reason, alert/database/alert.go).
+  *  - **Spool first, delete on success** — the reference persists every
+  *    alert batch to bolt BEFORE POSTing and deletes it only after a 2xx
+  *    (internal/alert/database/alert.go:44-145, alert/alert.go:171-232).
+  *    Here the spool is a parquet "pending alerts" directory: [[push]]
+  *    writes the batch there, then drains it; a crash or a down endpoint
+  *    loses nothing, and the NEXT push (or an explicit [[drainSpool]])
+  *    retries what's pending.
+  *  - **Failure isolation** — a down endpoint NEVER fails the Spark job:
+  *    each chunk gets a bounded retry with backoff, and whatever still fails
+  *    stays in the spool. (The previous revision threw on non-2xx inside
+  *    `foreachPartition` → task retry → stage failure — the opposite of the
+  *    reference's isolation.)
+  *  - **Bounded fan-out** — the reference caps alert/scrape concurrency at
+  *    64 via its rworker pool (internal/alert/config.go:13-14,
+  *    pkg/rworker/rworker.go:5-18). Here the payload frame is coalesced to
+  *    at most `maxConcurrency` partitions before POSTing, so a violation
+  *    storm from a 1000-task stage cannot DDoS the receiver.
+  *
+  * Delivery is at-least-once (a crash between POST and spool-delete replays
+  * the batch); receivers dedupe on the deterministic `violation_id`, exactly
+  * as the reference relies on its own idempotent alert ids.
   */
 object AlertSink {
 
-  /** POST all rows of `violations` to `endpoint` as JSON arrays of at most
-    * `batchSize` rows. Returns the number of POSTs made.
+  /** `posted` = successful HTTP POSTs (chunks); `pending` = rows that could
+    * not be delivered and remain in the spool (0 when spooling is off and
+    * delivery succeeded; rows are COUNTED but dropped when spooling is off).
     */
+  final case class PushResult(posted: Long, pending: Long)
+
+  /** HTTP/batching knobs shared by push and drain. */
+  final case class HttpConf(
+      bearerToken: Option[String] = None,
+      gzipBody: Boolean = false,
+      batchSize: Int = 500,
+      timeoutMs: Int = 10000,
+      maxRetries: Int = 3,
+      retryBackoffMs: Long = 200L,
+      maxConcurrency: Int = 64)
+
+  /** POST all rows of `violations` to `endpoint` as JSON arrays of at most
+    * `conf.batchSize` rows. With `spoolDir` set (recommended), rows are
+    * spooled to parquet BEFORE any POST and removed only on success — the
+    * reference's crash-safe bolt queue; anything undeliverable stays spooled
+    * for the next call. Never throws on endpoint failure.
+    */
+  def push(
+      violations: DataFrame,
+      endpoint: String,
+      conf: HttpConf = HttpConf(),
+      spoolDir: Option[String] = None): PushResult = {
+    val json = violations
+      .select(to_json(struct(violations.columns.map(col): _*)).as("j"))
+    spoolDir match {
+      case Some(dir) =>
+        spool(json, dir)
+        drainSpool(violations.sparkSession, dir, endpoint, conf)
+      case None =>
+        val (posted, failed) = postFrame(json, endpoint, conf)
+        val lost = failed.count()
+        if (lost > 0)
+          System.err.println(s"[alert-sink] $lost alert rows undeliverable " +
+            s"and NO spoolDir configured — rows dropped (set spoolDir for " +
+            "the crash-safe queue)")
+        PushResult(posted, lost)
+    }
+  }
+
+  /** Back-compat convenience (kept for the r2 call shape). */
   def pushViolations(
       violations: DataFrame,
       endpoint: String,
       bearerToken: Option[String] = None,
       gzipBody: Boolean = false,
       batchSize: Int = 500,
-      timeoutMs: Int = 10000): Long = {
-    val spark = violations.sparkSession
+      timeoutMs: Int = 10000,
+      spoolDir: Option[String] = None): PushResult =
+    push(violations, endpoint,
+      HttpConf(bearerToken, gzipBody, batchSize, timeoutMs), spoolDir)
+
+  /** Append a payload frame (single string column `j`) to the spool as its
+    * own batch directory. Directory names are unique per call; row content
+    * stays deterministic (ids come from the violation rows).
+    */
+  private def spool(json: DataFrame, dir: String): Unit =
+    json.write.mode("overwrite")
+      .parquet(s"$dir/batch-${java.util.UUID.randomUUID()}")
+
+  /** Re-attempt delivery of everything in the spool: read all pending batch
+    * dirs, POST (capped concurrency, bounded retry), re-spool what still
+    * fails, delete the drained batch dirs. Crash ordering: the re-spool is
+    * written BEFORE old dirs are deleted, so a crash can duplicate but never
+    * lose alerts (at-least-once; receiver dedupes on violation_id).
+    */
+  def drainSpool(
+      spark: SparkSession,
+      dir: String,
+      endpoint: String,
+      conf: HttpConf = HttpConf()): PushResult = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return PushResult(0L, 0L)
+    val batches = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .map(_.getPath)
+    if (batches.isEmpty) return PushResult(0L, 0L)
+    val json = spark.read.parquet(batches.map(_.toString).toSeq: _*)
+    val (posted, failed) = postFrame(json, endpoint, conf)
+    val pending = failed.count()
+    if (pending > 0) spool(failed, dir) // re-spool BEFORE deleting the old
+    batches.foreach(p => fs.delete(p, true))
+    PushResult(posted, pending)
+  }
+
+  /** POST the payload frame in chunks; returns (successful POST count,
+    * frame of rows that failed after `maxRetries` attempts). The coalesce
+    * caps in-flight connections at `maxConcurrency` tasks — the rworker
+    * analog. Per-chunk errors are contained: they surface as returned rows,
+    * never as task failures.
+    */
+  private def postFrame(
+      json: DataFrame, endpoint: String, conf: HttpConf): (Long, DataFrame) = {
+    val spark = json.sparkSession
+    import spark.implicits._
     val posted = spark.sparkContext.longAccumulator("alert_posts")
-    val json = violations
-      .select(to_json(struct(violations.columns.map(col): _*)).as("j"))
-    json.foreachPartition { (it: Iterator[Row]) =>
-      it.map(_.getString(0)).grouped(batchSize).foreach { chunk =>
-        val body = chunk.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
-        val conn = new URL(endpoint).openConnection().asInstanceOf[HttpURLConnection]
-        conn.setRequestMethod("POST")
-        conn.setConnectTimeout(timeoutMs)
-        conn.setReadTimeout(timeoutMs)
-        conn.setDoOutput(true)
-        conn.setRequestProperty("Content-Type", "application/json")
-        bearerToken.foreach(t =>
-          conn.setRequestProperty("Authorization", s"Bearer $t"))
-        if (gzipBody) conn.setRequestProperty("Content-Encoding", "gzip")
-        val os: OutputStream =
-          if (gzipBody) new GZIPOutputStream(conn.getOutputStream)
-          else conn.getOutputStream
-        try os.write(body)
-        finally os.close()
-        val code = conn.getResponseCode
-        conn.disconnect()
-        if (code < 200 || code >= 300)
-          throw new java.io.IOException(s"alert POST failed: HTTP $code")
-        posted.add(1)
+    val capped = json.coalesce(
+      math.max(1, math.min(conf.maxConcurrency,
+        json.rdd.getNumPartitions)))
+    val failedRows = capped.mapPartitions { (it: Iterator[Row]) =>
+      it.map(_.getString(0)).grouped(conf.batchSize).flatMap { chunk =>
+        if (postChunkWithRetry(chunk, endpoint, conf)) { posted.add(1); Nil }
+        else chunk
+      }
+    }(org.apache.spark.sql.Encoders.STRING).toDF("j")
+    // materialize now: the accumulator and the failure set must reflect one
+    // single POST pass (a lazy frame would re-POST on every consumer)
+    val failed = failedRows.localCheckpoint(true)
+    (posted.value, failed)
+  }
+
+  /** One chunk: bounded retries with linear backoff; any exception or
+    * non-2xx counts as a failed attempt. Returns success.
+    */
+  private def postChunkWithRetry(
+      chunk: Seq[String], endpoint: String, conf: HttpConf): Boolean = {
+    var attempt = 0
+    while (attempt < math.max(1, conf.maxRetries)) {
+      attempt += 1
+      try {
+        postOnce(chunk, endpoint, conf)
+        return true
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          if (attempt < conf.maxRetries) Thread.sleep(conf.retryBackoffMs * attempt)
       }
     }
-    posted.value
+    false
+  }
+
+  private def postOnce(chunk: Seq[String], endpoint: String, conf: HttpConf): Unit = {
+    val body = chunk.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+    val conn = new URL(endpoint).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(conf.timeoutMs)
+      conn.setReadTimeout(conf.timeoutMs)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conf.bearerToken.foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      if (conf.gzipBody) conn.setRequestProperty("Content-Encoding", "gzip")
+      val os: OutputStream =
+        if (conf.gzipBody) new GZIPOutputStream(conn.getOutputStream)
+        else conn.getOutputStream
+      try os.write(body)
+      finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"alert POST failed: HTTP $code")
+    } finally conn.disconnect()
   }
 }

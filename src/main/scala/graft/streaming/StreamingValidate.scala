@@ -181,27 +181,62 @@ object StreamingValidate {
     * — within-batch arrival order is not guaranteed); violations emit an
     * Alert carrying the most recent non-violating event, which may come from
     * an earlier micro-batch (state persists).
+    *
+    * State is BOUNDED in event time — the reference's maxStorageTime
+    * eviction (internal/dispatcher/db_scheduler.go:35-48, config.go:15)
+    * re-expressed: a key idle for longer than `stateHorizonMs` of event time
+    * has its NormalState dropped via `EventTimeTimeout` once the watermark
+    * passes its horizon. A later violation on that key gets a null norm_url,
+    * matching the reference's cold start after eviction. Without this, a
+    * long-running ingest over an open-ended key space (domains) accumulates
+    * one state row per key forever and eventually OOMs the state store.
+    * In batch mode (`events.isStreaming == false`) watermarks/timeouts don't
+    * exist; the pass sees all data at once, so eviction is moot (batch
+    * retention is [[graft.operators.Retention]]'s business).
     */
-  def lastKnownNormalAlerts(events: Dataset[PageEvent]): Dataset[Alert] = {
+  def lastKnownNormalAlerts(
+      events: Dataset[PageEvent],
+      watermarkDelay: String = "1 hour",
+      stateHorizonMs: Long = 30L * 24 * 3600 * 1000): Dataset[Alert] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("warc_ts", watermarkDelay)
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: String, it: Iterator[PageEvent], state: GroupState[NormalState]) => {
-          val sorted = it.toSeq.sortBy(e => (e.warc_ts.getTime, e.url))
-          var normal: Option[NormalState] = state.getOption
-          val alerts = Seq.newBuilder[Alert]
-          sorted.foreach { e =>
-            if (e.violation) {
-              alerts += Alert(key, e.url, e.warc_ts,
-                normal.map(_.url).orNull, normal.map(_.warc_ts).orNull)
-            } else {
-              normal = Some(NormalState(e.url, e.warc_ts))
+          if (state.hasTimedOut) {
+            // watermark passed this key's horizon with no new events: evict
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.warc_ts.getTime, e.url))
+            var normal: Option[NormalState] = state.getOption
+            val alerts = Seq.newBuilder[Alert]
+            var maxTs = Long.MinValue
+            sorted.foreach { e =>
+              maxTs = math.max(maxTs, e.warc_ts.getTime)
+              if (e.violation) {
+                alerts += Alert(key, e.url, e.warc_ts,
+                  normal.map(_.url).orNull, normal.map(_.warc_ts).orNull)
+              } else {
+                normal = Some(NormalState(e.url, e.warc_ts))
+              }
             }
+            normal.foreach(state.update)
+            if (streaming && state.exists) {
+              // evict when the watermark passes (last event time + horizon);
+              // must stay ahead of the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(
+                maxTs + stateHorizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            alerts.result().iterator
           }
-          normal.foreach(state.update)
-          alerts.result().iterator
         })
   }
 }

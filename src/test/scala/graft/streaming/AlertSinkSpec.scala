@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.net.InetSocketAddress
 import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
 import java.util.zip.GZIPInputStream
 
 import scala.jdk.CollectionConverters._
@@ -12,23 +13,34 @@ import graft.SparkSpec
 import graft.engine.Constraints
 import graft.fixtures.WebGen
 
-/** S11: batched HTTP alert push against a local in-process server. */
+/** S11: batched HTTP alert push against a local in-process server — incl.
+  * the reference's sink-failure isolation (crash-safe spool, bounded retry,
+  * capped fan-out; alert/database/alert.go + rworker pool semantics).
+  */
 class AlertSinkSpec extends SparkSpec {
 
-  private def withServer(f: (Int, ConcurrentLinkedQueue[(String, String, String)]) => Unit): Unit = {
+  /** failFirst: respond 503 to the first N requests (transient outage). */
+  private def withServer(failFirst: Int = 0)(
+      f: (Int, ConcurrentLinkedQueue[(String, String, String)]) => Unit): Unit = {
     val received = new ConcurrentLinkedQueue[(String, String, String)]()
+    val failures = new AtomicInteger(failFirst)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/alerts", (ex: HttpExchange) => {
       val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding")).getOrElse("")
       val raw = ex.getRequestBody.readAllBytes()
-      val body =
-        if (enc == "gzip")
-          new String(new GZIPInputStream(new java.io.ByteArrayInputStream(raw)).readAllBytes(), "UTF-8")
-        else new String(raw, "UTF-8")
-      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-      received.add((auth, enc, body))
-      ex.sendResponseHeaders(200, -1)
-      ex.close()
+      if (failures.getAndDecrement() > 0) {
+        ex.sendResponseHeaders(503, -1)
+        ex.close()
+      } else {
+        val body =
+          if (enc == "gzip")
+            new String(new GZIPInputStream(new java.io.ByteArrayInputStream(raw)).readAllBytes(), "UTF-8")
+          else new String(raw, "UTF-8")
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        received.add((auth, enc, body))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      }
     })
     server.start()
     try f(server.getAddress.getPort, received)
@@ -41,18 +53,20 @@ class AlertSinkSpec extends SparkSpec {
     Constraints.NotNull("text").violations(wp)
   }
 
+  private def rowsIn(msgs: Seq[(String, String, String)]): Int =
+    msgs.map(m => "\"violation_id\"".r.findAllIn(m._3).size).sum
+
   test("pushViolations: batched JSON POSTs with bearer auth, all rows arrive") {
-    withServer { (port, received) =>
+    withServer() { (port, received) =>
       val v = violations
       val expected = v.count()
-      val posts = AlertSink.pushViolations(
+      val res = AlertSink.pushViolations(
         v, s"http://127.0.0.1:$port/alerts", bearerToken = Some("tok"), batchSize = 3)
-      assert(posts > 0)
+      assert(res.posted > 0 && res.pending == 0)
       val msgs = received.asScala.toSeq
-      assert(msgs.size == posts)
+      assert(msgs.size == res.posted)
       assert(msgs.forall(_._1 == "Bearer tok"))
-      val totalRows = msgs.map(m => "\"violation_id\"".r.findAllIn(m._3).size).sum
-      assert(totalRows == expected)
+      assert(rowsIn(msgs) == expected)
       // every batch respects the size cap and is a JSON array
       assert(msgs.forall(m => m._3.startsWith("[") && m._3.endsWith("]")))
       assert(msgs.forall(m => "\"violation_id\"".r.findAllIn(m._3).size <= 3))
@@ -60,15 +74,64 @@ class AlertSinkSpec extends SparkSpec {
   }
 
   test("pushViolations: gzip bodies decode to the same rows") {
-    withServer { (port, received) =>
+    withServer() { (port, received) =>
       val v = violations
       val expected = v.count()
       AlertSink.pushViolations(
         v, s"http://127.0.0.1:$port/alerts", gzipBody = true, batchSize = 100)
       val msgs = received.asScala.toSeq
       assert(msgs.forall(_._2 == "gzip"))
-      val totalRows = msgs.map(m => "\"violation_id\"".r.findAllIn(m._3).size).sum
-      assert(totalRows == expected)
+      assert(rowsIn(msgs) == expected)
+    }
+  }
+
+  test("endpoint down: job SUCCEEDS, alerts land in the spool, a re-push drains it") {
+    import java.nio.file.Files
+    val spool = Files.createTempDirectory("alert_spool").toString
+    val v = violations
+    val expected = v.count()
+    val fastRetry = AlertSink.HttpConf(maxRetries = 2, retryBackoffMs = 10L)
+    // port 1 refuses connections — the reference's down-sink scenario; the
+    // pre-r3 sink threw inside foreachPartition and FAILED the whole job
+    val down = AlertSink.push(v, "http://127.0.0.1:1/alerts", fastRetry, Some(spool))
+    assert(down.posted == 0 && down.pending == expected, down.toString)
+    val pending = spark.read.parquet(s"$spool/batch-*")
+    assert(pending.count() == expected)
+    // endpoint recovers → drain delivers everything and empties the spool
+    withServer() { (port, received) =>
+      val drained = AlertSink.drainSpool(
+        spark, spool, s"http://127.0.0.1:$port/alerts", fastRetry)
+      assert(drained.pending == 0 && drained.posted > 0)
+      assert(rowsIn(received.asScala.toSeq) == expected)
+    }
+    val fs = new org.apache.hadoop.fs.Path(spool)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(spool))
+      .filter(_.getPath.getName.startsWith("batch-"))
+    assert(left.isEmpty, s"spool not drained: ${left.map(_.getPath).mkString(",")}")
+  }
+
+  test("transient 503s are absorbed by bounded retry (no loss, no failure)") {
+    withServer(failFirst = 1) { (port, received) =>
+      val v = violations.coalesce(1) // one task → the 503 hits the first POST
+      val expected = v.count()
+      val res = AlertSink.push(v, s"http://127.0.0.1:$port/alerts",
+        AlertSink.HttpConf(maxRetries = 3, retryBackoffMs = 10L))
+      assert(res.pending == 0, res.toString)
+      assert(rowsIn(received.asScala.toSeq) == expected)
+    }
+  }
+
+  test("fan-out is capped at maxConcurrency partitions (rworker analog)") {
+    withServer() { (port, received) =>
+      val v = violations.repartition(16)
+      val expected = v.count()
+      // cap 2: with batchSize ≥ rows-per-partition, POST count == partition
+      // count after the coalesce — must be ≤ 2, not 16
+      val res = AlertSink.push(v, s"http://127.0.0.1:$port/alerts",
+        AlertSink.HttpConf(batchSize = 10000, maxConcurrency = 2))
+      assert(res.posted <= 2, s"cap ignored: ${res.posted} POSTs")
+      assert(rowsIn(received.asScala.toSeq) == expected)
     }
   }
 }

@@ -76,6 +76,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("last-known-normal state is EVICTED once the watermark passes the idle horizon") {
+    // the reference's maxStorageTime bound (db_scheduler.go:35-48): a key
+    // idle past the horizon loses its state; a later violation on that key
+    // gets a null norm (cold start), and the state store stays O(active keys)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PageEvent]
+    val alerts = lastKnownNormalAlerts(
+      mem.toDS(), watermarkDelay = "0 seconds", stateHorizonMs = 10000L)
+    val q = alerts.writeStream
+      .format("memory").queryName("evict_test").outputMode("append").start()
+    try {
+      // batch 1: k1 sees a normal then a violation → alert carries n1
+      mem.addData(
+        PageEvent("k1", "n1", ts("2025-07-01 00:00:01"), violation = false),
+        PageEvent("k1", "v1", ts("2025-07-01 00:00:02"), violation = true))
+      q.processAllAvailable()
+      // batch 2 advances the watermark far past k1's 10s horizon (k2 only);
+      // batch 3 lets the timeout FIRE for k1 (timeouts run against the
+      // watermark computed at the previous batch's end)
+      mem.addData(PageEvent("k2", "n9", ts("2025-07-01 01:00:00"), violation = false))
+      q.processAllAvailable()
+      mem.addData(PageEvent("k2", "n10", ts("2025-07-01 01:00:01"), violation = false))
+      q.processAllAvailable()
+      // batch 4: k1 violates again — its state must be GONE → null norm
+      mem.addData(PageEvent("k1", "v2", ts("2025-07-01 01:00:05"), violation = true))
+      q.processAllAvailable()
+      val got = spark.table("evict_test").orderBy("warc_ts")
+        .select("url", "norm_url").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-"))).toSeq
+      assert(got == Seq(("v1", "n1"), ("v2", "-")), got.toString)
+    } finally q.stop()
+  }
+
   test("incremental ingest (S3): second tick processes ONLY new files") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("ingest_in").toString
