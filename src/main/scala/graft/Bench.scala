@@ -21,7 +21,7 @@ object Bench {
     // materialize everything the pass produces
     val v = res.violations.count()
     val s = res.verdicts.count()
-    res.stats.unpersist()
+    res.unpersist()
     v + s
   }
 

@@ -31,21 +31,13 @@ object Main {
     // fail loudly, not silently fall back to defaults (e.g. an ignored
     // --append-policy would pollute the baseline with the very rows strict
     // mode exists to exclude).
-    val knownFlags =
-      Set("ledger", "run", "partition-col", "baseline", "checkpoint", "append-policy")
-    val flagNames = args.drop(1).filter(_.startsWith("--")).map(_.stripPrefix("--"))
-    val unknownFlags = flagNames.filterNot(knownFlags)
-    if (unknownFlags.nonEmpty) {
-      System.err.println(s"unknown flag(s): ${unknownFlags.mkString(", ")}\n$usage")
-      sys.exit(64)
+    val (positional, opts) = parseArgs(args.drop(1)) match {
+      case Left(err) =>
+        System.err.println(s"$err\n$usage")
+        sys.exit(64)
+        throw new IllegalStateException
+      case Right(parsed) => parsed
     }
-    if (args.last.startsWith("--")) {
-      System.err.println(s"flag ${args.last} is missing its value\n$usage")
-      sys.exit(64)
-    }
-    val opts = parseFlags(args.drop(1))
-    val positional = args.drop(1).filterNot(_.startsWith("--"))
-      .filterNot(a => opts.values.toSeq.contains(a))
 
     val builder = SparkSession.builder()
       .appName("sodspark")
@@ -74,7 +66,7 @@ object Main {
 
     cmd match {
       case "validate" =>
-        val Array(in, out) = positional.take(2)
+        val Seq(in, out) = requirePositionals(positional, 2)
         val wp = load(in)
         val baseline = opts.get("baseline")
           .map(Validator.loadBaseline(spark, _)).getOrElse(Map.empty)
@@ -87,19 +79,21 @@ object Main {
             spark.read.parquet(s"$out/verdicts").where(!col("passed")).count()
           case None =>
             val res = Validator.validate(wp, baselineProfiles = baseline)
-            res.violations
-              .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
-              .write.mode("overwrite").partitionBy("partition").parquet(s"$out/violations")
-            res.verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
-            res.stats.write.mode("overwrite").parquet(s"$out/column_stats")
-            res.verdicts.where(!col("passed")).count()
+            try {
+              res.violations
+                .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
+                .write.mode("overwrite").partitionBy("partition").parquet(s"$out/violations")
+              res.verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
+              res.stats.write.mode("overwrite").parquet(s"$out/column_stats")
+              res.verdicts.where(!col("passed")).count()
+            } finally res.unpersist()
         }
         println(s"[sodspark] failed checks: $failed")
         spark.stop()
         sys.exit(if (failed > 0) 1 else 0)
 
       case "save-baseline" =>
-        val Array(in, out) = positional.take(2)
+        val Seq(in, out) = requirePositionals(positional, 2)
         // ST5 append policy (reference allowAppendOutlier=false analog):
         // --append-policy strict keeps violating rows OUT of the model
         opts.get("append-policy") match {
@@ -118,7 +112,7 @@ object Main {
       // Incremental ingest (S3): each invocation = one poll tick — processes
       // only parquet files under <inputPath> not recorded in the checkpoint.
       case "ingest" =>
-        val Array(in, out) = positional.take(2)
+        val Seq(in, out) = requirePositionals(positional, 2)
         val ckpt = opts.getOrElse("checkpoint", s"$out/_checkpoint")
         val q = graft.streaming.StreamingValidate
           .incrementalValidate(spark, in, out, ckpt)
@@ -132,10 +126,46 @@ object Main {
     }
   }
 
-  private def parseFlags(args: Array[String]): Map[String, String] =
-    args.sliding(2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  private def requirePositionals(positional: Seq[String], n: Int): Seq[String] = {
+    if (positional.length != n) {
+      System.err.println(
+        s"expected $n positional arguments, got ${positional.length}\n$usage")
+      sys.exit(64)
+    }
+    positional
+  }
+
+  private val knownFlags =
+    Set("ledger", "run", "partition-col", "baseline", "checkpoint", "append-policy")
+
+  /** Left-to-right argument parse: positionals kept in order, each `--flag`
+    * must be known and followed by a non-flag value token. Replaces the old
+    * sliding(2) parse, where `--ledger --run r1` silently took "--run" as
+    * the ledger value (creating a directory literally named --run) and a
+    * positional that happened to equal some flag's value was dropped
+    * (MatchError).
+    */
+  private[graft] def parseArgs(
+      args: Array[String]): Either[String, (Seq[String], Map[String, String])] = {
+    val positional = Seq.newBuilder[String]
+    val opts = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val name = a.stripPrefix("--")
+        if (!knownFlags(name)) return Left(s"unknown flag: $a")
+        if (i + 1 >= args.length || args(i + 1).startsWith("--"))
+          return Left(s"flag $a is missing its value")
+        opts += name -> args(i + 1)
+        i += 2
+      } else {
+        positional += a
+        i += 1
+      }
+    }
+    Right((positional.result(), opts.result()))
+  }
 
   private val usage =
     """usage:

@@ -141,6 +141,7 @@ object ScaleBench {
       val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
       res.violations.count()
       res.verdicts.count()
+      res.unpersist()
     }
   }
 

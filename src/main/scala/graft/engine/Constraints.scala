@@ -91,16 +91,37 @@ object Constraints {
 
   /** Uniqueness on a key column via the salted two-stage aggregation
     * (SURVEY §2.3 J5). Emits one violation per duplicated key value.
+    *
+    * `guardBroadcast` / `maxBroadcastDupKeys` plumb through to
+    * [[SaltedJoin.saltedDupGroups]]'s driver-OOM guard: the duplicate-hash
+    * set is broadcast back over the key scan, which is only safe while
+    * duplicates are rare (the validation contract). On an UNTRUSTED input
+    * that may be mostly duplicates, enable the guard — per check instance,
+    * or fleet-wide via the Spark confs `spark.graft.unique.guardBroadcast`
+    * and `spark.graft.unique.maxBroadcastDupKeys` (so the default
+    * [[Validator.DefaultChecks]] suite can be hardened without code
+    * changes). Above the cap the plan degrades to a shuffle join instead of
+    * OOMing the driver.
     */
-  final case class Unique(column: String, salts: Int = 16) extends Check {
+  final case class Unique(
+      column: String,
+      salts: Int = 16,
+      guardBroadcast: Boolean = false,
+      maxBroadcastDupKeys: Long = 4000000L) extends Check {
     val name = s"unique_$column"
     override def globalScope: Boolean = true // duplicates may span partitions
     def violations(df: DataFrame): DataFrame = {
+      val conf = df.sparkSession.conf
+      val guard = guardBroadcast ||
+        conf.get("spark.graft.unique.guardBroadcast", "false").toBoolean
+      val cap = conf.get("spark.graft.unique.maxBroadcastDupKeys",
+        maxBroadcastDupKeys.toString).toLong
       // Salt from warc_ts (row-dependent) so one hot key value spreads across
       // reducers; partition alone would put all of a key's rows in one salt.
       val dups = SaltedJoin.saltedDupGroups(
         df.select(col("partition"), col(column), col("warc_ts")),
-        col(column), coalesce(col("warc_ts").cast("string"), lit("")), salts)
+        col(column), coalesce(col("warc_ts").cast("string"), lit("")), salts,
+        guardBroadcast = guard, maxBroadcastDupKeys = cap)
       // one row per duplicated value; partition of the violation = "<global>"
       // (a duplicate may span partitions).
       finish(

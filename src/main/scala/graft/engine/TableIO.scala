@@ -28,19 +28,50 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   * the window between them is metadata-only. True single-rename atomicity
   * holds for brand-new partitions — the common case of an append-mostly
   * crawl table.
+  *
+  * **Object stores**: rename is NOT atomic (it is a copy+delete) on
+  * S3/GCS/ABFS-style stores, so this commit scheme is only correct on
+  * rename-atomic filesystems (POSIX, HDFS, viewfs). [[writePartitionsAtomic]]
+  * REFUSES object-store URIs up front with a pointer to the Iceberg backend
+  * (whose snapshot commit is the object-store-correct equivalent) — failing
+  * fast beats silently losing the atomicity the ledger depends on.
   */
 object TableIO {
+
+  /** URI schemes whose rename is copy+delete, not an atomic metadata op. */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
+  private def requireRenameAtomicFs(p: Path): Unit = {
+    val scheme = Option(p.toUri.getScheme).getOrElse("file").toLowerCase
+    require(!ObjectStoreSchemes.contains(scheme),
+      s"TableIO's rename-swap commit is not atomic on '$scheme://' object " +
+        "stores — deploy the table as an Iceberg catalog table there " +
+        "(snapshot commit), or stage on an HDFS-compatible filesystem")
+  }
 
   /** Write `df` into `table`, replacing exactly the partitions present in
     * `df` and leaving every other partition byte-untouched. Returns the
     * decoded partition values that were committed.
+    *
+    * `computed`: when given, the set of partition VALUES this run evaluated.
+    * Any computed partition with NO rows in `df` (its result is now empty)
+    * has its existing directory deleted — without this, a partition whose
+    * violations disappeared between runs would silently keep the previous
+    * run's stale rows. Partitions outside `computed` are never touched.
+    * Note the empty-partition delete is not staged through trash (there is
+    * no new data to swap in); a crash mid-delete can leave a partial stale
+    * dir, which the re-run's delete finishes — under the ledger that
+    * partition is still `pending`, so no reader trusts it meanwhile.
     */
   def writePartitionsAtomic(
       df: DataFrame,
       table: String,
-      partitionCol: String = "partition"): Seq[String] = {
+      partitionCol: String = "partition",
+      computed: Option[Seq[String]] = None): Seq[String] = {
     val spark = df.sparkSession
     val tablePath = new Path(table)
+    requireRenameAtomicFs(tablePath)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tablePath)
     recoverTrash(spark, table, partitionCol)
@@ -71,6 +102,15 @@ object TableIO {
         fs.delete(trash, true)
         ExternalCatalogUtils.unescapePathName(
           name.substring(partitionCol.length + 1))
+      }
+      // computed-but-empty partitions: their previous rows are stale — drop
+      computed.foreach { all =>
+        val committedSet = committed.toSet
+        all.filterNot(committedSet).foreach { p =>
+          val dir = new Path(tablePath,
+            s"$partitionCol=${ExternalCatalogUtils.escapePathName(p)}")
+          if (fs.exists(dir)) fs.delete(dir, true)
+        }
       }
       committed.toSeq.sorted
     } finally {

@@ -50,6 +50,12 @@ object Validator {
   /** Quantile ranks of the text-length drift profile (FIXTURES.md §4). */
   val ProfileQs: Array[Double] = Array(0.05, 0.25, 0.5, 0.75, 0.95)
 
+  /** Text-length profile vector off a KLL sketch row, evaluated
+    * executor-side so only the 5 doubles travel to the driver.
+    */
+  private val lenProfile =
+    udf((sk: Array[Byte]) => ProfileQs.map(q => sketch.KllAgg.quantile(sk, q)))
+
   val DefaultChecks: Seq[Constraints.Check] = Seq(
     Constraints.NotNull("url"),
     Constraints.NotNull("text"),
@@ -62,7 +68,20 @@ object Validator {
       stats: DataFrame,
       violations: DataFrame,
       verdicts: DataFrame
-  )
+  ) {
+    /** Release the pass's cached frames. [[validate]] caches `stats` and
+      * `violations` because both are consumed more than once within one
+      * pass; a long-lived driver running many passes (the reference's
+      * `ingest` loop shape) MUST call this once the result is consumed or
+      * each pass pins executor memory forever. [[Validator.runWithLedger]]
+      * and the CLI do it; blocking so release is deterministic (testable).
+      */
+    def unpersist(): Unit = {
+      stats.unpersist(blocking = true)
+      violations.unpersist(blocking = true)
+      ()
+    }
+  }
 
   /** One full pass over `wp` (must carry `partition` + WebPage columns).
     *
@@ -81,7 +100,17 @@ object Validator {
         * partitions but global properties are only correct over the full
         * table (see [[Constraints.runAll]]).
         */
-      globalFrame: Option[DataFrame] = None
+      globalFrame: Option[DataFrame] = None,
+      /** Stats rows (StatsPass schema) of partitions NOT in `wp` whose
+        * profiles must still be leave-one-out drift PEERS — a ledger resume
+        * passes the persisted `column_stats` of done partitions here, so a
+        * resumed partition is scored against the same peer set as an
+        * unresumed run (drift-vs-peers is a cross-partition property, same
+        * argument as globalFrame) at ZERO extra input scans: this is exactly
+        * what the mergeable per-partition stats rows are persisted for.
+        * These partitions are never (re)scored themselves.
+        */
+      baselinePeerStats: Option[DataFrame] = None
   ): Result = {
     val spark = wp.sparkSession
     import spark.implicits._
@@ -124,13 +153,24 @@ object Validator {
       else {
         // warm counts + both profile kinds come from the ONE cached stats
         // frame — the drift stage adds zero extra input scans. The length
-        // profile is read off each partition's KLL sketch driver-side.
-        val profRows = stats
-          .select(col("partition"), col("row_cnt"), col("lang_profile"), col("len_kll_sketch"))
-          .as[(String, Long, Array[Double], Array[Byte])].collect().toSeq.sortBy(_._1)
-          .map { case (p, n, lang, sk) =>
-            (p, n, lang, ProfileQs.map(q => sketch.KllAgg.quantile(sk, q)))
-          }
+        // quantiles are extracted from each partition's KLL sketch
+        // EXECUTOR-side (small UDF over the stats frame): the driver
+        // receives (partition, 5 doubles), not the raw sketch bytes —
+        // at 10^6 partitions that is KBs of transfer instead of GBs of
+        // driver heap for 40 needed doubles per sketch.
+        def profileRows(src: DataFrame) = src
+          .select(col("partition"), col("row_cnt"), col("lang_profile"),
+            lenProfile(col("len_kll_sketch")).as("len_profile"))
+          .as[(String, Long, Array[Double], Array[Double])]
+          .collect()
+        val scoredRows = profileRows(stats)
+        val scoredSet = scoredRows.map(_._1).toSet
+        // peer-only rows (done partitions on resume) join the baseline pool
+        // but are not scored; sort the merged pool so a fresh run and a
+        // resumed run stride-sample IDENTICAL baselines per partition
+        val profRows = (scoredRows ++
+          baselinePeerStats.map(profileRows).getOrElse(Array.empty))
+          .toSeq.sortBy(_._1)
         val warm: Map[String, Long] = profRows.map(t => (t._1, t._2)).toMap
         val profKinds: Seq[(String, Seq[(String, Array[Double])])] = Seq(
           "lang" -> profRows.map(t => (t._1, t._3)),
@@ -151,6 +191,8 @@ object Validator {
               var i = t
               while (i < profArr.length) {
                 val (p, vec) = profArr(i)
+                if (!scoredSet(p)) { out(i) = Seq.empty; i += parallelism }
+                else {
                 val baseline: IndexedSeq[Array[Double]] =
                   baselineProfiles.getOrElse(kind, {
                     val stride = math.max(1, (profArr.length - 1) / config.maxBaseline)
@@ -180,6 +222,7 @@ object Validator {
                   }
                 }
                 i += parallelism
+                }
               }
             })
           }
@@ -207,11 +250,9 @@ object Validator {
     val spark = wp.sparkSession
     import spark.implicits._
     val rows = StatsPass.statsAndProfiles(wp)
-      .select(col("partition"), col("lang_profile"), col("len_kll_sketch"))
-      .as[(String, Array[Double], Array[Byte])].collect().sortBy(_._1)
-      .map { case (p, lang, sk) =>
-        (p, lang, ProfileQs.map(q => sketch.KllAgg.quantile(sk, q)))
-      }.toSeq
+      .select(col("partition"), col("lang_profile"),
+        lenProfile(col("len_kll_sketch")).as("len_profile"))
+      .as[(String, Array[Double], Array[Double])].collect().sortBy(_._1).toSeq
     rows.toDF("partition", "lang_profile", "len_profile")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
@@ -274,42 +315,64 @@ object Validator {
     // (hash-shuffled 8-byte digests) — correctness of a global invariant
     // cannot be had cheaper.
     val scoped = wp.where(col("partition").isin(todo: _*))
-    val res = validate(scoped, config, baselineProfiles, globalFrame = Some(wp))
-
-    // Resume-safe, partition-ATOMIC commit (TableIO — the Parquet stand-in
-    // for an Iceberg snapshot commit): a resumed run stages its output and
-    // atomically swaps in ONLY the partitions it actually processed — prior
-    // `done` partitions' files survive byte-identical, and a concurrent
-    // reader never observes a half-written partition. (A plain whole-dir
-    // overwrite would silently delete done partitions' outputs while the
-    // ledger still says done — the write-side half of the reference's
-    // Status/bulkLoad contract, manager.go:312-354.) Rows scoped
-    // partition="<global>" (cross-partition uniqueness) are per-run by
-    // design: recomputed over the pending subset, they replace only the
-    // previous run's global rows. Replay of a `pending` partition is
-    // idempotent because all row content is deterministic (no uuid/now()).
-
-    // W1 (ingest sort, collect/handler.go:75-77): order rows within each
-    // write task — deterministic file contents + better parquet RLE/dict
-    // compression on url/check_name at scale
-    TableIO.writePartitionsAtomic(
-      res.violations
-        .sortWithinPartitions(col("partition"), col("check_name"), col("url")),
-      s"$outDir/violations")
-    TableIO.writePartitionsAtomic(res.verdicts, s"$outDir/verdicts")
-    // per-partition stats incl. mergeable HLL/KLL sketch rows — the ledger's
-    // metrics side (SURVEY §1.4 column_stats): a resumed or later run can
-    // merge these to table-level stats without touching the data
-    TableIO.writePartitionsAtomic(res.stats, s"$outDir/column_stats")
-
-    val counts = res.violations
-      .groupBy(col("partition")).agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
-    val rows = res.stats.select(col("partition"), col("row_cnt"))
-      .as[(String, Long)].collect().toMap
-    todo.foreach { p =>
-      ledger.markDone(p, rows.getOrElse(p, 0L), counts.getOrElse(p, 0L), runId)
+    // Done partitions' persisted stats rows rejoin the drift baseline pool:
+    // without them a resumed partition would be scored leave-one-out against
+    // the PENDING SUBSET's peers only — different verdicts than an unresumed
+    // run (observed: a drift failure silently vanishing on resume). Reading
+    // column_stats back costs one tiny metadata-scale scan, not an input
+    // rescan — this is precisely what the mergeable stats rows are for.
+    val donePeerStats: Option[DataFrame] = {
+      val doneSeq = allParts.filter(done)
+      val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/column_stats")
+      val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (doneSeq.isEmpty || !fs.exists(statsPath)) None
+      else Some(spark.read.parquet(statsPath.toString)
+        .where(col("partition").isin(doneSeq: _*)))
     }
-    todo
+    val res = validate(scoped, config, baselineProfiles, globalFrame = Some(wp),
+      baselinePeerStats = donePeerStats)
+    try {
+      // Resume-safe, partition-ATOMIC commit (TableIO — the Parquet stand-in
+      // for an Iceberg snapshot commit): a resumed run stages its output and
+      // atomically swaps in ONLY the partitions it actually processed — prior
+      // `done` partitions' files survive byte-identical, and a concurrent
+      // reader never observes a half-written partition. (A plain whole-dir
+      // overwrite would silently delete done partitions' outputs while the
+      // ledger still says done — the write-side half of the reference's
+      // Status/bulkLoad contract, manager.go:312-354.) Rows scoped
+      // partition="<global>" (cross-partition uniqueness) are recomputed
+      // over the FULL frame (`globalFrame = wp`, never the pending subset)
+      // and atomically REPLACE the previous run's <global> partition.
+      // `computed` lists every partition this run evaluated — including
+      // ones whose result is now EMPTY — so a partition whose violations
+      // disappeared has its stale directory deleted instead of silently
+      // surviving the swap. Replay of a `pending` partition is idempotent
+      // because all row content is deterministic (no uuid/now()).
+
+      // W1 (ingest sort, collect/handler.go:75-77): order rows within each
+      // write task — deterministic file contents + better parquet RLE/dict
+      // compression on url/check_name at scale
+      TableIO.writePartitionsAtomic(
+        res.violations
+          .sortWithinPartitions(col("partition"), col("check_name"), col("url")),
+        s"$outDir/violations", computed = Some(todo :+ "<global>"))
+      TableIO.writePartitionsAtomic(res.verdicts, s"$outDir/verdicts",
+        computed = Some(todo :+ "<global>"))
+      // per-partition stats incl. mergeable HLL/KLL sketch rows — the
+      // ledger's metrics side (SURVEY §1.4 column_stats): a resumed or later
+      // run can merge these to table-level stats without touching the data
+      TableIO.writePartitionsAtomic(res.stats, s"$outDir/column_stats",
+        computed = Some(todo))
+
+      val counts = res.violations
+        .groupBy(col("partition")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val rows = res.stats.select(col("partition"), col("row_cnt"))
+        .as[(String, Long)].collect().toMap
+      todo.foreach { p =>
+        ledger.markDone(p, rows.getOrElse(p, 0L), counts.getOrElse(p, 0L), runId)
+      }
+      todo
+    } finally res.unpersist()
   }
 }

@@ -170,6 +170,12 @@ object Dedup {
     // once), and its blocks are released by the ContextCleaner as soon as
     // the plan is unreferenced — a cache() entry would pin executor memory
     // until someone remembers to unpersist (leak in a long-running pipeline).
+    // Tradeoff: localCheckpoint TRUNCATES lineage — if an executor holding
+    // checkpoint blocks dies mid-job (spot nodes / dynamic allocation), the
+    // job fails instead of recomputing. Cluster deploys that expect executor
+    // churn should prefer reliable checkpointing (set a checkpoint dir) or
+    // accept the job-level retry; the validation pass is idempotent either
+    // way (deterministic rows + ledger resume).
     val shingleSets = sig.select(col("id"), col("sh")).localCheckpoint(true)
     val banded = sig.select(
       col("id"),

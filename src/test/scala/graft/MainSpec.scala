@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI argument hygiene: left-to-right parse, no silent flag-eats-flag. */
+class MainSpec extends AnyFunSuite {
+
+  private def parsed(args: String*) = Main.parseArgs(args.toArray)
+
+  test("flags with values and positionals, in order") {
+    parsed("/in", "/out", "--ledger", "/l", "--run", "r1") match {
+      case Right((pos, opts)) =>
+        assert(pos == Seq("/in", "/out"))
+        assert(opts == Map("ledger" -> "/l", "run" -> "r1"))
+      case Left(e) => fail(e)
+    }
+  }
+
+  test("a flag followed by another flag is missing its value") {
+    // the old sliding(2) parse silently took "--run" as the ledger value
+    // and created a directory literally named --run
+    assert(parsed("/in", "/out", "--ledger", "--run", "r1").isLeft)
+  }
+
+  test("dangling flag at the end is missing its value") {
+    assert(parsed("/in", "/out", "--ledger").isLeft)
+  }
+
+  test("unknown flag is rejected") {
+    assert(parsed("/in", "/out", "--nope", "x").isLeft)
+  }
+
+  test("a positional equal to some flag's value is kept") {
+    // old parse extracted positionals by value-inequality with flag values,
+    // so `validate /d /out --ledger /out` lost /out → MatchError
+    parsed("/d", "/out", "--ledger", "/out") match {
+      case Right((pos, opts)) =>
+        assert(pos == Seq("/d", "/out"))
+        assert(opts == Map("ledger" -> "/out"))
+      case Left(e) => fail(e)
+    }
+  }
+}

@@ -16,6 +16,28 @@ class TableIOSpec extends SparkSpec {
   private def frame(rows: Seq[(String, String, Long)]) =
     rows.toDF("partition", "k", "v")
 
+  test("computed-but-empty partitions drop their stale dirs; uncomputed stay") {
+    val t = table()
+    TableIO.writePartitionsAtomic(
+      frame(Seq(("a", "x", 1L), ("b", "y", 2L), ("c", "z", 3L))), t)
+    // next run computed a and b, but b's result is now EMPTY (e.g. its
+    // violations disappeared after the input was corrected); c not computed
+    val committed = TableIO.writePartitionsAtomic(
+      frame(Seq(("a", "x2", 10L))), t, computed = Some(Seq("a", "b")))
+    assert(committed == Seq("a"))
+    val out = spark.read.parquet(t).orderBy("partition")
+      .select("partition", "k", "v").as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "x2", 10L), ("c", "z", 3L)),
+      s"stale b must be gone, uncomputed c untouched: $out")
+  }
+
+  test("object-store URIs are rejected up front (rename-swap is not atomic there)") {
+    val e = intercept[IllegalArgumentException] {
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), "s3a://bucket/tbl")
+    }
+    assert(e.getMessage.contains("Iceberg"), e.getMessage)
+  }
+
   test("swap replaces exactly the written partitions, leaves others untouched") {
     val t = table()
     TableIO.writePartitionsAtomic(

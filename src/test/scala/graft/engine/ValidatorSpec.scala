@@ -198,6 +198,54 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("resume drift is scored against the FULL table's peer profiles") {
+    // drift-vs-peers is a cross-partition property (same argument as global
+    // uniqueness): a resumed partition must see the same leave-one-out peer
+    // set as an unresumed run. Peers come from the persisted column_stats of
+    // done partitions — no input rescan. Pre-fix, the resumed partition was
+    // scored against the pending subset only and its drift verdict silently
+    // changed (the drift day UNFLAGGED itself on resume).
+    val tmp = Files.createTempDirectory("ledger_drift").toString
+    val out = Files.createTempDirectory("out_drift").toString
+    val wp = WebGen.generate(spark, N,
+      flags = WebGen.Flags(langDriftDay = Some("2025-07-03")))
+      .withColumnRenamed("p_day", "partition")
+    val cfg = Validator.Config(Seq(Constraints.NotNull("text")))
+    val ledger = new Ledger(tmp)
+    Validator.runWithLedger(wp, ledger, "run1", out, cfg)
+    def langVerdicts() = spark.read.parquet(s"$out/verdicts")
+      .where(col("check_name") === "drift_zscore_lang") // lang: exact, KLL-free
+      .select("partition", "passed", "score")
+      .as[(String, Boolean, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val fresh = langVerdicts()
+    // crash: the DRIFT DAY itself goes pending; resume into the same outDir
+    ledger.markPending("2025-07-03", "crash")
+    val rerun = Validator.runWithLedger(wp, ledger, "run2", out, cfg)
+    assert(rerun == Seq("2025-07-03"))
+    val resumed = langVerdicts()
+    assert(resumed == fresh,
+      s"resume changed lang drift verdicts:\nfresh=$fresh\nresumed=$resumed")
+    assert(!resumed("2025-07-03")._1, "drift day lost its flag on resume")
+  }
+
+  test("repeated validate + unpersist leaves no cached RDDs behind") {
+    // the long-lived-driver (`ingest` loop) shape: each pass caches its
+    // stats/violations; Result.unpersist must release them or executor
+    // memory grows per pass
+    val wp = WebGen.generate(spark, 2000L).withColumnRenamed("p_day", "partition")
+    var baseline = -1
+    (1 to 3).foreach { _ =>
+      val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
+      res.verdicts.count()
+      res.violations.count()
+      res.unpersist()
+      val now = spark.sparkContext.getPersistentRDDs.size
+      if (baseline < 0) baseline = now
+      assert(now == baseline, s"cached RDDs grew across passes: $baseline → $now")
+    }
+  }
+
   test("warm-up: partitions under minRowsToScore get skipped drift verdicts") {
     val wp = WebGen.generate(spark, 3000L).withColumnRenamed("p_day", "partition")
     val res = Validator.validate(wp,
