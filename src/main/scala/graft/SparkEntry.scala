@@ -451,6 +451,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multimodal: REAL WAV/RIFF header decode — fixtures encoded by
+    // javax.sound (an INDEPENDENT writer), sample rate / channels / duration
+    // read back by the engine's byte-level RIFF parser; the oracle knows the
+    // generation formulas. durationMs = frames*1000/sampleRate (floor).
+    "m_wav_meta" -> ((s, dir) => {
+      val mkWav = udf((id: Long) => {
+        import javax.sound.sampled._
+        val sampleRate = 8000 + (id % 3).toInt * 4000
+        val chans = 1 + (id % 2).toInt
+        val frames = 1000 + id.toInt * 100
+        val fmt = new AudioFormat(sampleRate.toFloat, 16, chans, true, false)
+        val pcm = new Array[Byte](frames * chans * 2)
+        var i = 0
+        while (i < pcm.length) { pcm(i) = ((id * 131 + i * 7) & 0xff).toByte; i += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      })
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 20)
+        .select(lit("wavs").as("partition"),
+          concat(lit("wav:"), col("doc_id")).as("url"),
+          mkWav(col("doc_id")).as("payload"))
+      Multimodal.decodeMeta(docs, "partition", "url", "payload")
+        .select(
+          regexp_replace(col("url"), "^wav:", "").cast("long").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"),
+          col("format"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal: binary payload metadata (decode stub; plumbing real)
     "m_media_bytes" -> ((s, dir) => {
       val frame = wp(s, dir).withColumnRenamed("part", "partition")
@@ -754,6 +789,14 @@ object SparkEntry {
           | CAST(8 + doc_id % 16 AS BIGINT) AS height,
           | 'png' AS format
           |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
+
+      "m_wav_meta" ->
+        """SELECT doc_id,
+          | CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+          | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+          | CAST((1000 + doc_id * 100) * 1000 // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+          | 'wav' AS format
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
 
       "m_media_bytes" ->
         (wp + """SELECT part, COUNT(*) AS n_media,

@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition in batches.
   *
-  * IMAGE decode is REAL where the JDK can do it: PNG/JPEG/GIF/BMP payloads
-  * are sniffed by magic bytes and their true dimensions read header-only via
-  * `javax.imageio` (ships in the JDK — no external media libs). Audio/video
-  * decode remains a documented STUB ([[fakeDecode]] derives deterministic
-  * pseudo-metadata from the bytes); everything around it — schema,
-  * partition-wise batching, typed Dataset plumbing, downstream aggregation —
-  * is real and tested, so swapping in a real A/V decoder (javacv, or a
-  * Pandas-UDF stage in PySpark) is a one-function change.
+  * Decode is REAL wherever pure JDK / deterministic byte reading can do it:
+  *  - IMAGES: PNG/JPEG/GIF/BMP sniffed by magic bytes, true dimensions read
+  *    header-only via `javax.imageio` (ships in the JDK).
+  *  - AUDIO: WAV/RIFF headers parsed directly ([[decodeWavMeta]]) — sample
+  *    rate, channels, duration from the fmt/data chunks.
+  *  - VIDEO: MP4 `moov/mvhd` duration parsed directly ([[decodeMp4Meta]]).
+  * Codec-level decode (pixels, PCM resample, frame extraction) would need
+  * external media libs and remains a documented STUB ([[fakeDecode]] derives
+  * deterministic pseudo-metadata from a content hash); everything around it
+  * — schema, partition-wise batching, typed Dataset plumbing, downstream
+  * aggregation — is real and tested, so swapping in a real codec stage
+  * (javacv, or a Pandas-UDF stage in PySpark) is a one-function change.
   */
 object Multimodal {
 
@@ -26,7 +30,10 @@ object Multimodal {
       width: Int, // real for PNG/JPEG/GIF/BMP; content-hash fake otherwise
       height: Int,
       mean_byte: Double,
-      format: String // "png"/"jpeg"/… from the real decoder; "fake" otherwise
+      format: String, // "png"/"jpeg"/"wav"/"mp4"… from real parsing; "fake" otherwise
+      sample_rate: Int = 0, // real for WAV; 0 otherwise
+      channels: Int = 0, // real for WAV; 0 otherwise
+      duration_ms: Long = 0L // real for WAV/MP4; 0 otherwise
   )
 
   /** Header-only image decode for formats the JDK understands. Returns
@@ -63,6 +70,80 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None } finally in.close()
   }
 
+  /** REAL WAV/RIFF header parse: (sampleRate, channels, durationMs) from the
+    * fmt and data chunks — ~30 lines of deterministic little-endian byte
+    * reading, no libs. Duration = dataBytes·1000/byteRate (floor). Returns
+    * None for non-WAV or malformed payloads (untrusted bytes: every read is
+    * bounds-checked and NonFatal-guarded by the caller chain).
+    */
+  def decodeWavMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var byteRate = 0L
+    var dataLen = -1L
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val sz = le32(pos + 4)
+      if (id == "fmt " && pos + 24 <= bytes.length) {
+        channels = le16(pos + 10)
+        sampleRate = le32(pos + 12).toInt
+        byteRate = le32(pos + 16)
+      } else if (id == "data" && dataLen < 0) {
+        // header size may exceed the (truncated) payload; trust what's there
+        dataLen = math.min(sz, (bytes.length - pos - 8).toLong)
+      }
+      if (sz > Int.MaxValue - 16) return None // hostile chunk size
+      pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
+    else Some((sampleRate, channels, dataLen * 1000L / byteRate))
+  }
+
+  /** REAL MP4 duration parse: walk the top-level boxes (BE u32 size + 4cc),
+    * require a leading `ftyp`, find `moov`, read `mvhd`'s timescale/duration
+    * (v0: u32s; v1: u64 duration). Returns duration in ms, None otherwise.
+    */
+  def decodeMp4Meta(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (tag(4) != "ftyp") return None
+    // walk boxes in [from, to) looking for `name`; returns payload offset+size
+    def findBox(from: Int, to: Int, name: String): Option[(Int, Int)] = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val sz = u32(pos)
+        if (sz < 8 || pos + sz > to) return None // malformed/hostile
+        if (tag(pos + 4) == name) return Some((pos + 8, (sz - 8).toInt))
+        pos += sz.toInt
+      }
+      None
+    }
+    for {
+      (moovOff, moovLen) <- findBox(0, bytes.length, "moov")
+      (mvhdOff, mvhdLen) <- findBox(moovOff, moovOff + moovLen, "mvhd")
+      if mvhdLen >= 24
+      version = bytes(mvhdOff) & 0xff
+      (timescale, duration) <-
+        (if (version == 0) Some((u32(mvhdOff + 12), u32(mvhdOff + 16)))
+         else if (version == 1 && mvhdLen >= 32)
+           Some((u32(mvhdOff + 20), u64(mvhdOff + 24)))
+         else None)
+      if timescale > 0
+    } yield duration * 1000L / timescale
+  }
+
   /** STUB decoder — deterministic fake. A real implementation would parse the
     * container header; the fake derives plausible dimensions from a content
     * hash so tests exercise realistic value ranges.
@@ -94,16 +175,25 @@ object Multimodal {
     MediaMeta(url, bytes.length.toLong, hex, w, h, mean, "fake")
   }
 
-  /** Real-first decode: true dims for JDK-decodable images, deterministic
-    * fake for everything else (audio/video payloads — no media libs here).
+  /** Real-first decode: true dims for JDK-decodable images, true header
+    * metadata for WAV/MP4 containers, deterministic fake for everything
+    * else. NonFatal-guarded per family: one corrupt crawl payload falls back
+    * to the fake, never kills the pass.
     */
-  def decode(url: String, bytes: Array[Byte]): MediaMeta =
-    decodeImageDims(bytes) match {
-      case Some((w, h, fmt)) =>
-        val base = fakeDecode(url, bytes) // reuses hash/size/mean math
-        base.copy(width = w, height = h, format = fmt)
-      case None => fakeDecode(url, bytes)
-    }
+  def decode(url: String, bytes: Array[Byte]): MediaMeta = {
+    def guarded[T](f: => Option[T]): Option[T] =
+      try f catch { case scala.util.control.NonFatal(_) => None }
+    lazy val base = fakeDecode(url, bytes) // hash/size/mean math, shared
+    guarded(decodeImageDims(bytes))
+      .map { case (w, h, fmt) => base.copy(width = w, height = h, format = fmt) }
+      .orElse(guarded(decodeWavMeta(bytes)).map { case (sr, ch, ms) =>
+        base.copy(width = 0, height = 0, format = "wav",
+          sample_rate = sr, channels = ch, duration_ms = ms)
+      })
+      .orElse(guarded(decodeMp4Meta(bytes)).map(ms =>
+        base.copy(width = 0, height = 0, format = "mp4", duration_ms = ms)))
+      .getOrElse(base)
+  }
 
   /** Per-partition batched decode of (key, url, payload) rows. `mapPartitions`
     * (the documented last resort, used deliberately: imperative per-record

@@ -81,6 +81,56 @@ class MultimodalSpec extends SparkSpec {
     assert(meta == Seq((20, 10, "png"), (7, 9, "png")))
   }
 
+  test("real WAV decode: RIFF header metadata read back from javax.sound output") {
+    def wav(sampleRate: Int, chans: Int, frames: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, chans, true, false)
+      val pcm = Array.tabulate[Byte](frames * chans * 2)(i => (i * 7).toByte)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // the encoder (javax.sound) is independent of the parser (our bytes)
+    val m = Multimodal.decode("a1", wav(16000, 2, 8000))
+    assert(m.format == "wav" && m.sample_rate == 16000 && m.channels == 2)
+    assert(m.duration_ms == 500L, s"8000 frames @16kHz = 500ms, got ${m.duration_ms}")
+    assert(m.width == 0 && m.height == 0) // honest: audio has no dims
+    val mono = Multimodal.decode("a2", wav(8000, 1, 12000))
+    assert(mono.sample_rate == 8000 && mono.channels == 1 && mono.duration_ms == 1500L)
+    // truncated header / RIFF-but-garbage payloads fall back, never throw
+    assert(Multimodal.decode("a3", wav(8000, 1, 100).take(20)).format == "fake")
+    val riffGarbage = "RIFF1234WAVE".getBytes("US-ASCII") ++ Array.fill[Byte](40)(0x7f)
+    assert(Multimodal.decode("a4", riffGarbage).format == "fake")
+  }
+
+  test("real MP4 decode: moov/mvhd duration, v0 and v1, hostile sizes safe") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ name.getBytes("US-ASCII") ++ payload
+    def mp4(version: Int, timescale: Long, duration: Long): Array[Byte] = {
+      val mvhd =
+        if (version == 0)
+          Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+            be32(timescale) ++ be32(duration) ++ Array.fill[Byte](80)(0)
+        else
+          Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+            be32(timescale) ++ be32(duration >> 32) ++ be32(duration & 0xffffffffL) ++
+            Array.fill[Byte](80)(0)
+      box("ftyp", "isom0000".getBytes("US-ASCII")) ++ box("moov", box("mvhd", mvhd))
+    }
+    val m0 = Multimodal.decode("v1", mp4(0, 1000, 90500))
+    assert(m0.format == "mp4" && m0.duration_ms == 90500L, m0.toString)
+    val m1 = Multimodal.decode("v2", mp4(1, 600, 1200))
+    assert(m1.format == "mp4" && m1.duration_ms == 2000L, m1.toString)
+    // hostile: box size larger than the payload → fake, no crash/overread
+    val hostile = box("ftyp", "isom".getBytes) ++ be32(0x7fffffffL) ++ "moov".getBytes
+    assert(Multimodal.decode("v3", hostile).format == "fake")
+  }
+
   test("resizeAll pipeline keeps schema and row count") {
     val meta = Multimodal.decodeMeta(pages, "partition", "url", "html")
     val resized = Multimodal.resizeAll(meta, 100, 100)
