@@ -36,13 +36,18 @@ object DebugScale {
       Seq(Constraints.NotNull("url"), Constraints.NotNull("text"),
         Constraints.NotNull("lang"), Constraints.ByteIdenticalText)).count())
     time("unique")(Constraints.Unique("url").violations(wp).count())
+    // unpersist between passes: without it the 2nd pass silently reads the
+    // 1st pass's cache (CacheManager dedupes canonically-equal plans) and
+    // times only the cached-read cost
     time("full_validate") {
       val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
       res.violations.count(); res.verdicts.count()
+      res.unpersist()
     }
     time("full_validate_2nd") {
       val res = Validator.validate(wp, Validator.Config(Validator.DefaultChecks))
       res.violations.count(); res.verdicts.count()
+      res.unpersist()
     }
     spark.stop()
   }

@@ -26,7 +26,12 @@ object ScaleBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"scalebench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      // Shuffle partitions scale with the cluster (like a real deploy would
+      // size them per executor count); override for one-off experiments via
+      // SPARK_GRAFT_SHUFFLE_PARTS.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt)
+          .getOrElse(math.max(cores, 8)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Scan-task granularity must scale with the cluster: the default

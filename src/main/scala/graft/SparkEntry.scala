@@ -59,10 +59,10 @@ object SparkEntry {
           .as("null_rate"))
         .orderBy(col("part"))),
 
-    // ---- J5: salted uniqueness check ------------------------------------
+    // ---- J5: hash-prefiltered uniqueness check --------------------------
     "q_unique_url" -> ((s, dir) => {
       val frame = wp(s, dir).withColumnRenamed("part", "partition")
-      SaltedJoin.saltedDupGroups(frame, col("url"), col("warc_ts").cast("string"))
+      SaltedJoin.dupGroups(frame, col("url"))
         .select(col("k").as("url"), col("cnt"))
         .orderBy(col("url"))
     }),

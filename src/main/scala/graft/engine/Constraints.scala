@@ -89,11 +89,15 @@ object Constraints {
     def expected: Column = lit("NOT NULL")
   }
 
-  /** Uniqueness on a key column via the salted two-stage aggregation
+  /** Uniqueness on a key column via the hash-prefiltered count
     * (SURVEY §2.3 J5). Emits one violation per duplicated key value.
+    * Skew note: the count aggregates map-side (partial agg collapses a hot
+    * key to one row per map task before the exchange), so no salt is needed
+    * here — see [[SaltedJoin.dupGroups]]; salting remains on the join-shaped
+    * referential check.
     *
     * `guardBroadcast` / `maxBroadcastDupKeys` plumb through to
-    * [[SaltedJoin.saltedDupGroups]]'s driver-OOM guard: the duplicate-hash
+    * [[SaltedJoin.dupGroups]]'s driver-OOM guard: the duplicate-hash
     * set is broadcast back over the key scan, which is only safe while
     * duplicates are rare (the validation contract). On an UNTRUSTED input
     * that may be mostly duplicates, enable the guard — per check instance,
@@ -105,7 +109,6 @@ object Constraints {
     */
   final case class Unique(
       column: String,
-      salts: Int = 16,
       guardBroadcast: Boolean = false,
       maxBroadcastDupKeys: Long = 4000000L) extends Check {
     val name = s"unique_$column"
@@ -116,11 +119,8 @@ object Constraints {
         conf.get("spark.graft.unique.guardBroadcast", "false").toBoolean
       val cap = conf.get("spark.graft.unique.maxBroadcastDupKeys",
         maxBroadcastDupKeys.toString).toLong
-      // Salt from warc_ts (row-dependent) so one hot key value spreads across
-      // reducers; partition alone would put all of a key's rows in one salt.
-      val dups = SaltedJoin.saltedDupGroups(
-        df.select(col("partition"), col(column), col("warc_ts")),
-        col(column), coalesce(col("warc_ts").cast("string"), lit("")), salts,
+      val dups = SaltedJoin.dupGroups(
+        df.select(col(column)), col(column),
         guardBroadcast = guard, maxBroadcastDupKeys = cap)
       // one row per duplicated value; partition of the violation = "<global>"
       // (a duplicate may span partitions).

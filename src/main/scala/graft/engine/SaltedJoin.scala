@@ -5,15 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Skew-defused shuffles for the hot-key (Zipfian domain) case — SURVEY §4.2.
   *
-  * At 10^12 rows a plain `groupBy(url)` or referential join hot-keys on the
-  * head domains. Both operators here are pure DataFrame code (no custom
-  * Strategy): salting splits a hot key across S reducers; AQE's skew handling
-  * composes with it at runtime.
-  *
-  * Scale notes (100 TB design): the partial aggregation of stage 1 happens
-  * map-side (Catalyst partial/final hash-agg), so the shuffle carries at most
-  * S rows per distinct key; the final groupBy shuffles only the pre-aggregated
-  * (key, salt) counts — several orders of magnitude smaller than the input.
+  * At 10^12 rows a referential JOIN hot-keys on the head domains: every row
+  * of a hot key meets the same reducer, so [[saltedAntiJoin]] splits it
+  * across S salted partitions (AQE's skew handling composes at runtime).
+  * Duplicate COUNTING ([[dupGroups]]) needs no salt: an algebraic aggregate
+  * partial-aggregates map-side, so a hot key reaches the exchange as at most
+  * one row per map task already — there, the scale lever is shuffling 8-byte
+  * key hashes instead of key strings. Both are pure DataFrame code (no
+  * custom Strategy).
   */
 object SaltedJoin {
 
@@ -23,13 +22,23 @@ object SaltedJoin {
   def rowSalt(rowDependent: Column, s: Int): Column =
     pmod(xxhash64(rowDependent), lit(s)).cast("int")
 
-  /** Salted duplicate-group detection, hash-prefiltered. Result: (key, cnt)
+  /** Duplicate-group detection, hash-prefiltered. Result: (key, cnt)
     * with cnt > 1 only — equivalent to `groupBy(key).count.where(cnt > 1)`
     * (property-tested), but the row-scale shuffle carries 8-byte xxhash64
     * values instead of full key strings (~60 B urls → ~130 MB instead of
     * ~1.6 GB per 16M rows):
     *
-    *   1. salted two-stage count over the 64-bit key hash → duplicate hashes
+    *   1. count over the 64-bit key hash → duplicate hashes. ONE exchange:
+    *      for an ALGEBRAIC aggregate Catalyst's map-side partial aggregation
+    *      is already the skew defense — a key duplicated 10^7 times leaves
+    *      each map task as ONE (hash, partial_cnt) row, so no reducer ever
+    *      sees more than #mapTasks rows of a hot key and salting buys
+    *      nothing. (An earlier two-stage salted variant paid the
+    *      full-cardinality agg + exchange TWICE on a ~unique key; dropping
+    *      it measured ~7% off the WHOLE validation pass at 32M rows,
+    *      interleaved A/B at 8 cores. Salting remains essential for JOINS,
+    *      where a hot key genuinely lands on one reducer:
+    *      [[saltedAntiJoin]].)
     *   2. broadcast the (rare, by validation contract) duplicate hashes back
     *      over a key-column-only scan; exact per-key counts on that small
     *      subset both produce the violation keys and eliminate hash
@@ -45,16 +54,13 @@ object SaltedJoin {
     * (tiny) job, so it is opt-in rather than taxing every contract-abiding
     * run.
     */
-  def saltedDupGroups(df: DataFrame, key: Column, saltSource: Column, s: Int = 16,
+  def dupGroups(df: DataFrame, key: Column,
       guardBroadcast: Boolean = false,
       maxBroadcastDupKeys: Long = 4000000L): DataFrame = {
-    val keyed = df.select(key.as("k"), saltSource.as("ss"))
-    val stage1 = keyed
-      .groupBy(xxhash64(col("k")).as("h"), rowSalt(col("ss"), s).as("salt"))
-      .agg(count(lit(1)).as("partial_cnt"))
-    val dupHashesPlan = stage1
-      .groupBy(col("h"))
-      .agg(sum("partial_cnt").as("hcnt"))
+    val keyed = df.select(key.as("k"))
+    val dupHashesPlan = keyed
+      .groupBy(xxhash64(col("k")).as("h"))
+      .agg(count(lit(1)).as("hcnt"))
       .where(col("hcnt") > 1)
       .select(col("h"))
     val dupSide =

@@ -117,7 +117,11 @@ object StatsPass {
       max(len).as("max_len"),
       avg(len).as("avg_len"),
       sum(len.cast("long")).as("sum_len"),
-      approx_count_distinct(col("url")).as("distinct_url_approx"),
+      // ONE HLL structure per group: the mergeable DataSketches sketch. The
+      // scalar estimate is read off it AFTER the agg (hll_sketch_estimate on
+      // O(#partitions) rows) — maintaining a second HLL++ register set via
+      // approx_count_distinct doubled the per-row cardinality work in the
+      // hottest agg for a number the sketch already carries.
       hll_sketch_agg(col("url")).as("url_hll_sketch"),
       // ONE mergeable KLL sketch (log-scale length) serves both the ledger's
       // persisted stats AND the drift length-profile (quantiles pulled
@@ -130,6 +134,7 @@ object StatsPass {
     ) ++ langCols :+ other
     df.groupBy(col("partition"))
       .agg(count(lit(1)).as("row_cnt"), aggs: _*)
+      .withColumn("distinct_url_approx", hll_sketch_estimate(col("url_hll_sketch")))
       .withColumn("lang_profile",
         array((LangOrder.map(l => col(s"p_$l")) :+ col("p_other")): _*))
   }

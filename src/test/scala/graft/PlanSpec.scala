@@ -55,7 +55,7 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     val df = (1 to 500).map(i => (s"https://d${i % 7}.x/p/${i % 200}", i.toLong))
       .toDF("url", "src").withColumn("partition", lit("p"))
-    val p = SaltedJoin.saltedDupGroups(df, col("url"), col("src"))
+    val p = SaltedJoin.dupGroups(df, col("url"))
       .queryExecution.executedPlan.toString
     // the key-carrying side must meet the (tiny) dup-hash set in a broadcast
     // hash join — an SMJ here would shuffle the url strings (the ~1.6 GB/16M

@@ -4,22 +4,22 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Salted ops must be result-identical to their unsalted equivalents
+/** Skew-path ops must be result-identical to their naive equivalents
   * (SURVEY §5.2 property tests — seeded-random cases, no wall-clock RNG).
   */
 class SaltedJoinSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("salted dup groups ≡ plain groupBy-count (skewed fixture)") {
+  test("hash-prefiltered dup groups ≡ plain groupBy-count (skewed fixture)") {
     // Zipfian-ish: key k appears ~1000/k times → k=1 is a hot key
     val rows = (1 to 60).flatMap(k => Seq.fill(1000 / k)((s"key$k", k.toLong)))
     val df = rows.toDF("key", "salt_src")
-    val salted = SaltedJoin.saltedDupGroups(df, col("key"), col("salt_src"), s = 8)
+    val pref = SaltedJoin.dupGroups(df, col("key"))
       .orderBy("k").as[(String, Long)].collect().toSeq
     val plain = df.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1).orderBy("key").as[(String, Long)].collect().toSeq
-    assert(salted == plain)
+    assert(pref == plain)
   }
 
   test("salted anti join ≡ plain left_anti (orphans exact)") {
@@ -37,31 +37,30 @@ class SaltedJoinSpec extends SparkSpec {
   test("guarded broadcast: identical results, degrades past the cap") {
     val rows = (1 to 60).flatMap(k => Seq.fill(1000 / k)((s"key$k", k.toLong)))
     val df = rows.toDF("key", "salt_src")
-    val plain = SaltedJoin.saltedDupGroups(df, col("key"), col("salt_src"), s = 8)
+    val plain = SaltedJoin.dupGroups(df, col("key"))
       .orderBy("k").as[(String, Long)].collect().toSeq
-    val guarded = SaltedJoin.saltedDupGroups(df, col("key"), col("salt_src"), s = 8,
-      guardBroadcast = true)
+    val guarded = SaltedJoin.dupGroups(df, col("key"), guardBroadcast = true)
       .orderBy("k").as[(String, Long)].collect().toSeq
     assert(guarded == plain)
     // cap of 1 forces the degraded shuffle-join path — results unchanged
-    val degraded = SaltedJoin.saltedDupGroups(df, col("key"), col("salt_src"), s = 8,
+    val degraded = SaltedJoin.dupGroups(df, col("key"),
       guardBroadcast = true, maxBroadcastDupKeys = 1L)
       .orderBy("k").as[(String, Long)].collect().toSeq
     assert(degraded == plain)
   }
 
-  test("property: salted ≡ unsalted dup detection under seeded random duplication") {
+  test("property: hash-prefiltered ≡ naive dup detection under seeded random duplication") {
     val rng = new scala.util.Random(42)
     (1 to 10).foreach { _ =>
       val keys = List.fill(200)(rng.nextInt(50))
       val df = keys.zipWithIndex.map { case (k, i) => (s"k$k", i.toLong) }
         .toDF("key", "src")
-      val salted = SaltedJoin.saltedDupGroups(df, col("key"), col("src"), s = 4)
+      val pref = SaltedJoin.dupGroups(df, col("key"))
         .as[(String, Long)].collect().toMap
       val expected = keys.groupBy(identity).collect {
         case (k, vs) if vs.size > 1 => (s"k$k", vs.size.toLong)
       }.toMap
-      assert(salted == expected)
+      assert(pref == expected)
     }
   }
 
