@@ -64,6 +64,25 @@ class SaltedJoinSpec extends SparkSpec {
     }
   }
 
+  test("dup groups: exact under a massive hot key, partial agg below the exchange") {
+    // one key duplicated 100k× among 50k uniques — the domain-skew shape the
+    // old salt defended against. Correctness must hold, and the plan must
+    // show the actual defense: a partial HashAggregate on the map side of
+    // the exchange, so the hot key reaches the shuffle pre-collapsed.
+    val hot = Seq.fill(100000)("https://hot.example.org/")
+    val uniq = (1 to 50000).map(i => s"https://d$i.example.org/p/$i")
+    val df = (hot ++ uniq).toDF("key")
+    val out = SaltedJoin.dupGroups(df, col("key"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("https://hot.example.org/" -> 100000L))
+    val plan = SaltedJoin.dupGroups(df, col("key"))
+      .queryExecution.executedPlan.toString
+    val aggIdx = plan.indexOf("HashAggregate")
+    val exIdx = plan.indexOf("Exchange")
+    assert(aggIdx >= 0 && exIdx >= 0 && plan.indexOf("HashAggregate", exIdx) >= 0,
+      s"expected partial+final HashAggregate around the exchange:\n${plan.take(1200)}")
+  }
+
   test("property: salted anti ≡ plain anti under seeded random keys") {
     val rng = new scala.util.Random(7)
     (1 to 5).foreach { _ =>
