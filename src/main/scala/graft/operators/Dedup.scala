@@ -296,8 +296,12 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
-      .dropDuplicates("id_a", "id_b")
+      // verify BEFORE the dedup shuffle: cosine is deterministic per pair
+      // (multi-bucket duplicates carry identical values), so filtering first
+      // is semantics-preserving and the exchange carries only passing pairs
+      // instead of every explored candidate
       .where(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
@@ -360,7 +364,10 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // verify BEFORE the dedup shuffle (hamming is deterministic per pair;
+      // most candidates fail the ≤ maxHamming test, so the exchange shrinks
+      // to the passing pairs only)
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 }
