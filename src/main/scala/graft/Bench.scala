@@ -51,8 +51,12 @@ object Bench {
 
     // Harness setup (untimed): materialize the derived web-pages frame to a
     // parquet table once — the pass under test validates a TABLE, exactly
-    // the input_hint contract and the same shape ScaleBench uses.
-    val wpDir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_wp"
+    // the input_hint contract and the same shape ScaleBench uses. The path
+    // is discriminated by SF dir and process: a concurrent run at another
+    // SF (or a parallel invocation) must not overwrite the table this
+    // JVM's timed reps are mid-scan on.
+    val wpDir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_wp_" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_${ProcessHandle.current().pid()}"
     Derive.webPages(spark, sfDir).withColumnRenamed("part", "partition")
       .write.mode("overwrite").parquet(wpDir)
 

@@ -27,11 +27,17 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) { System.err.println(usage); sys.exit(64) }
     val cmd = args(0)
+    if (!commandFlags.contains(cmd)) {
+      System.err.println(s"unknown command: $cmd\n$usage")
+      sys.exit(64)
+    }
     // Strict flag hygiene: a typo'd flag name or a flag with no value must
     // fail loudly, not silently fall back to defaults (e.g. an ignored
     // --append-policy would pollute the baseline with the very rows strict
-    // mode exists to exclude).
-    val (positional, opts) = parseArgs(args.drop(1)) match {
+    // mode exists to exclude). Flags are validated PER COMMAND: a flag that
+    // exists but belongs to a different command (--append-policy on
+    // validate) is exactly such a silently-ignored default in disguise.
+    val (positional, opts) = parseArgs(args.drop(1), commandFlags(cmd)) match {
       case Left(err) =>
         System.err.println(s"$err\n$usage")
         sys.exit(64)
@@ -135,18 +141,23 @@ object Main {
     positional
   }
 
-  private val knownFlags =
-    Set("ledger", "run", "partition-col", "baseline", "checkpoint", "append-policy")
+  /** Flags each command actually reads — the parse rejects anything else. */
+  private[graft] val commandFlags: Map[String, Set[String]] = Map(
+    "validate" -> Set("ledger", "run", "partition-col", "baseline"),
+    "save-baseline" -> Set("partition-col", "append-policy"),
+    "ingest" -> Set("checkpoint"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
-    * must be known and followed by a non-flag value token. Replaces the old
-    * sliding(2) parse, where `--ledger --run r1` silently took "--run" as
-    * the ledger value (creating a directory literally named --run) and a
-    * positional that happened to equal some flag's value was dropped
-    * (MatchError).
+    * must be in `knownFlags` and followed by a non-flag value token.
+    * Replaces the old sliding(2) parse, where `--ledger --run r1` silently
+    * took "--run" as the ledger value (creating a directory literally named
+    * --run) and a positional that happened to equal some flag's value was
+    * dropped (MatchError).
     */
   private[graft] def parseArgs(
-      args: Array[String]): Either[String, (Seq[String], Map[String, String])] = {
+      args: Array[String],
+      knownFlags: Set[String] = commandFlags.values.flatten.toSet
+  ): Either[String, (Seq[String], Map[String, String])] = {
     val positional = Seq.newBuilder[String]
     val opts = Map.newBuilder[String, String]
     var i = 0

@@ -100,8 +100,12 @@ object Multimodal {
         // header size may exceed the (truncated) payload; trust what's there
         dataLen = math.min(sz, (bytes.length - pos - 8).toLong)
       }
-      if (sz > Int.MaxValue - 16) return None // hostile chunk size
-      pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      // advance in Long: a hostile u32 chunk size must not wrap the Int
+      // cursor into a negative index. A declared size past the end of the
+      // payload (truncated file, or hostile tail chunk) just ends the walk —
+      // whatever was parsed so far stands.
+      val next = pos.toLong + 8L + sz + (sz & 1L) // RIFF chunks are word-aligned
+      pos = if (next > bytes.length) bytes.length else next.toInt
     }
     if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
     else Some((sampleRate, channels, dataLen * 1000L / byteRate))
@@ -141,6 +145,10 @@ object Multimodal {
            Some((u32(mvhdOff + 20), u64(mvhdOff + 24)))
          else None)
       if timescale > 0
+      // a v1 u64 duration can be negative-as-Long or overflow the ms
+      // multiply — malformed metadata must fall to None, not flow on as a
+      // garbage negative duration
+      if duration >= 0 && duration <= Long.MaxValue / 1000L
     } yield duration * 1000L / timescale
   }
 
@@ -219,6 +227,10 @@ object Multimodal {
     * semantics: aspect-preserving fit into (maxW, maxH).
     */
   def fakeResize(meta: MediaMeta, maxW: Int, maxH: Int): MediaMeta = {
+    // resize is image semantics: audio/video metas carry width=height=0
+    // (real WAV/MP4 header parse) and must pass through untouched, not
+    // divide by zero in the area ratio below
+    if (meta.width <= 0 || meta.height <= 0) return meta
     val scale = math.min(1.0, math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
     val w = math.max(1, (meta.width * scale).toInt)
     val h = math.max(1, (meta.height * scale).toInt)

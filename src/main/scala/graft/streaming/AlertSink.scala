@@ -38,6 +38,11 @@ object AlertSink {
   /** `posted` = successful HTTP POSTs (chunks); `pending` = rows that could
     * not be delivered and remain in the spool (0 when spooling is off and
     * delivery succeeded; rows are COUNTED but dropped when spooling is off).
+    * `posted` is an accumulator total and shares the pipeline's
+    * at-least-once semantics: a task retried after its POSTs already fired
+    * re-counts its chunks, so treat it as "at least this many successful
+    * POSTs", not an exact delivery count (receivers dedupe on violation_id
+    * either way).
     */
   final case class PushResult(posted: Long, pending: Long)
 

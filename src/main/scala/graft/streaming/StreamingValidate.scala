@@ -190,6 +190,15 @@ object StreamingValidate {
     * matching the reference's cold start after eviction. Without this, a
     * long-running ingest over an open-ended key space (domains) accumulates
     * one state row per key forever and eventually OOMs the state store.
+    *
+    * TRADEOFF the bound buys: `EventTimeTimeout` requires a watermark, and a
+    * watermark makes Spark DROP events older than it BEFORE this function
+    * runs — an event arriving more than `watermarkDelay` behind the stream's
+    * max event time produces NO alert, silently. Size `watermarkDelay` to
+    * the pipeline's real arrival lag (crawl backfill can be days, not the
+    * 1-hour default), or run the backfill through the batch validator, which
+    * sees everything. This is the same alert-loss-vs-bounded-state dial as
+    * the reference's maxStorageTime=0 default (unbounded, never drops).
     * In batch mode (`events.isStreaming == false`) watermarks/timeouts don't
     * exist; the pass sees all data at once, so eviction is moot (batch
     * retention is [[graft.operators.Retention]]'s business).

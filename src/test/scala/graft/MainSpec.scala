@@ -30,6 +30,18 @@ class MainSpec extends AnyFunSuite {
     assert(parsed("/in", "/out", "--nope", "x").isLeft)
   }
 
+  test("a flag belonging to a different command is rejected") {
+    // --append-policy is save-baseline's flag; on validate it would be
+    // parsed then silently ignored — exactly the failure mode strict
+    // hygiene exists to prevent
+    assert(Main.parseArgs(
+      Array("/in", "/out", "--append-policy", "strict"),
+      Main.commandFlags("validate")).isLeft)
+    assert(Main.parseArgs(
+      Array("/in", "/out", "--append-policy", "strict"),
+      Main.commandFlags("save-baseline")).isRight)
+  }
+
   test("a positional equal to some flag's value is kept") {
     // old parse extracted positionals by value-inequality with flag values,
     // so `validate /d /out --ledger /out` lost /out → MatchError

@@ -131,6 +131,50 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode("v3", hostile).format == "fake")
   }
 
+  test("audio/video metas (width=height=0) pass through resize untouched") {
+    // a decoded WAV/MP4 meta has no dims; the resize area-ratio math must
+    // not divide by zero — the row passes through unchanged
+    val wavMeta = Multimodal.MediaMeta("a", 1000, "00" * 32, 0, 0, 1.0, "wav",
+      sample_rate = 16000, channels = 2, duration_ms = 500L)
+    assert(Multimodal.fakeResize(wavMeta, 100, 100) == wavMeta)
+  }
+
+  test("hostile RIFF chunk size cannot wrap the walk cursor") {
+    // valid fmt chunk first, then a trailing chunk declaring ~Int.MaxValue
+    // bytes: the walk must stop at the payload end and keep what it parsed,
+    // not index the array at a negative offset
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(16000) ++ le32(64000) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(64) ++ Array.fill[Byte](64)(1)
+    val hostileTail = "junk".getBytes("US-ASCII") ++ le32(0x7fffffe0L) ++ Array.fill[Byte](8)(0)
+    val body = fmt ++ data ++ hostileTail
+    val riff = "RIFF".getBytes("US-ASCII") ++ le32(body.length + 4L) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val parsed = Multimodal.decodeWavMeta(riff)
+    assert(parsed.contains((16000, 2, 1L)), s"got $parsed") // 64B @64kB/s = 1ms
+  }
+
+  test("v1 mvhd with overflowing u64 duration falls back, not negative ms") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ name.getBytes("US-ASCII") ++ payload
+    val huge = 0x2000000000000000L // duration * 1000 overflows Long
+    val mvhd = Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+      be32(600) ++ be32(huge >> 32) ++ be32(huge & 0xffffffffL) ++
+      Array.fill[Byte](80)(0)
+    val payload = box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd))
+    assert(Multimodal.decodeMp4Meta(payload).isEmpty)
+    val m = Multimodal.decode("v", payload)
+    assert(m.format == "fake" && m.duration_ms >= 0, m.toString)
+  }
+
   test("resizeAll pipeline keeps schema and row count") {
     val meta = Multimodal.decodeMeta(pages, "partition", "url", "html")
     val resized = Multimodal.resizeAll(meta, 100, 100)
