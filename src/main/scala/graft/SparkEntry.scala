@@ -34,6 +34,35 @@ object SparkEntry {
 
   private def lenText: Column = length(col("text"))
 
+  /** Deterministic PNG payload per doc id (dims 8+id%24 × 8+id%16) — the
+    * multimodal oracle queries recompute the dims formula in SQL while the
+    * engine reads them back from the REAL encoded bytes.
+    */
+  private val mkPng = udf((id: Long) => {
+    val w = (8 + id % 24).toInt
+    val h = (8 + id % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt); y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  })
+
+  private def pngDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 30)
+      .select(lit("imgs").as("partition"),
+        concat(lit("img:"), col("doc_id")).as("url"),
+        mkPng(col("doc_id")).as("payload"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- S4/S7/A9: scan + per-partition counts --------------------------
@@ -420,34 +449,26 @@ object SparkEntry {
     // encoded with ImageIO.write, dimensions read back header-only via the
     // javax.imageio path in Multimodal.decode; oracle knows the dims formula.
     "m_image_dims" -> ((s, dir) => {
-      val mkPng = udf((id: Long) => {
-        val w = (8 + id % 24).toInt
-        val h = (8 + id % 16).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var x = 0
-        while (x < w) {
-          var y = 0
-          while (y < h) {
-            img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt); y += 1
-          }
-          x += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        bos.toByteArray
-      })
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .where(col("doc_id") < 30)
-        .select(lit("imgs").as("partition"),
-          concat(lit("img:"), col("doc_id")).as("url"),
-          mkPng(col("doc_id")).as("payload"))
+      val docs = pngDocs(s, dir)
       Multimodal.decodeMeta(docs, "partition", "url", "payload")
         .select(
           regexp_replace(col("url"), "^img:", "").cast("long").as("doc_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("format"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal: resize stage over REAL decoded dims — aspect-fit into
+    // (16, 12); the oracle recomputes the fit from the dims formula with the
+    // same IEEE double ops (scale = min of ratios, truncate toward zero).
+    "m_resize" -> ((s, dir) => {
+      val meta = Multimodal.decodeMeta(pngDocs(s, dir), "partition", "url", "payload")
+      Multimodal.resizeAll(meta, 16, 12)
+        .select(
+          regexp_replace(col("url"), "^img:", "").cast("long").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
         .orderBy(col("doc_id"))
     }),
 
@@ -789,6 +810,20 @@ object SparkEntry {
           | CAST(8 + doc_id % 16 AS BIGINT) AS height,
           | 'png' AS format
           |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
+
+      "m_resize" ->
+        """WITH dims AS (
+          |  SELECT doc_id,
+          |    CAST(8 + doc_id % 24 AS DOUBLE) AS w,
+          |    CAST(8 + doc_id % 16 AS DOUBLE) AS h
+          |  FROM documents WHERE doc_id < 30),
+          |fit AS (
+          |  SELECT doc_id, w, h,
+          |    LEAST(1.0, LEAST(16.0 / w, 12.0 / h)) AS scale FROM dims)
+          |SELECT doc_id,
+          |  GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS width,
+          |  GREATEST(1, CAST(FLOOR(h * scale) AS BIGINT)) AS height
+          |FROM fit ORDER BY doc_id""".stripMargin,
 
       "m_wav_meta" ->
         """SELECT doc_id,
