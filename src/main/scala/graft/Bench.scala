@@ -92,6 +92,11 @@ object Bench {
     val docsPerSec = nDocs / headline
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","validated_docs":$nDocs%d,"docs_per_sec":$docsPerSec%.1f}""")
+    // harness-temp cleanup: the PID-discriminated table would otherwise
+    // accumulate one copy per bench invocation in the tmpdir
+    val wpPath = new org.apache.hadoop.fs.Path(wpDir)
+    wpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(wpPath, true)
     spark.stop()
   }
 }
