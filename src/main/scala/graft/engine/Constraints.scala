@@ -115,10 +115,21 @@ object Constraints {
     override def globalScope: Boolean = true // duplicates may span partitions
     def violations(df: DataFrame): DataFrame = {
       val conf = df.sparkSession.conf
-      val guard = guardBroadcast ||
-        conf.get("spark.graft.unique.guardBroadcast", "false").toBoolean
-      val cap = conf.get("spark.graft.unique.maxBroadcastDupKeys",
-        maxBroadcastDupKeys.toString).toLong
+      // fail with the conf KEY in the message — a bare NumberFormatException
+      // from deep inside a validation pass is undebuggable at 3am
+      def parsed[T](key: String, default: String, parse: String => T,
+          expect: String): T = {
+        val v = conf.get(key, default)
+        try parse(v)
+        catch {
+          case scala.util.control.NonFatal(_) => throw new IllegalArgumentException(
+            s"invalid value '$v' for Spark conf $key (expected $expect)")
+        }
+      }
+      val guard = guardBroadcast || parsed(
+        "spark.graft.unique.guardBroadcast", "false", _.toBoolean, "true|false")
+      val cap = parsed("spark.graft.unique.maxBroadcastDupKeys",
+        maxBroadcastDupKeys.toString, _.toLong, "a long count")
       val dups = SaltedJoin.dupGroups(
         df.select(col(column)), col(column),
         guardBroadcast = guard, maxBroadcastDupKeys = cap)

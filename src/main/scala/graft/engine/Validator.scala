@@ -171,9 +171,14 @@ object Validator {
         val scoredSet = scoredRows.map(_._1).toSet
         // peer-only rows (done partitions on resume) join the baseline pool
         // but are not scored; sort the merged pool so a fresh run and a
-        // resumed run stride-sample IDENTICAL baselines per partition
+        // resumed run stride-sample IDENTICAL baselines per partition.
+        // A peer row whose partition is ALSO in `wp` would otherwise enter
+        // the pool twice — double-weighting itself in the stride-sampled
+        // baseline and emitting duplicate skip rows — so enforce the
+        // disjointness validate()'s contract assumes rather than trusting it.
         val profRows = (scoredRows ++
-          baselinePeerStats.map(profileRows).getOrElse(Array.empty))
+          baselinePeerStats.map(profileRows).getOrElse(Array.empty)
+            .filterNot(t => scoredSet(t._1)))
           .toSeq.sortBy(_._1)
         val warm: Map[String, Long] = profRows.map(t => (t._1, t._2)).toMap
         val profKinds: Seq[(String, Seq[(String, Array[Double])])] = Seq(
@@ -289,6 +294,21 @@ object Validator {
       "text_length" -> rows.map(_._3).toIndexedSeq)
   }
 
+  /** Restrict `df` to rows whose `partition` value is in `parts` — via a
+    * broadcast LEFT SEMI join against a one-column frame, never an
+    * `isin(parts: _*)` literal list: the plan stays O(1) in |parts| (an
+    * In-expression over 10^5 domain partitions is a multi-megabyte tree the
+    * optimizer walks on every rule pass), and on physically-partitioned
+    * tables Spark's dynamic partition pruning still prunes the scan off the
+    * broadcast side, so nothing is lost vs static literals.
+    */
+  private[graft] def scopeToPartitions(df: DataFrame, parts: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = parts.toDF("partition")
+    df.join(broadcast(keys), Seq("partition"), "left_semi")
+  }
+
   /** Ledger-gated run: skip partitions already `done`, mark `pending` before
     * the pass, `done` after outputs are written (ST9/S13 semantics). Returns
     * the partitions actually processed this run.
@@ -318,7 +338,14 @@ object Validator {
     // re-scans the key column of all partitions for the uniqueness pass
     // (hash-shuffled 8-byte digests) — correctness of a global invariant
     // cannot be had cheaper.
-    val scoped = wp.where(col("partition").isin(todo: _*))
+    //
+    // The scope filter is a BROADCAST SEMI-JOIN against a one-column todo
+    // frame, not `isin(todo: _*)`: --partition-col accepts any column, and
+    // at high cardinality (domain, not day) an In-expression with one
+    // literal per partition becomes a multi-megabyte plan tree that the
+    // optimizer itself chokes on. The semi-join keeps the plan O(1) in
+    // partition count; at day scale the broadcast is a few KB either way.
+    val scoped = scopeToPartitions(wp, todo)
     // Done partitions' persisted stats rows rejoin the drift baseline pool:
     // without them a resumed partition would be scored leave-one-out against
     // the PENDING SUBSET's peers only — different verdicts than an unresumed
@@ -330,8 +357,7 @@ object Validator {
       val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/column_stats")
       val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (doneSeq.isEmpty || !fs.exists(statsPath)) None
-      else Some(spark.read.parquet(statsPath.toString)
-        .where(col("partition").isin(doneSeq: _*)))
+      else Some(scopeToPartitions(spark.read.parquet(statsPath.toString), doneSeq))
     }
     val res = validate(scoped, config, baselineProfiles, globalFrame = Some(wp),
       baselinePeerStats = donePeerStats)

@@ -104,11 +104,24 @@ object AlertSink {
     json.write.mode("overwrite")
       .parquet(s"$dir/batch-${java.util.UUID.randomUUID()}")
 
-  /** Re-attempt delivery of everything in the spool: read all pending batch
+  /** Re-attempt delivery of everything in the spool: read the pending batch
     * dirs, POST (capped concurrency, bounded retry), re-spool what still
     * fails, delete the drained batch dirs. Crash ordering: the re-spool is
     * written BEFORE old dirs are deleted, so a crash can duplicate but never
     * lose alerts (at-least-once; receiver dedupes on violation_id).
+    *
+    * Crash hygiene: a crash DURING [[spool]] leaves a partial batch dir
+    * (e.g. only `_temporary`, no readable footers). Such a dir must never
+    * wedge the sink — "endpoint failure never fails the job" extends to
+    * spool-corruption failure. Two layers of defense:
+    *   1. only dirs carrying the committer's `_SUCCESS` marker are drained
+    *      (a completed [[spool]] always writes one);
+    *   2. a marked dir that still fails to read (torn file, truncation) is
+    *      QUARANTINED — renamed `quarantine-<name>` so the next drain skips
+    *      it, the rows stay on disk for the operator, and delivery of every
+    *      other batch proceeds.
+    * Partial dirs without the marker are quarantined too (their push() call
+    * never returned success, so nothing the caller relies on is lost).
     */
   def drainSpool(
       spark: SparkSession,
@@ -122,11 +135,29 @@ object AlertSink {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .map(_.getPath)
     if (batches.isEmpty) return PushResult(0L, 0L)
-    val json = spark.read.parquet(batches.map(_.toString).toSeq: _*)
+    def quarantine(p: org.apache.hadoop.fs.Path, why: String): Unit = {
+      val q = new org.apache.hadoop.fs.Path(p.getParent, s"quarantine-${p.getName}")
+      System.err.println(s"[alert-sink] spool batch ${p.getName} $why — " +
+        s"quarantined as ${q.getName}; inspect/remove manually")
+      if (!fs.rename(p, q)) fs.delete(p, true) // rename-refusing FS: drop partial
+    }
+    val (marked, partial) = batches.partition(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    partial.foreach(quarantine(_, "has no _SUCCESS marker (crashed spool write)"))
+    val readable = marked.flatMap { p =>
+      try Some(p -> spark.read.parquet(p.toString))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          quarantine(p, s"is unreadable (${e.getClass.getSimpleName})")
+          None
+      }
+    }
+    if (readable.isEmpty) return PushResult(0L, 0L)
+    val json = readable.map(_._2).reduce(_.unionByName(_))
     val (posted, failed) = postFrame(json, endpoint, conf)
     val pending = failed.count()
     if (pending > 0) spool(failed, dir) // re-spool BEFORE deleting the old
-    batches.foreach(p => fs.delete(p, true))
+    readable.foreach { case (p, _) => fs.delete(p, true) }
     PushResult(posted, pending)
   }
 
@@ -141,9 +172,9 @@ object AlertSink {
     val spark = json.sparkSession
     import spark.implicits._
     val posted = spark.sparkContext.longAccumulator("alert_posts")
-    val capped = json.coalesce(
-      math.max(1, math.min(conf.maxConcurrency,
-        json.rdd.getNumPartitions)))
+    // coalesce is already a no-op when the plan has fewer partitions than the
+    // cap — no need to instantiate the RDD lineage just to read its count
+    val capped = json.coalesce(math.max(1, conf.maxConcurrency))
     val failedRows = capped.mapPartitions { (it: Iterator[Row]) =>
       it.map(_.getString(0)).grouped(conf.batchSize).flatMap { chunk =>
         if (postChunkWithRetry(chunk, endpoint, conf)) { posted.add(1); Nil }

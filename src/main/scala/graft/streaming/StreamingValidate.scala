@@ -194,22 +194,31 @@ object StreamingValidate {
     * TRADEOFF the bound buys: `EventTimeTimeout` requires a watermark, and a
     * watermark makes Spark DROP events older than it BEFORE this function
     * runs — an event arriving more than `watermarkDelay` behind the stream's
-    * max event time produces NO alert, silently. Size `watermarkDelay` to
-    * the pipeline's real arrival lag (crawl backfill can be days, not the
-    * 1-hour default), or run the backfill through the batch validator, which
-    * sees everything. This is the same alert-loss-vs-bounded-state dial as
+    * max event time produces NO alert, silently. The default is sized for
+    * crawl reality: backfill lag routinely exceeds hours, so it is 7 DAYS —
+    * loss only begins for events a week behind the stream's frontier, while
+    * state is still bounded (eviction just trails by the same margin).
+    * Callers with tighter latency/state budgets consciously dial it down;
+    * week-plus backfills belong in the batch validator, which sees
+    * everything. This is the same alert-loss-vs-bounded-state dial as
     * the reference's maxStorageTime=0 default (unbounded, never drops).
+    * The choice is logged once per stream start so a production run's
+    * loss horizon is visible in its logs, not just in code.
     * In batch mode (`events.isStreaming == false`) watermarks/timeouts don't
     * exist; the pass sees all data at once, so eviction is moot (batch
     * retention is [[graft.operators.Retention]]'s business).
     */
   def lastKnownNormalAlerts(
       events: Dataset[PageEvent],
-      watermarkDelay: String = "1 hour",
+      watermarkDelay: String = "7 days",
       stateHorizonMs: Long = 30L * 24 * 3600 * 1000): Dataset[Alert] = {
     val spark = events.sparkSession
     import spark.implicits._
     val streaming = events.isStreaming
+    if (streaming)
+      System.err.println(s"[graft-streaming] lastKnownNormalAlerts watermark " +
+        s"= $watermarkDelay: events arriving later than this behind the " +
+        "stream frontier are dropped before alerting (state-bound tradeoff)")
     val src = if (streaming) events.withWatermark("warc_ts", watermarkDelay)
       else events
     val timeoutConf =

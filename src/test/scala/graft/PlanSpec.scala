@@ -68,6 +68,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p.take(500))
   }
 
+  test("ledger scope filter is a broadcast semi-join, not O(#partitions) In literals") {
+    import graft.engine.Validator
+    val frame = Derive.webPages(spark, dir).withColumnRenamed("part", "partition")
+    // high-cardinality scope: 50k pending partitions — the --partition-col
+    // domain case. An isin() here builds a 50k-literal In expression whose
+    // optimizer traversal alone dwarfs the query; the semi-join keeps the
+    // plan size O(1) in partition count.
+    val manyParts = (1 to 50000).map(i => s"d$i.example")
+    val scoped = Validator.scopeToPartitions(frame, manyParts)
+    val p = scoped.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains(" IN ("), "partition scope compiled to literal In list")
+    // the scoped plan must stay small — a literal isin would be megabytes
+    assert(p.length < 200000, s"scoped plan unexpectedly large: ${p.length} chars")
+  }
+
   test("fused row checks are a single scan (one parquet relation)") {
     val frame = Derive.webPages(spark, dir).withColumnRenamed("part", "partition")
     val p = graft.engine.Constraints.runRowChecks(frame,

@@ -111,6 +111,42 @@ class AlertSinkSpec extends SparkSpec {
     assert(left.isEmpty, s"spool not drained: ${left.map(_.getPath).mkString(",")}")
   }
 
+  test("corrupt/partial spool batches are quarantined, not delivery-wedging") {
+    import java.nio.file.{Files, Paths}
+    val spool = Files.createTempDirectory("alert_spool_corrupt").toString
+    val v = violations
+    val expected = v.count()
+    val fastRetry = AlertSink.HttpConf(maxRetries = 2, retryBackoffMs = 10L)
+    // one GOOD spooled batch (endpoint down → rows persist with _SUCCESS)
+    AlertSink.push(v, "http://127.0.0.1:1/alerts", fastRetry, Some(spool))
+    // a PARTIAL batch — crashed mid-spool: only _temporary, no footers
+    val partial = Paths.get(spool, "batch-partial-crash")
+    Files.createDirectories(partial.resolve("_temporary"))
+    // a MARKED-but-torn batch: _SUCCESS present, parquet file is garbage
+    val torn = Paths.get(spool, "batch-torn")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("_SUCCESS"), Array.emptyByteArray)
+    Files.write(torn.resolve("part-00000.snappy.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    // pre-fix behavior: the collective spark.read.parquet over all batch-*
+    // dirs threw AnalysisException → every future drain failed → alerts
+    // wedged forever. Now: good rows deliver, bad dirs are quarantined.
+    withServer() { (port, received) =>
+      val drained = AlertSink.drainSpool(
+        spark, spool, s"http://127.0.0.1:$port/alerts", fastRetry)
+      assert(drained.pending == 0 && drained.posted > 0, drained.toString)
+      assert(rowsIn(received.asScala.toSeq) == expected)
+    }
+    val names = Files.list(Paths.get(spool)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!names.exists(_.startsWith("batch-")), s"undrained: $names")
+    assert(names.exists(_.startsWith("quarantine-batch-partial")), names.toString)
+    assert(names.exists(_.startsWith("quarantine-batch-torn")), names.toString)
+    // quarantined rows stay on disk for the operator
+    assert(Files.exists(Paths.get(spool).resolve(
+      names.find(_.startsWith("quarantine-batch-torn")).get).resolve("_SUCCESS")))
+  }
+
   test("transient 503s are absorbed by bounded retry (no loss, no failure)") {
     withServer(failFirst = 1) { (port, received) =>
       val v = violations.coalesce(1) // one task → the 503 hits the first POST
