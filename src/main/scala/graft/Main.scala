@@ -117,11 +117,15 @@ object Main {
 
       // Incremental ingest (S3): each invocation = one poll tick — processes
       // only parquet files under <inputPath> not recorded in the checkpoint.
+      // Runs the FULL check suite per micro-batch; with --baseline, each
+      // batch is also drift-scored against the green snapshot (the
+      // reference's scoring-on-ingest, manager.go:385).
       case "ingest" =>
         val Seq(in, out) = requirePositionals(positional, 2)
         val ckpt = opts.getOrElse("checkpoint", s"$out/_checkpoint")
         val q = graft.streaming.StreamingValidate
-          .incrementalValidate(spark, in, out, ckpt)
+          .incrementalValidate(spark, in, out, ckpt,
+            baselineDir = opts.get("baseline"))
         q.awaitTermination()
         println(s"[sodspark] incremental ingest tick complete")
         spark.stop()
@@ -145,7 +149,7 @@ object Main {
   private[graft] val commandFlags: Map[String, Set[String]] = Map(
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
-    "ingest" -> Set("checkpoint"))
+    "ingest" -> Set("checkpoint", "baseline"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
     * must be in `knownFlags` and followed by a non-flag value token.
@@ -184,6 +188,6 @@ object Main {
       |      [--partition-col <col>] [--baseline <dir>]
       |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
       |      [--append-policy strict|all]
-      |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>]
+      |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>] [--baseline <dir>]
       |""".stripMargin
 }

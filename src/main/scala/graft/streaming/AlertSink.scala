@@ -35,9 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object AlertSink {
 
-  /** `posted` = successful HTTP POSTs (chunks); `pending` = rows that could
-    * not be delivered and remain in the spool (0 when spooling is off and
-    * delivery succeeded; rows are COUNTED but dropped when spooling is off).
+  /** `posted` = successful HTTP POSTs (chunks); `pending` = per-entity
+    * payload objects that could not be delivered and remain in the spool
+    * (0 when spooling is off and delivery succeeded; undeliverable payloads
+    * are COUNTED but dropped when spooling is off).
     * `posted` is an accumulator total and shares the pipeline's
     * at-least-once semantics: a task retried after its POSTs already fired
     * re-counts its chunks, so treat it as "at least this many successful
@@ -56,19 +57,25 @@ object AlertSink {
       retryBackoffMs: Long = 200L,
       maxConcurrency: Int = 64)
 
-  /** POST all rows of `violations` to `endpoint` as JSON arrays of at most
-    * `conf.batchSize` rows. With `spoolDir` set (recommended), rows are
-    * spooled to parquet BEFORE any POST and removed only on success — the
-    * reference's crash-safe bolt queue; anything undeliverable stays spooled
-    * for the next call. Never throws on endpoint failure.
+  /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
+    * reference's wire shape (alert/alert.go:56-66,125-134): each payload
+    * object is `{"entityId": <partition>, "data": [<violation rows>]}`, and
+    * a request body is a JSON array of such objects. An entity's rows are
+    * split into objects of at most `conf.batchSize` rows (a violation storm
+    * on one partition must not produce one giant payload), and a request
+    * carries at most `conf.batchSize` objects. With `spoolDir` set
+    * (recommended), payloads are spooled to parquet BEFORE any POST and
+    * removed only on success — the reference's crash-safe bolt queue;
+    * anything undeliverable stays spooled for the next call. Never throws
+    * on endpoint failure.
     */
   def push(
       violations: DataFrame,
       endpoint: String,
       conf: HttpConf = HttpConf(),
-      spoolDir: Option[String] = None): PushResult = {
-    val json = violations
-      .select(to_json(struct(violations.columns.map(col): _*)).as("j"))
+      spoolDir: Option[String] = None,
+      entityCol: String = "partition"): PushResult = {
+    val json = entityPayloads(violations, entityCol, conf.batchSize)
     spoolDir match {
       case Some(dir) =>
         spool(json, dir)
@@ -77,9 +84,9 @@ object AlertSink {
         val (posted, failed) = postFrame(json, endpoint, conf)
         val lost = failed.count()
         if (lost > 0)
-          System.err.println(s"[alert-sink] $lost alert rows undeliverable " +
-            s"and NO spoolDir configured — rows dropped (set spoolDir for " +
-            "the crash-safe queue)")
+          System.err.println(s"[alert-sink] $lost alert payloads undeliverable " +
+            s"and NO spoolDir configured — payloads dropped (set spoolDir " +
+            "for the crash-safe queue)")
         PushResult(posted, lost)
     }
   }
@@ -95,6 +102,32 @@ object AlertSink {
       spoolDir: Option[String] = None): PushResult =
     push(violations, endpoint,
       HttpConf(bearerToken, gzipBody, batchSize, timeoutMs), spoolDir)
+
+  /** Violation rows → per-entity payload objects (the reference's alert
+    * shape): rows grouped by `entityCol`, each group split into chunks of at
+    * most `batchSize` rows, one JSON object `{"entityId", "data":[...]}` per
+    * chunk. The window is partitioned by entity (never global) and ordered
+    * by the full row for deterministic chunk assignment across retries;
+    * violations are small by the validation contract, so the per-entity
+    * shuffle is metadata-scale.
+    */
+  private[streaming] def entityPayloads(
+      violations: DataFrame, entityCol: String, batchSize: Int): DataFrame = {
+    require(violations.columns.contains(entityCol),
+      s"alert frame has no '$entityCol' column to group entities by " +
+        s"(columns: ${violations.columns.mkString(", ")}); pass entityCol")
+    val dataCols = violations.columns.filterNot(_ == entityCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(violations.columns.map(col): _*)
+    violations
+      // NB: Column./ is double division — cast back to int for the chunk id
+      .withColumn("__chunk",
+        ((row_number().over(w) - 1) / math.max(1, batchSize)).cast("int"))
+      .groupBy(col(entityCol).cast("string").as("entityId"), col("__chunk"))
+      .agg(collect_list(struct(dataCols.map(col): _*)).as("data"))
+      .select(to_json(struct(col("entityId"), col("data"))).as("j"))
+  }
 
   /** Append a payload frame (single string column `j`) to the spool as its
     * own batch directory. Directory names are unique per call; row content

@@ -40,20 +40,42 @@ object StreamingValidate {
         col("row_cnt"), col("null_text"))
 
   /** Micro-batched validated sink — the write-behind buffer (ST3,
-    * db_tx_executor.go:51-79) re-expressed: each micro-batch runs the row
-    * checks and appends violations + pages to parquet in one commit cycle.
-    * Flush size/interval become the stream trigger; the "final flush on
-    * shutdown" is the stream's normal stop semantics.
+    * db_tx_executor.go:51-79) re-expressed: each micro-batch runs the FULL
+    * configured check suite and appends pages + violations + verdicts to
+    * parquet in one commit cycle. Flush size/interval become the stream
+    * trigger; the "final flush on shutdown" is the stream's normal stop
+    * semantics.
+    *
+    * CHECK-SUITE PARITY with the batch flagship: the reference scores EVERY
+    * ingested batch against the model (manager.go:385 → lof.go:106-118) —
+    * its `/collect` path is scoring-on-ingest, not validation-lite. So this
+    * sink defaults to [[graft.engine.Validator.DefaultChecks]] (stats +
+    * NotNull×3 + within-batch Unique + ByteIdenticalText) and, when
+    * `baselineDir` points at a [[graft.engine.Validator.saveBaseline]]
+    * snapshot, drift-scores each micro-batch's partitions against that green
+    * baseline — the streaming analog of scoring-on-ingest. Uniqueness here
+    * is WITHIN-batch (cross-batch uniqueness is a global table property; the
+    * batch validator owns it — same contract as ledger-resume's globalFrame).
+    * Baseline profiles are loaded ONCE at stream construction (driver-side,
+    * O(#baseline-partitions) doubles), not per batch.
     */
   def validatedSink(pages: org.apache.spark.sql.DataFrame, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      checks: Seq[graft.engine.Constraints.Check] =
+        graft.engine.Validator.DefaultChecks,
+      baselineDir: Option[String] = None): StreamingQuery = {
+    val baseline = baselineDir
+      .map(graft.engine.Validator.loadBaseline(pages.sparkSession, _))
+      .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession), batchId)
+        writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
+          batchId, checks, baseline)
       }
       .start()
+  }
 
   /** The stream's stable query id — persisted in the checkpoint, stable
     * across restarts of the same checkpoint, fresh for a new/recreated one.
@@ -74,8 +96,12 @@ object StreamingValidate {
     id
   }
 
-  /** One micro-batch of the validated sink: partition, run row checks,
-    * write pages + violations (one commit cycle = one flush, ST3).
+  /** One micro-batch of the validated sink: partition, run the FULL
+    * validation pass (stats + checks + drift vs the baseline), write pages +
+    * violations + verdicts (one commit cycle = one flush, ST3). With no
+    * baseline, drift falls back to leave-one-out across the batch's own
+    * partitions (single-partition batches get `skipped` drift verdicts —
+    * the scorers' small-baseline guards, same as the batch path's warm-up).
     *
     * Exactly-once under foreachBatch's at-least-once replay contract: each
     * batch's rows land in their own `lineage=<qid>/ingest_batch=<id>`
@@ -89,8 +115,11 @@ object StreamingValidate {
     * outDir when upgrading.
     */
   private[streaming] def writeValidatedBatch(df: DataFrame, outDir: String,
-      lineage: String, batchId: Long): Unit = {
-    import graft.engine.Constraints
+      lineage: String, batchId: Long,
+      checks: Seq[graft.engine.Constraints.Check] =
+        graft.engine.Validator.DefaultChecks,
+      baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty): Unit = {
+    import graft.engine.Validator
     if (!df.isEmpty) {
       val withPart = df.withColumn("partition",
         date_format(col("warc_ts"), "yyyy-MM-dd"))
@@ -102,11 +131,15 @@ object StreamingValidate {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("lineage", "ingest_batch").parquet(path)
       }
-      idempotent(withPart, s"$outDir/pages")
-      idempotent(
-        Constraints.runAll(withPart,
-          Seq(Constraints.NotNull("text"), Constraints.ByteIdenticalText)),
-        s"$outDir/violations")
+      // the SAME pass as batch `validate` — one fused stats+profiles agg,
+      // one fused row-check scan, within-batch uniqueness, drift scoring
+      val res = Validator.validate(withPart, Validator.Config(checks),
+        baselineProfiles)
+      try {
+        idempotent(withPart, s"$outDir/pages")
+        idempotent(res.violations, s"$outDir/violations")
+        idempotent(res.verdicts, s"$outDir/verdicts")
+      } finally res.unpersist()
     }
   }
 
@@ -142,7 +175,13 @@ object StreamingValidate {
     * DAG as the batch path.
     */
   def incrementalValidate(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      checks: Seq[graft.engine.Constraints.Check] =
+        graft.engine.Validator.DefaultChecks,
+      baselineDir: Option[String] = None): StreamingQuery = {
+    val baseline = baselineDir
+      .map(graft.engine.Validator.loadBaseline(spark, _))
+      .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
     spark.readStream
       .schema(graft.engine.WebSchema.expected)
       .parquet(inDir)
@@ -151,9 +190,11 @@ object StreamingValidate {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession), batchId)
+        writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
+          batchId, checks, baseline)
       }
       .start()
+  }
 
   /** One scored page event entering the stateful stage. */
   final case class PageEvent(
@@ -177,10 +218,36 @@ object StreamingValidate {
       norm_ts: Timestamp)
 
   /** Per-key last-known-normal alert stream. For each group (micro-batch
-    * slice of one key), events are processed in warc_ts order (explicit sort
-    * — within-batch arrival order is not guaranteed); violations emit an
-    * Alert carrying the most recent non-violating event, which may come from
-    * an earlier micro-batch (state persists).
+    * slice of one key), events are processed in warc_ts order; violations
+    * emit an Alert carrying the most recent non-violating event, which may
+    * come from an earlier micro-batch (state persists).
+    *
+    * MEMORY BOUND, batch mode: the time ordering comes from the PLAN, not
+    * from buffering — the input is repartitioned by key and sorted within
+    * partitions by (key, warc_ts, url) BEFORE the stateful operator, whose
+    * own requirements (hash-cluster by key, order by key) are then already
+    * satisfied, so Spark inserts no further exchange or sort and the group
+    * iterators arrive time-ordered (Tungsten's sort is disk-spilling, so a
+    * hot key never holds its whole input on the task heap — the previous
+    * `it.toSeq.sortBy` did exactly that and OOM'd on a domain emitting
+    * millions of events in one backfill). The fold then streams the
+    * iterator; per-key heap is O(alerts emitted), and alerts are rare by
+    * the validation contract. A sortedness guard fails LOUDLY if a future
+    * planner change ever re-plans the exchange (which would otherwise
+    * silently scramble event order).
+    *
+    * Streaming mode CANNOT use that plan: Spark's analyzer rejects every
+    * Sort on a streaming Dataset, local or global ("Sorting is not
+    * supported on streaming DataFrames/Datasets" —
+    * UnsupportedOperationChecker), so there is no way to combine sorted
+    * group iterators with a state store. There the per-key slice is
+    * buffered and sorted in the task (ArrayBuffer, sorted in place — no
+    * extra copies), and the bound is the TRIGGER: a micro-batch holds at
+    * most maxFilesPerTrigger/maxOffsetsPerTrigger worth of events, so
+    * per-key heap ≤ micro-batch size by construction — size triggers to
+    * executor heap, and route week-scale backfills through batch mode,
+    * which has the spilling plan. (The reference's iqueue has the same
+    * unbounded-within-flush shape.)
     *
     * State is BOUNDED in event time — the reference's maxStorageTime
     * eviction (internal/dispatcher/db_scheduler.go:35-48, config.go:15)
@@ -224,21 +291,46 @@ object StreamingValidate {
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    src
-      .groupByKey(_.key)
+    // Batch: pre-shuffle + in-partition sort — grouping key FIRST (the
+    // operator's required ordering is a prefix of ours → no re-sort), then
+    // event time. groupBy(col).as[K,V] (not groupByKey(lambda)) keeps the
+    // grouping expression the SAME `key` attribute the repartition hashed
+    // on, so the distribution is recognized as satisfied and no second
+    // exchange scrambles the order (StreamingSpec pins the plan shape).
+    // Streaming: the analyzer forbids any Sort on a stream — group slices
+    // are sorted in-task, bounded by the trigger (see scaladoc).
+    val grouped =
+      if (streaming) src.groupByKey(_.key)
+      else src
+        .repartition(col("key"))
+        .sortWithinPartitions(col("key"), col("warc_ts"), col("url"))
+        .groupBy(col("key")).as[String, PageEvent]
+    grouped
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        (key: String, it: Iterator[PageEvent], state: GroupState[NormalState]) => {
+        (key: String, rawIt: Iterator[PageEvent], state: GroupState[NormalState]) => {
           if (state.hasTimedOut) {
             // watermark passed this key's horizon with no new events: evict
             state.remove()
             Iterator.empty
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.warc_ts.getTime, e.url))
+            val it: Iterator[PageEvent] =
+              if (streaming) {
+                val buf = rawIt.to(scala.collection.mutable.ArrayBuffer)
+                buf.sortInPlaceBy(e => (e.warc_ts.getTime, e.url))
+                buf.iterator
+              } else rawIt // plan-ordered; folded without buffering
             var normal: Option[NormalState] = state.getOption
             val alerts = Seq.newBuilder[Alert]
             var maxTs = Long.MinValue
-            sorted.foreach { e =>
-              maxTs = math.max(maxTs, e.warc_ts.getTime)
+            it.foreach { e =>
+              val t = e.warc_ts.getTime
+              // ordering is a PLAN invariant in batch mode (see scaladoc):
+              // if it ever breaks, alerts would silently pair with the
+              // wrong "normal" — fail the task instead
+              require(t >= maxTs || maxTs == Long.MinValue,
+                s"group iterator for key '$key' is not time-ordered " +
+                  "(planner re-inserted an exchange after the pre-sort?)")
+              maxTs = math.max(maxTs, t)
               if (e.violation) {
                 alerts += Alert(key, e.url, e.warc_ts,
                   normal.map(_.url).orNull, normal.map(_.warc_ts).orNull)

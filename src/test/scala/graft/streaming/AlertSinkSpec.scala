@@ -67,9 +67,34 @@ class AlertSinkSpec extends SparkSpec {
       assert(msgs.size == res.posted)
       assert(msgs.forall(_._1 == "Bearer tok"))
       assert(rowsIn(msgs) == expected)
-      // every batch respects the size cap and is a JSON array
+      // every request body is a JSON array of per-entity objects
       assert(msgs.forall(m => m._3.startsWith("[") && m._3.endsWith("]")))
-      assert(msgs.forall(m => "\"violation_id\"".r.findAllIn(m._3).size <= 3))
+      // the size cap applies per entity object: ≤ 3 rows in each data array
+      val perObject = msgs.flatMap(_._3.split("\"entityId\"").drop(1))
+      assert(perObject.nonEmpty)
+      assert(perObject.forall(o => "\"violation_id\"".r.findAllIn(o).size <= 3))
+    }
+  }
+
+  test("payload wire shape is the reference's {entityId, data:[...]} grouping") {
+    withServer() { (port, received) =>
+      import spark.implicits._
+      val v = violations
+      val expected = v.count()
+      val parts = v.select("partition").distinct().as[String].collect().toSet
+      AlertSink.push(v, s"http://127.0.0.1:$port/alerts")
+      // parse every received body with Spark's JSON reader: top-level array
+      // of {entityId, data:[violation rows]} objects
+      val parsed = spark.read.json(received.asScala.toSeq.map(_._3).toDS())
+      assert(parsed.columns.sorted.toSeq == Seq("data", "entityId"),
+        parsed.columns.mkString(","))
+      assert(parsed.select("entityId").as[String].collect().toSet == parts)
+      import org.apache.spark.sql.functions.{explode, col => c}
+      val rows = parsed.select(c("entityId"), explode(c("data")).as("d"))
+      assert(rows.count() == expected)
+      // each data row carries the violation fields; entity equals its partition
+      assert(rows.where(c("d.violation_id").isNull).count() == 0)
+      assert(rows.where(c("d.check_name") =!= "not_null_text").count() == 0)
     }
   }
 
@@ -91,12 +116,15 @@ class AlertSinkSpec extends SparkSpec {
     val v = violations
     val expected = v.count()
     val fastRetry = AlertSink.HttpConf(maxRetries = 2, retryBackoffMs = 10L)
+    // with the default batchSize each entity (partition) is one payload
+    // object; `pending` counts payload objects, not rows
+    val expectedObjects = v.select("partition").distinct().count()
     // port 1 refuses connections — the reference's down-sink scenario; the
     // pre-r3 sink threw inside foreachPartition and FAILED the whole job
     val down = AlertSink.push(v, "http://127.0.0.1:1/alerts", fastRetry, Some(spool))
-    assert(down.posted == 0 && down.pending == expected, down.toString)
+    assert(down.posted == 0 && down.pending == expectedObjects, down.toString)
     val pending = spark.read.parquet(s"$spool/batch-*")
-    assert(pending.count() == expected)
+    assert(pending.count() == expectedObjects)
     // endpoint recovers → drain delivers everything and empties the spool
     withServer() { (port, received) =>
       val drained = AlertSink.drainSpool(

@@ -176,6 +176,52 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("different layout"), e.getMessage)
   }
 
+  test("ingest parity: within-batch duplicate url AND drift-vs-baseline surface as verdicts") {
+    import java.nio.file.Files
+    import graft.engine.Validator
+    import graft.fixtures.WebGen
+    val base = Files.createTempDirectory("ingest_baseline").toString + "/b"
+    val in = Files.createTempDirectory("ingest_parity_in").toString
+    val out = Files.createTempDirectory("ingest_parity_out").toString
+    val ckpt = Files.createTempDirectory("ingest_parity_ckpt").toString
+    // green baseline from a clean corpus (ST7 snapshot)
+    Validator.saveBaseline(
+      WebGen.generate(spark, 3000).withColumnRenamed("p_day", "partition"), base)
+    // incoming batch: lang-drifted day + one duplicated url
+    val cols = Seq("url", "warc_ts", "html", "text", "lang").map(col)
+    val drifted = WebGen.generate(spark, 3000,
+      flags = WebGen.Flags(langDriftDay = Some("2025-07-01")))
+      .where(col("p_day") === "2025-07-01").select(cols: _*)
+    drifted.unionByName(drifted.orderBy("url").limit(1))
+      .write.mode("overwrite").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+      baselineDir = Some(base)).awaitTermination()
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    // pre-parity, ingest ran a hardcoded 2-check suite: no uniqueness, no
+    // drift — silently weaker than batch `validate` on the same data
+    assert(verdicts.where(col("check_name") === "unique_url" &&
+      !col("passed")).count() == 1, "within-batch duplicate url not flagged")
+    assert(verdicts.where(col("check_name") === "drift_zscore_lang" &&
+      !col("passed")).count() == 1, "lang drift vs green baseline not scored")
+    val v = spark.read.parquet(s"$out/violations")
+    assert(v.where(col("check_name") === "unique_url").count() == 1)
+  }
+
+  test("batch-mode stateful alerts: plan-sorted groups, single exchange (no per-key buffer)") {
+    val events = Seq(
+      PageEvent("k1", "n1", ts("2025-07-01 00:00:01"), violation = false),
+      PageEvent("k1", "v1", ts("2025-07-01 00:00:02"), violation = true)
+    ).toDS()
+    val plan = lastKnownNormalAlerts(events).queryExecution.executedPlan.toString
+    // ONE exchange (the explicit repartition by key); a second one would mean
+    // the planner ignored our distribution and re-scrambled the pre-sort —
+    // the fold's sortedness require() would then fail at runtime too
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n${plan.take(1500)}")
+    // the (single) sort must carry event time, not just the grouping key
+    assert("Sort \\[key[^\\]]*warc_ts".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
+
   test("last-known-normal: batch mode, events ordered by time within key") {
     val events = Seq(
       PageEvent("k1", "v0", ts("2025-07-01 00:00:00"), violation = true), // before any normal
