@@ -80,7 +80,7 @@ object Main {
           case Some(ledgerDir) =>
             val runId = opts.getOrElse("run", "run-" + java.util.UUID.randomUUID())
             val processed = Validator.runWithLedger(
-              wp, new Ledger(ledgerDir), runId, out, baselineProfiles = baseline)
+              wp, Ledger(ledgerDir), runId, out, baselineProfiles = baseline)
             println(s"[sodspark] processed partitions: ${processed.size}")
             spark.read.parquet(s"$out/verdicts").where(!col("passed")).count()
           case None =>
@@ -184,7 +184,7 @@ object Main {
 
   private val usage =
     """usage:
-      |  graft.Main validate <inputPath> <outDir> [--ledger <dir>] [--run <id>]
+      |  graft.Main validate <inputPath> <outDir> [--ledger <dir|file.jsonl>] [--run <id>]
       |      [--partition-col <col>] [--baseline <dir>]
       |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
       |      [--append-policy strict|all]

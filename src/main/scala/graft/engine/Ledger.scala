@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -14,23 +14,48 @@ import scala.jdk.CollectionConverters._
   * `done`, re-run `pending`; outputs are idempotent (deterministic violation
   * ids), so replay is exactly-once in effect.
   *
-  * Storage: one tiny JSON file per partition under `<root>/<partitionKey>.json`,
-  * written atomically (temp file + ATOMIC_MOVE). This is the local-FS stand-in
-  * for an Iceberg snapshot/commit; at cluster scale the same interface backs
-  * onto an Iceberg `ledger` table where the atomic unit is the table commit
-  * (SURVEY §7.5 risk 4 — partition-atomic semantics preserved).
+  * Two storage backends, selected by [[Ledger.apply]]:
+  *   - [[FileLedger]] (a directory): one tiny JSON file per partition,
+  *     written atomically (temp file + ATOMIC_MOVE). Human-greppable, ideal
+  *     at day granularity (O(10²–10³) partitions).
+  *   - [[LogLedger]] (a path ending `.jsonl`): ONE append-only JSONL log for
+  *     the whole run, last entry per partition wins. At 10⁵+ partitions
+  *     (--partition-col domain) the per-file backend costs one
+  *     open/write/rename per mark and a full directory listing per resume;
+  *     the log costs one O(line) append per mark and one sequential read
+  *     per resume. Crash mid-append leaves at most one torn trailing line,
+  *     which replay skips — the partition simply stays in its previous
+  *     state (`pending` → re-run → idempotent outputs, same recovery
+  *     contract as the reference's bulkLoad).
   *
-  * The ledger is driver-side metadata: O(#partitions) entries, never O(rows).
+  * Either way the ledger is driver-side metadata: O(#partitions) entries,
+  * never O(rows). At cluster scale the same interface backs onto an Iceberg
+  * `ledger` table where the atomic unit is the table commit (SURVEY §7.5
+  * risk 4 — partition-atomic semantics preserved).
   */
-final class Ledger(root: String) {
+trait Ledger {
 
-  private val dir: Path = Paths.get(root)
-  Files.createDirectories(dir)
+  def write(e: Ledger.Entry): Unit
 
-  // partition keys may contain chars unfit for filenames; encode them.
-  private def fileFor(partition: String): Path =
-    dir.resolve(
-      java.net.URLEncoder.encode(partition, StandardCharsets.UTF_8.name()) + ".json")
+  def markPending(partition: String, run: String): Unit =
+    write(Ledger.Entry(partition, "pending", -1L, -1L, run))
+
+  def markDone(partition: String, rowCnt: Long, nViolations: Long, run: String): Unit =
+    write(Ledger.Entry(partition, "done", rowCnt, nViolations, run))
+
+  def read(partition: String): Option[Ledger.Entry]
+
+  /** Every partition's CURRENT entry, sorted by partition. */
+  def all(): Seq[Ledger.Entry]
+
+  /** Partitions safe to skip on resume (bulkLoad's Processed branch,
+    * manager.go:326-333).
+    */
+  def donePartitions(): Set[String] =
+    all().filter(_.status == "done").map(_.partition).toSet
+}
+
+object Ledger {
 
   final case class Entry(
       partition: String,
@@ -40,13 +65,20 @@ final class Ledger(root: String) {
       updatedRun: String
   )
 
-  private def render(e: Entry): String = {
+  /** Backend selection: a path ending `.jsonl` is the single-file log
+    * (10⁵+-partition scale); anything else is the file-per-partition
+    * directory (default, human-greppable).
+    */
+  def apply(root: String): Ledger =
+    if (root.endsWith(".jsonl")) new LogLedger(root) else new FileLedger(root)
+
+  private[engine] def render(e: Entry): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""{"partition":${q(e.partition)},"status":${q(e.status)},"row_cnt":${e.rowCnt},""" +
       s""""n_violations":${e.nViolations},"updated_run":${q(e.updatedRun)}}"""
   }
 
-  private def field(json: String, name: String): String = {
+  private[engine] def field(json: String, name: String): String = {
     val m = ("\"" + name + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[-0-9.]+)").r
       .findFirstMatchIn(json)
     m.map(_.group(1)).map { v =>
@@ -56,34 +88,51 @@ final class Ledger(root: String) {
     }.getOrElse("")
   }
 
-  def write(e: Entry): Unit = {
+  /** None when the line is structurally unusable (torn append / not JSON) —
+    * callers skip it; a torn ledger line only ever un-records the very last
+    * mark, which resume semantics already tolerate.
+    */
+  private[engine] def parse(json: String): Option[Entry] = {
+    if (!json.trim.endsWith("}")) return None // torn append
+    val p = field(json, "partition")
+    val status = field(json, "status")
+    if (p.isEmpty || status.isEmpty) None
+    else
+      try Some(Entry(p, status,
+        field(json, "row_cnt").toDouble.toLong,
+        field(json, "n_violations").toDouble.toLong,
+        field(json, "updated_run")))
+      catch { case _: NumberFormatException => None }
+  }
+}
+
+/** Directory backend: `<root>/<urlencoded-partition>.json`, atomic replace
+  * per mark. See [[Ledger]] for when to prefer [[LogLedger]].
+  */
+final class FileLedger(root: String) extends Ledger {
+
+  private val dir: Path = Paths.get(root)
+  Files.createDirectories(dir)
+
+  // partition keys may contain chars unfit for filenames; encode them.
+  private def fileFor(partition: String): Path =
+    dir.resolve(
+      java.net.URLEncoder.encode(partition, StandardCharsets.UTF_8.name()) + ".json")
+
+  def write(e: Ledger.Entry): Unit = {
     val tmp = Files.createTempFile(dir, ".ledger", ".tmp")
-    Files.write(tmp, render(e).getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, Ledger.render(e).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, fileFor(e.partition), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def markPending(partition: String, run: String): Unit =
-    write(Entry(partition, "pending", -1L, -1L, run))
-
-  def markDone(partition: String, rowCnt: Long, nViolations: Long, run: String): Unit =
-    write(Entry(partition, "done", rowCnt, nViolations, run))
-
-  def read(partition: String): Option[Entry] = {
+  def read(partition: String): Option[Ledger.Entry] = {
     val f = fileFor(partition)
     if (!Files.exists(f)) None
-    else {
-      val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      Some(Entry(
-        field(json, "partition"),
-        field(json, "status"),
-        field(json, "row_cnt").toDouble.toLong,
-        field(json, "n_violations").toDouble.toLong,
-        field(json, "updated_run")))
-    }
+    else Ledger.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
   }
 
-  def all(): Seq[Entry] = {
+  def all(): Seq[Ledger.Entry] = {
     // Files.list must be closed (it holds a directory fd); parse the JSON we
     // already read instead of a redundant read(p) round-trip.
     val stream = Files.list(dir)
@@ -91,24 +140,96 @@ final class Ledger(root: String) {
       stream.iterator().asScala
         .filter(_.toString.endsWith(".json"))
         .flatMap { f =>
-          val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-          val p = field(json, "partition")
-          if (p.isEmpty) None
-          else Some(Entry(
-            p,
-            field(json, "status"),
-            field(json, "row_cnt").toDouble.toLong,
-            field(json, "n_violations").toDouble.toLong,
-            field(json, "updated_run")))
+          Ledger.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
         }
         .toSeq
         .sortBy(_.partition)
     } finally stream.close()
   }
+}
 
-  /** Partitions safe to skip on resume (bulkLoad's Processed branch,
-    * manager.go:326-333).
+/** Single-file backend: an append-only JSONL log, one line per mark, LAST
+  * line per partition wins. O(1) I/O ops per mark, one sequential scan per
+  * resume — the right shape at 10⁵+ partitions where the directory backend's
+  * one-file-per-partition listing becomes the bottleneck.
+  *
+  * Single writer per run (the scheme's standing assumption, as with
+  * [[FileLedger]] and TableIO). [[compact]] rewrites the log to one line per
+  * partition via temp-file + atomic move; it runs automatically when the log
+  * accumulates > [[LogLedger.AutoCompactSlack]] superseded lines, so a
+  * long-lived re-validating daemon cannot grow the log without bound.
+  */
+final class LogLedger(path: String) extends Ledger {
+
+  private val file: Path = Paths.get(path)
+  Option(file.getParent).foreach(Files.createDirectories(_))
+
+  // Torn-tail repair: a crash mid-append leaves a partial line with no
+  // newline; a subsequent append would MERGE into it, corrupting the first
+  // post-crash mark. Terminate the torn line once at open — replay already
+  // skips it as unparseable.
+  if (Files.exists(file) && Files.size(file) > 0) {
+    val ch = java.nio.channels.FileChannel.open(file, StandardOpenOption.READ)
+    val lastByte =
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1)
+        ch.read(buf, Files.size(file) - 1)
+        buf.get(0)
+      } finally ch.close()
+    if (lastByte != '\n'.toByte)
+      Files.write(file, "\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.APPEND)
+  }
+
+  // appended marks since the last compaction opportunity; seeded from the
+  // current log so restarts keep honest counts without re-reading per write
+  private var linesInLog: Long = if (Files.exists(file)) replay().size.toLong else 0L
+
+  private def replayAll(): Seq[Ledger.Entry] =
+    if (!Files.exists(file)) Seq.empty
+    else {
+      val lines = Files.readAllLines(file, StandardCharsets.UTF_8).asScala
+      lines.flatMap(Ledger.parse).toSeq
+    }
+
+  /** Last entry per partition, in log order. */
+  private def replay(): Seq[Ledger.Entry] = {
+    val last = scala.collection.mutable.LinkedHashMap.empty[String, Ledger.Entry]
+    replayAll().foreach(e => last(e.partition) = e)
+    last.values.toSeq
+  }
+
+  def write(e: Ledger.Entry): Unit = {
+    Files.write(file,
+      (Ledger.render(e) + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    linesInLog += 1
+    if (linesInLog > LogLedger.AutoCompactSlack &&
+        linesInLog > 2L * replay().size) compact()
+  }
+
+  def read(partition: String): Option[Ledger.Entry] =
+    replay().find(_.partition == partition)
+
+  def all(): Seq[Ledger.Entry] = replay().sortBy(_.partition)
+
+  /** Rewrite the log to one (current) line per partition, atomically. */
+  def compact(): Unit = {
+    val entries = replay()
+    val tmp = Files.createTempFile(
+      Option(file.getParent).getOrElse(Paths.get(".")), ".ledger", ".tmp")
+    Files.write(tmp,
+      entries.map(Ledger.render).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    linesInLog = entries.size.toLong
+  }
+}
+
+object LogLedger {
+  /** Appends tolerated beyond one-line-per-partition before auto-compaction
+    * considers rewriting (keeps tiny ledgers from compacting constantly).
     */
-  def donePartitions(): Set[String] =
-    all().filter(_.status == "done").map(_.partition).toSet
+  val AutoCompactSlack = 10000L
 }

@@ -46,9 +46,26 @@ object TableIO {
     val scheme = Option(p.toUri.getScheme).getOrElse("file").toLowerCase
     require(!ObjectStoreSchemes.contains(scheme),
       s"TableIO's rename-swap commit is not atomic on '$scheme://' object " +
-        "stores — deploy the table as an Iceberg catalog table there " +
-        "(snapshot commit), or stage on an HDFS-compatible filesystem")
+        "stores — set spark.graft.tableio.commitMode=manifest (single-PUT " +
+        "manifest-pointer commits, readers via TableIO.readTable) or deploy " +
+        "the table as an Iceberg catalog table there (snapshot commit)")
   }
+
+  /** Spark conf selecting the commit scheme: `rename` (default — partition
+    * dirs swapped in place, plain `spark.read.parquet(table)` readers) or
+    * `manifest` (immutable snapshot dirs + one `_manifest.json` pointer
+    * written as a single PUT — the atomic primitive object stores do have;
+    * readers resolve via [[readTable]]).
+    */
+  val CommitModeConf = "spark.graft.tableio.commitMode"
+
+  /** `rename` (default): manifest pointer committed via temp-file + rename.
+    * `direct`: committed via a single overwrite-create — the object-store
+    * PUT model, for stores where even the small-file rename is copy+delete.
+    */
+  val ManifestPutConf = "spark.graft.tableio.manifestPut"
+
+  private val ManifestName = "_manifest.json"
 
   /** Write `df` into `table`, replacing exactly the partitions present in
     * `df` and leaving every other partition byte-untouched. Returns the
@@ -70,6 +87,8 @@ object TableIO {
       partitionCol: String = "partition",
       computed: Option[Seq[String]] = None): Seq[String] = {
     val spark = df.sparkSession
+    if (spark.conf.get(CommitModeConf, "rename") == "manifest")
+      return writePartitionsManifest(df, table, partitionCol, computed)
     val tablePath = new Path(table)
     requireRenameAtomicFs(tablePath)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,6 +135,136 @@ object TableIO {
     } finally {
       fs.delete(staging, true)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Manifest-pointer commit mode (object-store-correct)
+  // ------------------------------------------------------------------
+
+  /** The manifest-pointer commit: data lands in IMMUTABLE snapshot dirs
+    * (`.snap-<uuid>/partition=X/`), and one small `_manifest.json` maps each
+    * live partition value to the snapshot dir holding its current files.
+    * A commit = write new snapshot dirs + write ONE new manifest; the
+    * manifest write is the only atomic primitive required, and a single-key
+    * PUT is exactly what object stores guarantee. Unchanged partitions keep
+    * their old pointers (zero data movement, zero renames of data files —
+    * rename-free by construction, so copy+delete rename semantics cannot
+    * break atomicity); computed-but-empty partitions are dropped from the
+    * manifest (the delete semantics of the rename path). A crash before the
+    * manifest write leaves readers on the previous manifest — the table
+    * never shows a partial commit. Superseded snapshot dirs become garbage
+    * collected by [[vacuum]] (run it after in-flight readers drain — the
+    * same grace contract as Iceberg's expire_snapshots).
+    *
+    * Readers use [[readTable]] (plain `spark.read.parquet(table)` sees no
+    * data — snapshot dirs are dot-prefixed precisely so half-written ones
+    * are invisible). This is the demonstration-grade stand-in for an
+    * Iceberg snapshot commit; at production scale prefer Iceberg, which
+    * adds file-level manifests and concurrent-writer conflict detection.
+    */
+  private def writePartitionsManifest(
+      df: DataFrame,
+      table: String,
+      partitionCol: String,
+      computed: Option[Seq[String]]): Seq[String] = {
+    val spark = df.sparkSession
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(tablePath)
+    val prior = readManifest(spark, table)
+    val snapName = s".snap-${java.util.UUID.randomUUID()}"
+    val snap = new Path(tablePath, snapName)
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(snap.toString)
+    val staged =
+      if (!fs.exists(snap)) Array.empty[String]
+      else fs.listStatus(snap)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+        .map(_.getPath.getName)
+    val committed = staged.map(n =>
+      ExternalCatalogUtils.unescapePathName(n.substring(partitionCol.length + 1)))
+    val emptyComputed = computed.getOrElse(Seq.empty).toSet -- committed
+    val entries = (prior -- emptyComputed) ++ committed.map(_ -> snapName)
+    writeManifest(spark, table, entries)
+    committed.toSeq.sorted
+  }
+
+  /** Current partition → snapshot-dir mapping; empty when no manifest. */
+  private[engine] def readManifest(
+      spark: org.apache.spark.sql.SparkSession, table: String): Map[String, String] = {
+    val mp = new Path(new Path(table), ManifestName)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) return Map.empty
+    val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
+    val in = fs.open(mp)
+    try in.readFully(0, buf) finally in.close()
+    val json = new String(buf, "UTF-8")
+    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    def unq(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    pair.findAllMatchIn(json)
+      .map(m => (unq(m.group(1)), unq(m.group(2))))
+      .filter(_._2.startsWith(".snap-")) // skip header fields
+      .toMap
+  }
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      table: String, entries: Map[String, String]): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = entries.toSeq.sortBy(_._1)
+      .map { case (p, d) => s"${q(p)}:${q(d)}" }
+      .mkString("{\"version\":1,\"entries\":{", ",", "}}")
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(tablePath, ManifestName)
+    if (spark.conf.get(ManifestPutConf, "rename") == "direct") {
+      // the PUT model: one overwrite-create, no rename at all — object
+      // stores make the new object visible atomically at close
+      val out = fs.create(dest, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    } else {
+      val tmp = new Path(tablePath, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new IOException(s"cannot commit manifest $dest")
+    }
+  }
+
+  /** Read a manifest-committed table: resolve `_manifest.json`, load each
+    * referenced snapshot once (grouped — one read job per snapshot, not per
+    * partition) with only its LIVE partition dirs, and union. Falls back to
+    * a plain parquet read when no manifest exists, so the same call reads
+    * rename-mode tables too.
+    */
+  def readTable(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): DataFrame = {
+    val entries = readManifest(spark, table)
+    if (entries.isEmpty) return spark.read.parquet(table)
+    val bySnap = entries.groupBy(_._2)
+    bySnap.toSeq.sortBy(_._1).map { case (snapName, parts) =>
+      val base = new Path(new Path(table), snapName).toString
+      val dirs = parts.keys.toSeq.sorted.map(p =>
+        s"$base/$partitionCol=${ExternalCatalogUtils.escapePathName(p)}")
+      // basePath keeps the hive partition column in the schema
+      spark.read.option("basePath", base).parquet(dirs: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Delete snapshot dirs no longer referenced by the current manifest.
+    * Run once concurrent readers that resolved an OLDER manifest have
+    * drained (the operator-scheduled grace, as with Iceberg snapshot
+    * expiry); until then old snapshots keep serving those readers.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, table: String): Seq[String] = {
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tablePath)) return Seq.empty
+    val live = readManifest(spark, table).values.toSet
+    fs.listStatus(tablePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".snap-") &&
+        !live.contains(s.getPath.getName))
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .toSeq.sorted
   }
 
   /** Restore partitions whose swap crashed between the two renames: a

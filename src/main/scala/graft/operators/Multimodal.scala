@@ -203,6 +203,26 @@ object Multimodal {
       .getOrElse(base)
   }
 
+  /** Codec plug point: the pipeline (schema, batching, aggregation) is
+    * decoder-agnostic — inject a real codec stage (javacv, a Pandas-UDF
+    * bridge) here without touching [[decodeMeta]] or anything downstream.
+    * Implementations MUST be Serializable (the instance ships to executors)
+    * and total over untrusted bytes (never throw on a corrupt payload —
+    * return a fallback meta instead; this is a data-quality engine over
+    * crawl bytes).
+    */
+  trait Decoder extends Serializable {
+    def decode(url: String, bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Default decoder: real header metadata (image dims / WAV / MP4) with the
+    * deterministic fake for codec-level fields — the honest sandbox stub.
+    */
+  object HeaderDecoder extends Decoder {
+    def decode(url: String, bytes: Array[Byte]): MediaMeta =
+      Multimodal.decode(url, bytes)
+  }
+
   /** Per-partition batched decode of (key, url, payload) rows. `mapPartitions`
     * (the documented last resort, used deliberately: imperative per-record
     * byte work that no built-in expresses) — one decoder instance per
@@ -210,13 +230,14 @@ object Multimodal {
     * The grouping key rides along so no join-back is needed (urls may
     * legitimately duplicate; a join on url would multiply rows).
     */
-  def decodeMeta(df: DataFrame, keyCol: String, urlCol: String, binCol: String): DataFrame = {
+  def decodeMeta(df: DataFrame, keyCol: String, urlCol: String, binCol: String,
+      decoder: Decoder = HeaderDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol), col(urlCol), col(binCol))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it => it.map { case (k, u, b) =>
-        (k, decode(u, if (b == null) Array.emptyByteArray else b)) } }
+        (k, decoder.decode(u, if (b == null) Array.emptyByteArray else b)) } }
       .toDF("partition", "meta")
       .select(col("partition"), col("meta.*"))
   }

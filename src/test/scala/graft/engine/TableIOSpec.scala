@@ -70,6 +70,103 @@ class TableIOSpec extends SparkSpec {
     assert(parts == Set("<global>", "2025-07-01"))
   }
 
+  /** Run `body` with manifest commits on (optionally with the direct-PUT
+    * manifest write — the zero-rename path object stores need).
+    */
+  private def withManifestMode(put: String = "rename")(body: => Unit): Unit = {
+    spark.conf.set(TableIO.CommitModeConf, "manifest")
+    spark.conf.set(TableIO.ManifestPutConf, put)
+    try body
+    finally {
+      spark.conf.unset(TableIO.CommitModeConf)
+      spark.conf.unset(TableIO.ManifestPutConf)
+    }
+  }
+
+  test("manifest mode: atomic swap semantics match rename mode, zero data renames") {
+    withManifestMode(put = "direct") { // direct PUT: the whole commit path is
+      val t = table() //                  create/list/delete — rename-free, so
+      //                                  copy+delete rename semantics can't hurt
+      TableIO.writePartitionsAtomic(
+        frame(Seq(("a", "x", 1L), ("b", "y", 2L), ("c", "z", 3L))), t)
+      // same contract as the rename path: replace a, delete computed-empty b,
+      // leave uncomputed c alone
+      val committed = TableIO.writePartitionsAtomic(
+        frame(Seq(("a", "x2", 10L))), t, computed = Some(Seq("a", "b")))
+      assert(committed == Seq("a"))
+      val out = TableIO.readTable(spark, t).orderBy("partition")
+        .select("partition", "k", "v").as[(String, String, Long)].collect().toSeq
+      assert(out == Seq(("a", "x2", 10L), ("c", "z", 3L)), out.toString)
+      // plain readers see NOTHING half-written: snapshot dirs are dot-hidden
+      // and the only visible state transition is the single manifest PUT
+      val visible = Files.list(Paths.get(t)).iterator()
+      val names = Iterator.continually(visible).takeWhile(_.hasNext)
+        .map(_.next().getFileName.toString).toSet
+      assert(names.forall(n => n.startsWith(".snap-") || n == "_manifest.json" ||
+        n.endsWith(".crc")), // Hadoop local-FS checksum sidecar, dot-hidden
+        names.toString)
+    }
+  }
+
+  test("manifest mode: crash before the manifest write leaves readers on the old snapshot") {
+    withManifestMode() {
+      val t = table()
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "old", 1L))), t)
+      val before = TableIO.readTable(spark, t)
+        .select("k").as[String].collect().toSeq
+      // simulate: a second commit crashed after writing its snapshot dir but
+      // BEFORE the manifest PUT — the stray dir must be invisible to readers
+      val stray = Paths.get(t, ".snap-crashed/partition=a")
+      Files.createDirectories(stray)
+      Files.write(stray.resolve("part-0.parquet"), Array[Byte](9, 9, 9))
+      assert(TableIO.readTable(spark, t)
+        .select("k").as[String].collect().toSeq == before)
+      // vacuum reclaims the unreferenced snapshot, keeps the live one
+      val removed = TableIO.vacuum(spark, t)
+      assert(removed == Seq(".snap-crashed"), removed.toString)
+      assert(TableIO.readTable(spark, t)
+        .select("k").as[String].collect().toSeq == before)
+    }
+  }
+
+  test("manifest mode: superseded snapshots serve old readers until vacuum") {
+    withManifestMode() {
+      val t = table()
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "v1", 1L), ("b", "y", 2L))), t)
+      val oldManifest = TableIO.readManifest(spark, t)
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "v2", 2L))), t)
+      // a reader that resolved the OLD manifest still reads consistent v1
+      // data: its snapshot dir is untouched by the new commit
+      val oldSnapA = Paths.get(t, oldManifest("a"), "partition=a")
+      assert(Files.exists(oldSnapA), "old snapshot deleted mid-flight")
+      // current readers see v2 + untouched b (pointer carried forward)
+      val out = TableIO.readTable(spark, t).orderBy("partition")
+        .select("partition", "k").as[(String, String)].collect().toSeq
+      assert(out == Seq(("a", "v2"), ("b", "y")))
+      // after readers drain: vacuum drops only fully-superseded snapshots;
+      // the first snapshot still carries live partition b, so it SURVIVES
+      assert(TableIO.vacuum(spark, t).isEmpty)
+      assert(TableIO.readTable(spark, t).count() == 2)
+    }
+  }
+
+  test("manifest mode: escaped partition values round-trip through the manifest") {
+    withManifestMode(put = "direct") {
+      val t = table()
+      TableIO.writePartitionsAtomic(
+        frame(Seq(("<global>", "g", 1L), ("2025-07-01", "d", 2L))), t)
+      val parts = TableIO.readTable(spark, t).select("partition").distinct()
+        .as[String].collect().toSet
+      assert(parts == Set("<global>", "2025-07-01"))
+    }
+  }
+
+  test("readTable falls back to a plain parquet read on rename-mode tables") {
+    val t = table()
+    TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t)
+    assert(TableIO.readTable(spark, t).count() == 1)
+  }
+
   test("crash between the two swap renames is recovered from trash") {
     val t = table()
     TableIO.writePartitionsAtomic(frame(Seq(("a", "old", 1L))), t)

@@ -76,7 +76,7 @@ class ValidatorSpec extends SparkSpec {
       .withColumnRenamed("p_day", "partition")
     val cfg = Validator.Config(Seq(Constraints.NotNull("text")), driftEnabled = false)
 
-    val ledger = new Ledger(tmp)
+    val ledger = Ledger(tmp)
     val first = Validator.runWithLedger(wp, ledger, "run1", out1, cfg)
     assert(first.nonEmpty)
     // all partitions now done → resume does nothing
@@ -92,13 +92,29 @@ class ValidatorSpec extends SparkSpec {
     // determinism: a fresh full run writes identical violation ids
     val outA = Files.createTempDirectory("outA").toString
     val outB = Files.createTempDirectory("outB").toString
-    Validator.runWithLedger(wp, new Ledger(Files.createTempDirectory("lA").toString), "a", outA, cfg)
-    Validator.runWithLedger(wp, new Ledger(Files.createTempDirectory("lB").toString), "b", outB, cfg)
+    Validator.runWithLedger(wp, Ledger(Files.createTempDirectory("lA").toString), "a", outA, cfg)
+    Validator.runWithLedger(wp, Ledger(Files.createTempDirectory("lB").toString), "b", outB, cfg)
     val va = spark.read.parquet(s"$outA/violations")
       .orderBy("violation_id").select("violation_id").as[String].collect().toSeq
     val vb = spark.read.parquet(s"$outB/violations")
       .orderBy("violation_id").select("violation_id").as[String].collect().toSeq
     assert(va == vb && va.nonEmpty)
+  }
+
+  test("ledger resume works identically on the single-file JSONL backend") {
+    val log = Files.createTempDirectory("ledger_jsonl").toString + "/run.jsonl"
+    val out = Files.createTempDirectory("out_jsonl").toString
+    val wp = WebGen.generate(spark, 5000L, flags = WebGen.Flags(nullText = true))
+      .withColumnRenamed("p_day", "partition")
+    val cfg = Validator.Config(Seq(Constraints.NotNull("text")), driftEnabled = false)
+    val ledger = Ledger(log)
+    assert(ledger.isInstanceOf[LogLedger])
+    val first = Validator.runWithLedger(wp, ledger, "run1", out, cfg)
+    assert(first.nonEmpty)
+    assert(Validator.runWithLedger(wp, ledger, "run2", out, cfg).isEmpty)
+    ledger.markPending(first.head, "crash")
+    val third = Validator.runWithLedger(wp, ledger, "run3", out, cfg)
+    assert(third == Seq(first.head))
   }
 
   test("ledger resume into the SAME outDir preserves done partitions' outputs") {
@@ -107,7 +123,7 @@ class ValidatorSpec extends SparkSpec {
     val wp = WebGen.generate(spark, 5000L, flags = WebGen.Flags(nullText = true))
       .withColumnRenamed("p_day", "partition")
     val cfg = Validator.Config(Seq(Constraints.NotNull("text")), driftEnabled = false)
-    val ledger = new Ledger(tmp)
+    val ledger = Ledger(tmp)
 
     val first = Validator.runWithLedger(wp, ledger, "run1", out, cfg)
     assert(first.size > 1)
@@ -160,7 +176,7 @@ class ValidatorSpec extends SparkSpec {
       page("B", "https://b/3", "2025-07-02 00:00:02"))
     val wp = rows.toDF("partition", "url", "warc_ts", "html", "text", "lang")
     val cfg = Validator.Config(Seq(Constraints.Unique("url")), driftEnabled = false)
-    val ledger = new Ledger(ledgerDir)
+    val ledger = Ledger(ledgerDir)
     val first = Validator.runWithLedger(wp, ledger, "r1", out, cfg)
     assert(first.sorted == Seq("A", "B"))
     def globalDups() = spark.read.parquet(s"$out/violations")
@@ -211,7 +227,7 @@ class ValidatorSpec extends SparkSpec {
       flags = WebGen.Flags(langDriftDay = Some("2025-07-03")))
       .withColumnRenamed("p_day", "partition")
     val cfg = Validator.Config(Seq(Constraints.NotNull("text")))
-    val ledger = new Ledger(tmp)
+    val ledger = Ledger(tmp)
     Validator.runWithLedger(wp, ledger, "run1", out, cfg)
     def langVerdicts() = spark.read.parquet(s"$out/verdicts")
       .where(col("check_name") === "drift_zscore_lang") // lang: exact, KLL-free

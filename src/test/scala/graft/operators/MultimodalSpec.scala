@@ -26,6 +26,29 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getLong(1) == htmlLen)
   }
 
+  test("a custom Decoder injects without touching the pipeline (codec plug point)") {
+    // a toy codec stage standing in for javacv / a Pandas-UDF bridge: the
+    // same plumbing (schema, partition batching, downstream agg) must carry
+    // its output unchanged
+    object ToyDecoder extends Multimodal.Decoder {
+      def decode(url: String, bytes: Array[Byte]): Multimodal.MediaMeta =
+        Multimodal.MediaMeta(url, bytes.length.toLong, "toy-sha", 7, 9, 0.5,
+          "toycodec", sample_rate = 44100, channels = 2, duration_ms = 1234L)
+    }
+    val meta = Multimodal.decodeMeta(pages, "partition", "url", "html", ToyDecoder)
+    assert(meta.count() == 200)
+    assert(meta.select("format").distinct().as[String].collect().toSeq ==
+      Seq("toycodec"))
+    assert(meta.where(col("width") === 7 && col("height") === 9 &&
+      col("duration_ms") === 1234L).count() == 200)
+    // downstream aggregation consumes the injected decoder's output as-is
+    val stats = Multimodal.metaStats(meta)
+    assert(stats.select("min_width").as[Int].collect().forall(_ == 7))
+    // and the DEFAULT decoder path is unchanged by the plug point's existence
+    val dflt = Multimodal.decodeMeta(pages, "partition", "url", "html")
+    assert(dflt.where(col("format") === "toycodec").count() == 0)
+  }
+
   test("metaStats aggregates per partition") {
     val meta = Multimodal.decodeMeta(pages, "partition", "url", "html")
     val stats = Multimodal.metaStats(meta)
