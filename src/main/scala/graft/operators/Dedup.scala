@@ -153,30 +153,21 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Verify payload = 64-bit shingle hashes, not shingle strings: exact
-    // Jaccard over distinct hash sets equals Jaccard over distinct shingle
-    // sets up to a ~2^-64 collision (and the payload is ~3× smaller).
-    val shUdf = udf((t: String) => shingleHashes(t, shingleN))
+    // First pass computes ONLY the 64-long signature per doc (one streamed
+    // shingle-hash UDF). Shingle SETS — the verify payload — are deferred to
+    // the candidate stage below: the previous shape computed them here for
+    // every doc (a second full tokenization pass) and localCheckpointed the
+    // whole corpus's shingle arrays, pinning O(corpus × |sh|) executor
+    // memory to feed a verify that touches O(candidates) rows. At 10^12
+    // docs that checkpoint IS the corpus; now nothing row-scale is
+    // materialized.
     val sig = df.select(
       id.as("id"),
-      shUdf(text).as("sh"),
       minhashSignature(text, shingleN, numHashes).as("mh"))
 
     // Band key = (band index, hash of that band's slice of the signature).
-    // The band explosion/self-join carries ONLY ids — shingle arrays would
-    // multiply the shuffle by bands×|sh|; they are re-attached to the deduped
-    // candidate pairs afterwards (two cheap hash joins).
-    // localCheckpoint, not cache(): it is consumed by two joins (compute
-    // once), and its blocks are released by the ContextCleaner as soon as
-    // the plan is unreferenced — a cache() entry would pin executor memory
-    // until someone remembers to unpersist (leak in a long-running pipeline).
-    // Tradeoff: localCheckpoint TRUNCATES lineage — if an executor holding
-    // checkpoint blocks dies mid-job (spot nodes / dynamic allocation), the
-    // job fails instead of recomputing. Cluster deploys that expect executor
-    // churn should prefer reliable checkpointing (set a checkpoint dir) or
-    // accept the job-level retry; the validation pass is idempotent either
-    // way (deterministic rows + ledger resume).
-    val shingleSets = sig.select(col("id"), col("sh")).localCheckpoint(true)
+    // The band explosion carries ONLY ids — shingle arrays would multiply
+    // the shuffle by bands×|sh|.
     val banded = sig.select(
       col("id"),
       posexplode(transform(
@@ -185,13 +176,36 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
 
+    // Materialize the candidate id pairs ONCE: they are consumed twice
+    // below (candidate-id extraction AND the verify joins), and without the
+    // checkpoint each consumer would re-run the whole signature pass +
+    // candidate shuffle as a separate job. The frame is tiny — bucketCap
+    // bounds it — so this pins O(candidates), never O(corpus).
     val idPairs = cappedBucketPairs(banded, Seq("band", "band_sig"), bucketCap)
-    val pairs = idPairs
-      .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .localCheckpoint(true)
 
-    val out = verifyJaccard(pairs, threshold)
-    out
+    // Verify payload = 64-bit shingle hashes, not shingle strings: exact
+    // Jaccard over distinct hash sets equals Jaccard over distinct shingle
+    // sets up to a ~2^-64 collision (and the payload is ~3× smaller).
+    // Computed ONLY for candidate ids (rare by the near-dup contract, and
+    // hard-bounded by bucketCap): one broadcast semi-join prunes the base
+    // scan to candidates before the UDF runs. localCheckpoint(true), not
+    // cache(): consumed by two joins (compute once), blocks released by the
+    // ContextCleaner with the plan — and it is O(candidates), never
+    // O(corpus). Lineage-truncation tradeoff: an executor death mid-job
+    // fails the (idempotent, ledger-resumable) job instead of recomputing.
+    val shUdf = udf((t: String) => shingleHashes(t, shingleN))
+    val candIds = idPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candSh = df.select(id.as("id"), text.as("__t"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"), shUdf(col("__t")).as("sh"))
+      .localCheckpoint(true)
+    val pairs = idPairs
+      .join(candSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(candSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+
+    verifyJaccard(pairs, threshold)
   }
 
   /** Capped within-bucket candidate pairs WITHOUT a bucket self-join.
