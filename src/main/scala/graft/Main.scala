@@ -82,7 +82,10 @@ object Main {
             val processed = Validator.runWithLedger(
               wp, Ledger(ledgerDir), runId, out, baselineProfiles = baseline)
             println(s"[sodspark] processed partitions: ${processed.size}")
-            spark.read.parquet(s"$out/verdicts").where(!col("passed")).count()
+            // readTable: resolves the manifest when commitMode=manifest,
+            // plain parquet read otherwise
+            graft.engine.TableIO.readTable(spark, s"$out/verdicts")
+              .where(!col("passed")).count()
           case None =>
             val res = Validator.validate(wp, baselineProfiles = baseline)
             try {

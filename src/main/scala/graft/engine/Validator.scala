@@ -357,7 +357,12 @@ object Validator {
       val statsPath = new org.apache.hadoop.fs.Path(s"$outDir/column_stats")
       val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (doneSeq.isEmpty || !fs.exists(statsPath)) None
-      else Some(scopeToPartitions(spark.read.parquet(statsPath.toString), doneSeq))
+      // readTable, not read.parquet: under the manifest commit mode the
+      // data lives in dot-hidden snapshot dirs a plain read cannot see —
+      // a plain read here would silently return an EMPTY peer pool and
+      // resumed drift verdicts would diverge from unresumed runs
+      else Some(scopeToPartitions(
+        TableIO.readTable(spark, statsPath.toString), doneSeq))
     }
     val res = validate(scoped, config, baselineProfiles, globalFrame = Some(wp),
       baselinePeerStats = donePeerStats)

@@ -245,6 +245,37 @@ class ValidatorSpec extends SparkSpec {
     assert(!resumed("2025-07-03")._1, "drift day lost its flag on resume")
   }
 
+  test("manifest commit mode: ledger resume + drift peers end-to-end via readTable") {
+    // the object-store deploy shape: every output table commits via the
+    // manifest pointer. Resume must (a) skip done partitions, (b) read done
+    // partitions' column_stats back THROUGH the manifest for the drift peer
+    // pool (a plain parquet read sees nothing under a manifest table and
+    // would silently empty the peers), (c) keep verdicts byte-stable.
+    spark.conf.set(TableIO.CommitModeConf, "manifest")
+    try {
+      val tmp = Files.createTempDirectory("ledger_manifest").toString
+      val out = Files.createTempDirectory("out_manifest").toString
+      val wp = WebGen.generate(spark, N,
+        flags = WebGen.Flags(langDriftDay = Some("2025-07-03")))
+        .withColumnRenamed("p_day", "partition")
+      val cfg = Validator.Config(Seq(Constraints.NotNull("text")))
+      val ledger = Ledger(tmp)
+      Validator.runWithLedger(wp, ledger, "run1", out, cfg)
+      def langVerdicts() = TableIO.readTable(spark, s"$out/verdicts")
+        .where(col("check_name") === "drift_zscore_lang")
+        .select("partition", "passed", "score")
+        .as[(String, Boolean, Double)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val fresh = langVerdicts()
+      assert(!fresh("2025-07-03")._1, "drift day not flagged under manifest mode")
+      ledger.markPending("2025-07-03", "crash")
+      val rerun = Validator.runWithLedger(wp, ledger, "run2", out, cfg)
+      assert(rerun == Seq("2025-07-03"))
+      assert(langVerdicts() == fresh,
+        "manifest-mode resume changed drift verdicts (empty peer pool?)")
+    } finally spark.conf.unset(TableIO.CommitModeConf)
+  }
+
   test("repeated validate + unpersist leaves no cached RDDs behind") {
     // the long-lived-driver (`ingest` loop) shape: each pass caches its
     // stats/violations; Result.unpersist must release them or executor
