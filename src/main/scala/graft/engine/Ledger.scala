@@ -181,9 +181,28 @@ final class LogLedger(path: String) extends Ledger {
         StandardOpenOption.APPEND)
   }
 
-  // appended marks since the last compaction opportunity; seeded from the
-  // current log so restarts keep honest counts without re-reading per write
-  private var linesInLog: Long = if (Files.exists(file)) replay().size.toLong else 0L
+  // In-memory counters kept in lockstep with the file so the auto-compact
+  // decision is O(1) per write — an earlier revision called replay() (a full
+  // file re-read) inside the write-path guard, which made every append past
+  // the slack threshold O(log size): exactly the quadratic blowup this
+  // backend exists to avoid at 10^5+ partitions. `linesInLog` counts RAW
+  // lines (incl. superseded and torn ones — the bloat being measured);
+  // `knownPartitions` tracks distinct keys (driver-side O(#partitions)
+  // strings, the same budget the interface already implies).
+  private var linesInLog: Long = 0L
+  private val knownPartitions = scala.collection.mutable.HashSet.empty[String]
+  if (Files.exists(file)) {
+    val lines = Files.readAllLines(file, StandardCharsets.UTF_8).asScala
+    linesInLog = lines.size.toLong
+    lines.flatMap(Ledger.parse).foreach(e => knownPartitions += e.partition)
+    // a bloated log is compacted at OPEN, not lazily: a restarted daemon
+    // must not carry a 100×-superseded log for another slack-period
+    if (shouldCompact) compact()
+  }
+
+  private def shouldCompact: Boolean =
+    linesInLog > LogLedger.AutoCompactSlack &&
+      linesInLog > 2L * math.max(1, knownPartitions.size)
 
   private def replayAll(): Seq[Ledger.Entry] =
     if (!Files.exists(file)) Seq.empty
@@ -204,8 +223,8 @@ final class LogLedger(path: String) extends Ledger {
       (Ledger.render(e) + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     linesInLog += 1
-    if (linesInLog > LogLedger.AutoCompactSlack &&
-        linesInLog > 2L * replay().size) compact()
+    knownPartitions += e.partition
+    if (shouldCompact) compact()
   }
 
   def read(partition: String): Option[Ledger.Entry] =
@@ -224,6 +243,8 @@ final class LogLedger(path: String) extends Ledger {
     Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     linesInLog = entries.size.toLong
+    knownPartitions.clear()
+    entries.foreach(e => knownPartitions += e.partition)
   }
 }
 

@@ -59,9 +59,12 @@ object TableIO {
     */
   val CommitModeConf = "spark.graft.tableio.commitMode"
 
-  /** `rename` (default): manifest pointer committed via temp-file + rename.
-    * `direct`: committed via a single overwrite-create — the object-store
-    * PUT model, for stores where even the small-file rename is copy+delete.
+  /** `rename` (default on rename-atomic filesystems): manifest pointer
+    * committed via temp-file + atomic OVERWRITE rename (FileContext —
+    * never a delete-then-rename window). `direct`: committed via a single
+    * overwrite-create — the object-store PUT model. On object-store
+    * schemes the default flips to `direct` automatically, so setting
+    * commitMode=manifest alone is a correct object-store deployment.
     */
   val ManifestPutConf = "spark.graft.tableio.manifestPut"
 
@@ -184,38 +187,64 @@ object TableIO {
       ExternalCatalogUtils.unescapePathName(n.substring(partitionCol.length + 1)))
     val emptyComputed = computed.getOrElse(Seq.empty).toSet -- committed
     val entries = (prior -- emptyComputed) ++ committed.map(_ -> snapName)
-    writeManifest(spark, table, entries)
+    writeManifest(spark, table, entries, df.schema)
     committed.toSeq.sorted
+  }
+
+  /** Raw manifest JSON, None when the table has no manifest. */
+  private def manifestJson(
+      spark: org.apache.spark.sql.SparkSession, table: String): Option[String] = {
+    val mp = new Path(new Path(table), ManifestName)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) return None
+    val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
+    val in = fs.open(mp)
+    try in.readFully(0, buf) finally in.close()
+    Some(new String(buf, "UTF-8"))
+  }
+
+  private def unq(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def parseEntries(json: String): Map[String, String] = {
+    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    pair.findAllMatchIn(json)
+      .map(m => (unq(m.group(1)), unq(m.group(2))))
+      .filter(_._2.startsWith(".snap-")) // skip header fields (schema etc.)
+      .toMap
+  }
+
+  private def parseSchema(json: String): Option[org.apache.spark.sql.types.StructType] = {
+    val m = "\"schema\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(json)
+    m.flatMap { g =>
+      try Some(org.apache.spark.sql.types.DataType.fromJson(unq(g.group(1)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Current partition → snapshot-dir mapping; empty when no manifest. */
   private[engine] def readManifest(
-      spark: org.apache.spark.sql.SparkSession, table: String): Map[String, String] = {
-    val mp = new Path(new Path(table), ManifestName)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp)) return Map.empty
-    val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
-    val in = fs.open(mp)
-    try in.readFully(0, buf) finally in.close()
-    val json = new String(buf, "UTF-8")
-    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-    def unq(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-    pair.findAllMatchIn(json)
-      .map(m => (unq(m.group(1)), unq(m.group(2))))
-      .filter(_._2.startsWith(".snap-")) // skip header fields
-      .toMap
-  }
+      spark: org.apache.spark.sql.SparkSession, table: String): Map[String, String] =
+    manifestJson(spark, table).map(parseEntries).getOrElse(Map.empty)
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      table: String, entries: Map[String, String]): Unit = {
+      table: String, entries: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json = entries.toSeq.sortBy(_._1)
       .map { case (p, d) => s"${q(p)}:${q(d)}" }
-      .mkString("{\"version\":1,\"entries\":{", ",", "}}")
+      // the schema rides in the manifest so an all-partitions-empty table
+      // (healthiest state a violations table can be in) still reads back
+      // as an empty frame with the right columns instead of a failed
+      // schema inference over dot-hidden dirs
+      .mkString(s"""{"version":1,"schema":${q(schema.json)},"entries":{""", ",", "}}")
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(tablePath, ManifestName)
-    if (spark.conf.get(ManifestPutConf, "rename") == "direct") {
+    val scheme = Option(tablePath.toUri.getScheme).getOrElse("file").toLowerCase
+    val putMode = spark.conf.get(ManifestPutConf,
+      if (ObjectStoreSchemes.contains(scheme)) "direct" else "rename")
+    if (putMode == "direct") {
       // the PUT model: one overwrite-create, no rename at all — object
       // stores make the new object visible atomically at close
       val out = fs.create(dest, true)
@@ -224,9 +253,12 @@ object TableIO {
       val tmp = new Path(tablePath, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest))
-        throw new IOException(s"cannot commit manifest $dest")
+      // OVERWRITE rename via FileContext — one atomic metadata op. The
+      // earlier delete-then-rename left a window (crash or concurrent
+      // reader between the two) where the table had NO manifest at all.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tablePath.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 
@@ -238,8 +270,19 @@ object TableIO {
     */
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: String = "partition"): DataFrame = {
-    val entries = readManifest(spark, table)
-    if (entries.isEmpty) return spark.read.parquet(table)
+    val json = manifestJson(spark, table)
+    if (json.isEmpty) return spark.read.parquet(table) // rename-mode table
+    val entries = parseEntries(json.get)
+    if (entries.isEmpty) {
+      // a manifest table whose every partition is currently empty (e.g. a
+      // violations table on a clean corpus): read back as an empty frame
+      // with the schema the manifest recorded — a plain parquet read here
+      // would fail schema inference over the dot-hidden snapshot dirs
+      return parseSchema(json.get)
+        .map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(spark.emptyDataFrame)
+    }
     val bySnap = entries.groupBy(_._2)
     bySnap.toSeq.sortBy(_._1).map { case (snapName, parts) =>
       val base = new Path(new Path(table), snapName).toString

@@ -197,8 +197,13 @@ object Dedup {
     val shUdf = udf((t: String) => shingleHashes(t, shingleN))
     val candIds = idPairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // no broadcast() hint: candIds is usually tiny (AQE broadcasts it from
+    // the checkpointed size stats), but GLOBALLY it is only bounded by
+    // #docs-in-any-candidate-pair — a high-duplication corpus can push it
+    // past the broadcast limit, and a forced hint would OOM the driver
+    // where a shuffle semi-join degrades gracefully
     val candSh = df.select(id.as("id"), text.as("__t"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shUdf(col("__t")).as("sh"))
       .localCheckpoint(true)
     val pairs = idPairs

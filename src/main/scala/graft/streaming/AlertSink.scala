@@ -168,20 +168,29 @@ object AlertSink {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .map(_.getPath)
     if (batches.isEmpty) return PushResult(0L, 0L)
-    def quarantine(p: org.apache.hadoop.fs.Path, why: String): Unit = {
+    // `mayDrop`: when the quarantine rename itself fails, an UNMARKED dir
+    // (no _SUCCESS — its push() never returned, so the caller holds the
+    // rows) may be deleted; a MARKED dir holds rows the caller was told
+    // are safely spooled, so on a rename-refusing FS it is LEFT IN PLACE —
+    // re-warned on every drain rather than ever lost (the "can duplicate,
+    // never lose" contract outranks log noise).
+    def quarantine(p: org.apache.hadoop.fs.Path, why: String,
+        mayDrop: Boolean): Unit = {
       val q = new org.apache.hadoop.fs.Path(p.getParent, s"quarantine-${p.getName}")
       System.err.println(s"[alert-sink] spool batch ${p.getName} $why — " +
         s"quarantined as ${q.getName}; inspect/remove manually")
-      if (!fs.rename(p, q)) fs.delete(p, true) // rename-refusing FS: drop partial
+      if (!fs.rename(p, q) && mayDrop) fs.delete(p, true)
     }
     val (marked, partial) = batches.partition(p =>
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-    partial.foreach(quarantine(_, "has no _SUCCESS marker (crashed spool write)"))
+    partial.foreach(quarantine(_,
+      "has no _SUCCESS marker (crashed spool write)", mayDrop = true))
     val readable = marked.flatMap { p =>
       try Some(p -> spark.read.parquet(p.toString))
       catch {
         case scala.util.control.NonFatal(e) =>
-          quarantine(p, s"is unreadable (${e.getClass.getSimpleName})")
+          quarantine(p, s"is unreadable (${e.getClass.getSimpleName})",
+            mayDrop = false)
           None
       }
     }

@@ -68,6 +68,26 @@ class LedgerSpec extends AnyFunSuite {
     assert(Ledger(path).donePartitions() == Set("A", "B"))
   }
 
+  test("log backend: bloated logs auto-compact on the write path AND at open") {
+    val path = Files.createTempDirectory("ledger_auto").toString + "/run.jsonl"
+    val l = new LogLedger(path)
+    // 3 partitions re-marked far past the slack: compaction must fire
+    // mid-stream (O(1) counters decide — no per-write file re-read)
+    (1 to LogLedger.AutoCompactSlack.toInt + 200)
+      .foreach(i => l.markPending(s"p${i % 3}", "r"))
+    assert(Files.readAllLines(Paths.get(path)).size < 1000)
+    assert(l.all().map(_.partition).sorted == Seq("p0", "p1", "p2"))
+    // a bloated log from a PREVIOUS process (write-path compaction never
+    // fired in this one) compacts at open
+    val entry = """{"partition":"q","status":"pending","row_cnt":-1,"n_violations":-1,"updated_run":"r"}"""
+    Files.write(Paths.get(path),
+      (Seq.fill(LogLedger.AutoCompactSlack.toInt + 100)(entry) :+ "")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val reopened = new LogLedger(path)
+    assert(Files.readAllLines(Paths.get(path)).size == 1)
+    assert(reopened.all().map(_.partition) == Seq("q"))
+  }
+
   test("log backend: compaction rewrites to one line per partition, state intact") {
     val path = Files.createTempDirectory("ledger_compact").toString + "/run.jsonl"
     val l = new LogLedger(path)

@@ -161,6 +161,21 @@ class TableIOSpec extends SparkSpec {
     }
   }
 
+  test("manifest mode: an all-empty commit reads back as an empty frame WITH schema") {
+    withManifestMode() {
+      val t = table()
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t)
+      // the healthiest state a violations table reaches: every computed
+      // partition now empty → manifest has zero entries. Pre-fix this fell
+      // through to a plain parquet read over dot-hidden dirs and threw.
+      TableIO.writePartitionsAtomic(frame(Seq.empty[(String, String, Long)]),
+        t, computed = Some(Seq("a")))
+      val out = TableIO.readTable(spark, t)
+      assert(out.count() == 0)
+      assert(out.columns.toSeq == Seq("partition", "k", "v"), out.columns.toSeq)
+    }
+  }
+
   test("readTable falls back to a plain parquet read on rename-mode tables") {
     val t = table()
     TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t)
