@@ -128,7 +128,8 @@ object Main {
         val ckpt = opts.getOrElse("checkpoint", s"$out/_checkpoint")
         val q = graft.streaming.StreamingValidate
           .incrementalValidate(spark, in, out, ckpt,
-            baselineDir = opts.get("baseline"))
+            baselineDir = opts.get("baseline"),
+            alertEndpoint = opts.get("alert-endpoint"))
         q.awaitTermination()
         println(s"[sodspark] incremental ingest tick complete")
         spark.stop()
@@ -152,7 +153,7 @@ object Main {
   private[graft] val commandFlags: Map[String, Set[String]] = Map(
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
-    "ingest" -> Set("checkpoint", "baseline"))
+    "ingest" -> Set("checkpoint", "baseline", "alert-endpoint"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
     * must be in `knownFlags` and followed by a non-flag value token.
@@ -192,5 +193,7 @@ object Main {
       |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
       |      [--append-policy strict|all]
       |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>] [--baseline <dir>]
+      |      [--alert-endpoint <url>]   (per-batch {entityId,data} alert POSTs,
+      |                                  spooled crash-safe under <outDir>/_alert_spool)
       |""".stripMargin
 }

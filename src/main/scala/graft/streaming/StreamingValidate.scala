@@ -63,7 +63,8 @@ object StreamingValidate {
       checkpointDir: String,
       checks: Seq[graft.engine.Constraints.Check] =
         graft.engine.Validator.DefaultChecks,
-      baselineDir: Option[String] = None): StreamingQuery = {
+      baselineDir: Option[String] = None,
+      alertEndpoint: Option[String] = None): StreamingQuery = {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(pages.sparkSession, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
@@ -72,7 +73,7 @@ object StreamingValidate {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
-          batchId, checks, baseline)
+          batchId, checks, baseline, alertEndpoint)
       }
       .start()
   }
@@ -118,7 +119,8 @@ object StreamingValidate {
       lineage: String, batchId: Long,
       checks: Seq[graft.engine.Constraints.Check] =
         graft.engine.Validator.DefaultChecks,
-      baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty): Unit = {
+      baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty,
+      alertEndpoint: Option[String] = None): Unit = {
     import graft.engine.Validator
     if (!df.isEmpty) {
       val withPart = df.withColumn("partition",
@@ -139,6 +141,20 @@ object StreamingValidate {
         idempotent(withPart, s"$outDir/pages")
         idempotent(res.violations, s"$outDir/violations")
         idempotent(res.verdicts, s"$outDir/verdicts")
+        // scoring-on-ingest ALERTS (the reference's collect→score→alert
+        // loop, manager.go:385 → alert/alert.go): push this batch's
+        // violations per entity, spooled under the output dir so a down
+        // endpoint loses nothing and the next batch's push retries the
+        // spool. AlertSink.push never throws — alert failure must not
+        // fail the ingest commit (the reference's isolation contract).
+        // Runs AFTER the violations write: an alert is only ever sent for
+        // a violation that is already durably recorded (replay of the
+        // batch re-sends; receivers dedupe on violation_id).
+        alertEndpoint.foreach { ep =>
+          if (!res.violations.isEmpty)
+            AlertSink.push(res.violations, ep,
+              spoolDir = Some(s"$outDir/_alert_spool"))
+        }
       } finally res.unpersist()
     }
   }
@@ -178,7 +194,8 @@ object StreamingValidate {
       checkpointDir: String,
       checks: Seq[graft.engine.Constraints.Check] =
         graft.engine.Validator.DefaultChecks,
-      baselineDir: Option[String] = None): StreamingQuery = {
+      baselineDir: Option[String] = None,
+      alertEndpoint: Option[String] = None): StreamingQuery = {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(spark, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
@@ -191,7 +208,7 @@ object StreamingValidate {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
-          batchId, checks, baseline)
+          batchId, checks, baseline, alertEndpoint)
       }
       .start()
   }

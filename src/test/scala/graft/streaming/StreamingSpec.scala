@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -205,6 +207,56 @@ class StreamingSpec extends SparkSpec {
       !col("passed")).count() == 1, "lang drift vs green baseline not scored")
     val v = spark.read.parquet(s"$out/violations")
     assert(v.where(col("check_name") === "unique_url").count() == 1)
+  }
+
+  test("scoring-on-ingest alerts: per-entity POSTs during ingest; down endpoint spools, next tick drains") {
+    import java.net.InetSocketAddress
+    import java.nio.file.Files
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val in = Files.createTempDirectory("alert_ingest_in").toString
+    val out = Files.createTempDirectory("alert_ingest_out").toString
+    val ckpt = Files.createTempDirectory("alert_ingest_ckpt").toString
+    def pages(ids: Range) = ids.map { i =>
+      (s"https://x/$i", ts(s"2025-07-01 00:00:0${i % 10}"),
+        s"<p>$i</p>".getBytes("UTF-8"),
+        if (i % 2 == 0) null else s"doc $i", "en") // null-text violations
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+    val received = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/alerts", (ex: HttpExchange) => {
+      received.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val ep = s"http://127.0.0.1:${server.getAddress.getPort}/alerts"
+      // tick 1, endpoint UP: this batch's violations arrive per entity
+      pages(0 until 10).write.mode("append").parquet(in)
+      StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+        alertEndpoint = Some(ep)).awaitTermination()
+      val bodies = received.asScala.mkString
+      assert("\"violation_id\"".r.findAllIn(bodies).size >= 5, bodies.take(300))
+      assert(bodies.contains("\"entityId\":\"2025-07-01\""), bodies.take(300))
+      assert(bodies.contains("not_null_text"))
+      received.clear()
+      // tick 2, endpoint DOWN: ingest still succeeds, alerts spool
+      pages(100 until 110).write.mode("append").parquet(in)
+      StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+        alertEndpoint = Some("http://127.0.0.1:1/alerts")).awaitTermination()
+      val spool = new org.apache.hadoop.fs.Path(s"$out/_alert_spool")
+      val fs = spool.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(spool) && fs.listStatus(spool)
+        .exists(_.getPath.getName.startsWith("batch-")), "alerts not spooled")
+      // tick 3, endpoint BACK: this batch's push drains the spool too
+      pages(200 until 210).write.mode("append").parquet(in)
+      StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+        alertEndpoint = Some(ep)).awaitTermination()
+      val later = received.asScala.mkString
+      assert("\"violation_id\"".r.findAllIn(later).size >= 10,
+        "spooled tick-2 alerts were not drained on recovery")
+      assert(!fs.listStatus(spool).exists(_.getPath.getName.startsWith("batch-")))
+    } finally server.stop(0)
   }
 
   test("batch-mode stateful alerts: plan-sorted groups, single exchange (no per-key buffer)") {
