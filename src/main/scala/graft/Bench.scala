@@ -94,6 +94,10 @@ object Bench {
       // timed window.
       fullSuite(spark, wpDir)
 
+      // warm the sentinel's own plan once (it is a different plan shape
+      // than the suite, so its first run pays codegen — r4's first artifact
+      // showed before=0.61 vs after=0.34 purely from that compile)
+      noiseSentinel(spark, wpDir)
       val sentinelBefore = noiseSentinel(spark, wpDir)
 
       // Min of N reps per query (the minimum is the plan cost; ambient noise

@@ -134,6 +134,16 @@ object Main {
         println(s"[sodspark] incremental ingest tick complete")
         spark.stop()
 
+      // Manifest-table maintenance: reclaim snapshot dirs superseded by
+      // later commits (run after in-flight readers drain — Iceberg's
+      // expire_snapshots contract). No-op on rename-mode tables.
+      case "vacuum" =>
+        val Seq(table) = requirePositionals(positional, 1)
+        val removed = graft.engine.TableIO.vacuum(spark, table)
+        println(s"[sodspark] vacuumed ${removed.size} snapshot(s)" +
+          (if (removed.isEmpty) "" else s": ${removed.mkString(", ")}"))
+        spark.stop()
+
       case other =>
         System.err.println(s"unknown command: $other\n$usage")
         sys.exit(64)
@@ -153,7 +163,8 @@ object Main {
   private[graft] val commandFlags: Map[String, Set[String]] = Map(
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
-    "ingest" -> Set("checkpoint", "baseline", "alert-endpoint"))
+    "ingest" -> Set("checkpoint", "baseline", "alert-endpoint"),
+    "vacuum" -> Set.empty)
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
     * must be in `knownFlags` and followed by a non-flag value token.
@@ -195,5 +206,6 @@ object Main {
       |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>] [--baseline <dir>]
       |      [--alert-endpoint <url>]   (per-batch {entityId,data} alert POSTs,
       |                                  spooled crash-safe under <outDir>/_alert_spool)
+      |  graft.Main vacuum <table>      (reclaim superseded manifest-mode snapshots)
       |""".stripMargin
 }
