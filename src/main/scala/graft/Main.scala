@@ -139,7 +139,11 @@ object Main {
       // expire_snapshots contract). No-op on rename-mode tables.
       case "vacuum" =>
         val Seq(table) = requirePositionals(positional, 1)
-        val removed = graft.engine.TableIO.vacuum(spark, table)
+        // default 24h grace protects a concurrent writer's staged-but-not-
+        // yet-published snapshot; 0 only when no writer can be in flight
+        val graceMs = (opts.getOrElse("grace-hours", "24").toDouble
+          * 3600 * 1000).toLong
+        val removed = graft.engine.TableIO.vacuum(spark, table, graceMs)
         println(s"[sodspark] vacuumed ${removed.size} snapshot(s)" +
           (if (removed.isEmpty) "" else s": ${removed.mkString(", ")}"))
         spark.stop()
@@ -164,7 +168,7 @@ object Main {
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint"),
-    "vacuum" -> Set.empty)
+    "vacuum" -> Set("grace-hours"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
     * must be in `knownFlags` and followed by a non-flag value token.
@@ -206,6 +210,7 @@ object Main {
       |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>] [--baseline <dir>]
       |      [--alert-endpoint <url>]   (per-batch {entityId,data} alert POSTs,
       |                                  spooled crash-safe under <outDir>/_alert_spool)
-      |  graft.Main vacuum <table>      (reclaim superseded manifest-mode snapshots)
+      |  graft.Main vacuum <table> [--grace-hours <h>]
+      |      (reclaim superseded manifest-mode snapshots older than the grace)
       |""".stripMargin
 }

@@ -46,9 +46,9 @@ object TableIO {
     val scheme = Option(p.toUri.getScheme).getOrElse("file").toLowerCase
     require(!ObjectStoreSchemes.contains(scheme),
       s"TableIO's rename-swap commit is not atomic on '$scheme://' object " +
-        "stores — set spark.graft.tableio.commitMode=manifest (single-PUT " +
-        "manifest-pointer commits, readers via TableIO.readTable) or deploy " +
-        "the table as an Iceberg catalog table there (snapshot commit)")
+        "stores — set spark.graft.tableio.commitMode=manifest (write-once " +
+        "versioned manifest commits, readers via TableIO.readTable) or " +
+        "deploy the table as an Iceberg catalog table there (snapshot commit)")
   }
 
   /** Spark conf selecting the commit scheme: `rename` (default — partition
@@ -59,16 +59,28 @@ object TableIO {
     */
   val CommitModeConf = "spark.graft.tableio.commitMode"
 
-  /** `rename` (default on rename-atomic filesystems): manifest pointer
-    * committed via temp-file + atomic OVERWRITE rename (FileContext —
-    * never a delete-then-rename window). `direct`: committed via a single
-    * overwrite-create — the object-store PUT model. On object-store
-    * schemes the default flips to `direct` automatically, so setting
-    * commitMode=manifest alone is a correct object-store deployment.
+  /** Manifest files are VERSIONED AND IMMUTABLE: each commit creates
+    * `_manifest-<zero-padded version>.json` under a fresh name and readers
+    * resolve the highest-numbered COMPLETE one (a `"complete":true`
+    * terminator is the last thing written, so a torn write is structurally
+    * distinguishable and skipped). This is the only publication scheme
+    * that is crash-safe on BOTH filesystem families: overwrite-rename is
+    * delete-then-rename inside Hadoop's own AbstractFileSystem (verified
+    * against hadoop-client-api — a crash between the two leaves NO
+    * manifest), and overwrite-create truncates before writing (a reader or
+    * crash mid-write sees a partial file). Write-once names have neither
+    * window; the previous version keeps serving readers until the new one
+    * is complete. Commits prune versions older than the previous one (one
+    * version of reader grace, same contract as snapshot dirs).
     */
-  val ManifestPutConf = "spark.graft.tableio.manifestPut"
+  private val ManifestPrefix = "_manifest-"
 
-  private val ManifestName = "_manifest.json"
+  private def manifestFileName(version: Long): String =
+    f"$ManifestPrefix$version%020d.json"
+
+  private def manifestVersionOf(name: String): Option[Long] =
+    if (!name.startsWith(ManifestPrefix) || !name.endsWith(".json")) None
+    else name.substring(ManifestPrefix.length, name.length - 5).toLongOption
 
   /** Write `df` into `table`, replacing exactly the partitions present in
     * `df` and leaving every other partition byte-untouched. Returns the
@@ -191,17 +203,30 @@ object TableIO {
     committed.toSeq.sorted
   }
 
+  /** Newest COMPLETE manifest's (version, JSON); None when the table has
+    * none. Torn/incomplete versions (no `"complete":true` terminator — a
+    * crashed write) are skipped, falling back to the previous version.
+    */
+  private def newestManifest(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Long, String)] = {
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tablePath)) return None
+    val versions = fs.listStatus(tablePath)
+      .flatMap(s => manifestVersionOf(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(-_._1)
+    versions.iterator.map { case (v, p) =>
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      (v, new String(buf, "UTF-8"))
+    }.find(_._2.trim.endsWith("\"complete\":true}"))
+  }
+
   /** Raw manifest JSON, None when the table has no manifest. */
   private def manifestJson(
-      spark: org.apache.spark.sql.SparkSession, table: String): Option[String] = {
-    val mp = new Path(new Path(table), ManifestName)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp)) return None
-    val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
-    val in = fs.open(mp)
-    try in.readFully(0, buf) finally in.close()
-    Some(new String(buf, "UTF-8"))
-  }
+      spark: org.apache.spark.sql.SparkSession, table: String): Option[String] =
+    newestManifest(spark, table).map(_._2)
 
   private def unq(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
 
@@ -236,30 +261,23 @@ object TableIO {
       // the schema rides in the manifest so an all-partitions-empty table
       // (healthiest state a violations table can be in) still reads back
       // as an empty frame with the right columns instead of a failed
-      // schema inference over dot-hidden dirs
-      .mkString(s"""{"version":1,"schema":${q(schema.json)},"entries":{""", ",", "}}")
+      // schema inference over dot-hidden dirs. `"complete":true` is the
+      // LAST token written — the torn-write detector readers key on.
+      .mkString(s"""{"version":1,"schema":${q(schema.json)},"entries":{""",
+        ",", """},"complete":true}""")
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dest = new Path(tablePath, ManifestName)
-    val scheme = Option(tablePath.toUri.getScheme).getOrElse("file").toLowerCase
-    val putMode = spark.conf.get(ManifestPutConf,
-      if (ObjectStoreSchemes.contains(scheme)) "direct" else "rename")
-    if (putMode == "direct") {
-      // the PUT model: one overwrite-create, no rename at all — object
-      // stores make the new object visible atomically at close
-      val out = fs.create(dest, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-    } else {
-      val tmp = new Path(tablePath, s"$ManifestName.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      // OVERWRITE rename via FileContext — one atomic metadata op. The
-      // earlier delete-then-rename left a window (crash or concurrent
-      // reader between the two) where the table had NO manifest at all.
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        tablePath.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    val nextVersion = newestManifest(spark, table).map(_._1 + 1).getOrElse(0L)
+    // write-once name: no overwrite, no rename, no truncation window —
+    // see ManifestPrefix scaladoc for why both alternatives are unsafe
+    val dest = new Path(tablePath, manifestFileName(nextVersion))
+    val out = fs.create(dest, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    // prune old versions, keeping the previous one as reader grace
+    fs.listStatus(tablePath)
+      .flatMap(s => manifestVersionOf(s.getPath.getName).map(_ -> s.getPath))
+      .filter(_._1 < nextVersion - 1)
+      .foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** Read a manifest-committed table: resolve `_manifest.json`, load each
@@ -277,11 +295,19 @@ object TableIO {
       // a manifest table whose every partition is currently empty (e.g. a
       // violations table on a clean corpus): read back as an empty frame
       // with the schema the manifest recorded — a plain parquet read here
-      // would fail schema inference over the dot-hidden snapshot dirs
+      // would fail schema inference over the dot-hidden snapshot dirs.
+      // A manifest WITHOUT a parseable schema is corrupt (every writer
+      // since the versioned format records one): fail naming the cause,
+      // not with a zero-column frame whose UNRESOLVED_COLUMN error would
+      // point at the innocent downstream query.
       return parseSchema(json.get)
         .map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
-        .getOrElse(spark.emptyDataFrame)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest of table $table has no entries and no parseable " +
+            "schema — corrupt or pre-versioned manifest; re-commit the " +
+            "table or remove its _manifest-* files to fall back to a " +
+            "plain parquet read"))
     }
     val bySnap = entries.groupBy(_._2)
     bySnap.toSeq.sortBy(_._1).map { case (snapName, parts) =>
@@ -293,19 +319,40 @@ object TableIO {
     }.reduce(_.unionByName(_))
   }
 
-  /** Delete snapshot dirs no longer referenced by the current manifest.
-    * Run once concurrent readers that resolved an OLDER manifest have
-    * drained (the operator-scheduled grace, as with Iceberg snapshot
-    * expiry); until then old snapshots keep serving those readers.
+  /** Delete snapshot dirs referenced by NO retained manifest version and
+    * older than `graceMs`. Two protections beyond "not in the current
+    * manifest":
+    *   - snapshots referenced by the RETAINED PREVIOUS manifest version
+    *     survive (readers that resolved it mid-commit are still scanning);
+    *   - an age grace (default 24 h) protects a CONCURRENT WRITER's
+    *     freshly-staged snapshot that has not published its manifest yet —
+    *     without it, a cron'd vacuum racing a long parquet write would
+    *     delete the new data out from under the commit. Pass `graceMs = 0`
+    *     only when no writer can be in flight.
+    * Run on the operator's schedule once in-flight readers drain — the
+    * same contract as Iceberg snapshot expiry.
     */
-  def vacuum(spark: org.apache.spark.sql.SparkSession, table: String): Seq[String] = {
+  def vacuum(spark: org.apache.spark.sql.SparkSession, table: String,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tablePath)) return Seq.empty
-    val live = readManifest(spark, table).values.toSet
+    // every snapshot referenced by ANY retained, complete manifest version
+    val live: Set[String] = fs.listStatus(tablePath)
+      .flatMap(s => manifestVersionOf(s.getPath.getName).map(_ => s.getPath))
+      .flatMap { p =>
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        val json = new String(buf, "UTF-8")
+        if (json.trim.endsWith("\"complete\":true}")) parseEntries(json).values
+        else Seq.empty
+      }.toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     fs.listStatus(tablePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".snap-") &&
-        !live.contains(s.getPath.getName))
+        !live.contains(s.getPath.getName) &&
+        s.getModificationTime <= cutoff)
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
       .toSeq.sorted
   }

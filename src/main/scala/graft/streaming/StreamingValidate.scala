@@ -144,16 +144,31 @@ object StreamingValidate {
         // scoring-on-ingest ALERTS (the reference's collect→score→alert
         // loop, manager.go:385 → alert/alert.go): push this batch's
         // violations per entity, spooled under the output dir so a down
-        // endpoint loses nothing and the next batch's push retries the
-        // spool. AlertSink.push never throws — alert failure must not
-        // fail the ingest commit (the reference's isolation contract).
-        // Runs AFTER the violations write: an alert is only ever sent for
-        // a violation that is already durably recorded (replay of the
-        // batch re-sends; receivers dedupe on violation_id).
+        // endpoint loses nothing. A CLEAN batch still drains the spool —
+        // otherwise alerts spooled while the endpoint was down would sit
+        // undelivered until the next violation happens to occur. Runs
+        // AFTER the violations write: an alert is only ever sent for a
+        // violation that is already durably recorded (replay of the batch
+        // re-sends; receivers dedupe on violation_id). The whole block is
+        // NonFatal-guarded: the isolation contract is "alerting failure
+        // never fails the ingest commit", and that must hold for spool
+        // FILESYSTEM errors (disk full mid-spool-write) as much as for
+        // endpoint failures — POST errors are already contained inside
+        // AlertSink, but the spool write/list paths can throw.
         alertEndpoint.foreach { ep =>
-          if (!res.violations.isEmpty)
-            AlertSink.push(res.violations, ep,
-              spoolDir = Some(s"$outDir/_alert_spool"))
+          val spool = s"$outDir/_alert_spool"
+          try {
+            if (!res.violations.isEmpty)
+              AlertSink.push(res.violations, ep, spoolDir = Some(spool))
+            else
+              AlertSink.drainSpool(df.sparkSession, spool, ep)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft-streaming] alert push failed " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — ingest " +
+                "commit unaffected; undelivered alerts remain spooled " +
+                s"under $spool where the next tick retries them")
+          }
         }
       } finally res.unpersist()
     }
@@ -199,6 +214,17 @@ object StreamingValidate {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(spark, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
+    // a tick with NO new input produces no micro-batch at all, so spooled
+    // alerts from a down-endpoint tick would never retry through the
+    // per-batch path — drain once per tick up front (no-op when empty)
+    alertEndpoint.foreach { ep =>
+      try AlertSink.drainSpool(spark, s"$outDir/_alert_spool", ep)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-streaming] alert spool drain failed " +
+            s"(${e.getClass.getSimpleName}) — alerts stay spooled for retry")
+      }
+    }
     spark.readStream
       .schema(graft.engine.WebSchema.expected)
       .parquet(inDir)

@@ -70,23 +70,16 @@ class TableIOSpec extends SparkSpec {
     assert(parts == Set("<global>", "2025-07-01"))
   }
 
-  /** Run `body` with manifest commits on (optionally with the direct-PUT
-    * manifest write — the zero-rename path object stores need).
-    */
-  private def withManifestMode(put: String = "rename")(body: => Unit): Unit = {
+  /** Run `body` with manifest commits on. */
+  private def withManifestMode()(body: => Unit): Unit = {
     spark.conf.set(TableIO.CommitModeConf, "manifest")
-    spark.conf.set(TableIO.ManifestPutConf, put)
     try body
-    finally {
-      spark.conf.unset(TableIO.CommitModeConf)
-      spark.conf.unset(TableIO.ManifestPutConf)
-    }
+    finally spark.conf.unset(TableIO.CommitModeConf)
   }
 
   test("manifest mode: atomic swap semantics match rename mode, zero data renames") {
-    withManifestMode(put = "direct") { // direct PUT: the whole commit path is
-      val t = table() //                  create/list/delete — rename-free, so
-      //                                  copy+delete rename semantics can't hurt
+    withManifestMode() { // the commit path is create/list/delete only —
+      val t = table() //   write-once manifest names, no rename, no overwrite
       TableIO.writePartitionsAtomic(
         frame(Seq(("a", "x", 1L), ("b", "y", 2L), ("c", "z", 3L))), t)
       // same contract as the rename path: replace a, delete computed-empty b,
@@ -98,13 +91,34 @@ class TableIOSpec extends SparkSpec {
         .select("partition", "k", "v").as[(String, String, Long)].collect().toSeq
       assert(out == Seq(("a", "x2", 10L), ("c", "z", 3L)), out.toString)
       // plain readers see NOTHING half-written: snapshot dirs are dot-hidden
-      // and the only visible state transition is the single manifest PUT
+      // and the only visible state transitions are write-once manifest files
       val visible = Files.list(Paths.get(t)).iterator()
       val names = Iterator.continually(visible).takeWhile(_.hasNext)
         .map(_.next().getFileName.toString).toSet
-      assert(names.forall(n => n.startsWith(".snap-") || n == "_manifest.json" ||
+      assert(names.forall(n => n.startsWith(".snap-") ||
+        n.startsWith("_manifest-") ||
         n.endsWith(".crc")), // Hadoop local-FS checksum sidecar, dot-hidden
         names.toString)
+    }
+  }
+
+  test("manifest mode: a torn (incomplete) newer manifest is skipped; old version serves") {
+    withManifestMode() {
+      val t = table()
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "v1", 1L))), t)
+      val before = TableIO.readTable(spark, t)
+        .select("k").as[String].collect().toSeq
+      // a crashed writer left a HIGHER-versioned manifest without the
+      // "complete" terminator (torn write): readers must fall back
+      Files.write(Paths.get(t, "_manifest-00000000000000000099.json"),
+        """{"version":1,"schema":"{}","entries":{"a":".snap-tor""".getBytes("UTF-8"))
+      assert(TableIO.readTable(spark, t)
+        .select("k").as[String].collect().toSeq == before)
+      // and the next real commit publishes ABOVE the torn version, so it
+      // can never be shadowed by the garbage file
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "v2", 2L))), t)
+      assert(TableIO.readTable(spark, t)
+        .select("k").as[String].collect().toSeq == Seq("v2"))
     }
   }
 
@@ -122,7 +136,7 @@ class TableIOSpec extends SparkSpec {
       assert(TableIO.readTable(spark, t)
         .select("k").as[String].collect().toSeq == before)
       // vacuum reclaims the unreferenced snapshot, keeps the live one
-      val removed = TableIO.vacuum(spark, t)
+      val removed = TableIO.vacuum(spark, t, graceMs = 0L)
       assert(removed == Seq(".snap-crashed"), removed.toString)
       assert(TableIO.readTable(spark, t)
         .select("k").as[String].collect().toSeq == before)
@@ -145,13 +159,13 @@ class TableIOSpec extends SparkSpec {
       assert(out == Seq(("a", "v2"), ("b", "y")))
       // after readers drain: vacuum drops only fully-superseded snapshots;
       // the first snapshot still carries live partition b, so it SURVIVES
-      assert(TableIO.vacuum(spark, t).isEmpty)
+      assert(TableIO.vacuum(spark, t, graceMs = 0L).isEmpty)
       assert(TableIO.readTable(spark, t).count() == 2)
     }
   }
 
   test("manifest mode: escaped partition values round-trip through the manifest") {
-    withManifestMode(put = "direct") {
+    withManifestMode() {
       val t = table()
       TableIO.writePartitionsAtomic(
         frame(Seq(("<global>", "g", 1L), ("2025-07-01", "d", 2L))), t)
