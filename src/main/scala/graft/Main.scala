@@ -141,8 +141,15 @@ object Main {
         val Seq(table) = requirePositionals(positional, 1)
         // default 24h grace protects a concurrent writer's staged-but-not-
         // yet-published snapshot; 0 only when no writer can be in flight
-        val graceMs = (opts.getOrElse("grace-hours", "24").toDouble
-          * 3600 * 1000).toLong
+        val graceRaw = opts.getOrElse("grace-hours", "24")
+        val graceMs = graceRaw.toDoubleOption match {
+          case Some(h) if h >= 0 => (h * 3600 * 1000).toLong
+          case _ =>
+            System.err.println(
+              s"invalid --grace-hours: '$graceRaw' (expected hours >= 0)\n$usage")
+            sys.exit(64)
+            throw new IllegalStateException
+        }
         val removed = graft.engine.TableIO.vacuum(spark, table, graceMs)
         println(s"[sodspark] vacuumed ${removed.size} snapshot(s)" +
           (if (removed.isEmpty) "" else s": ${removed.mkString(", ")}"))

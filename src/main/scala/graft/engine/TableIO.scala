@@ -186,7 +186,17 @@ object TableIO {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tablePath)
-    val prior = readManifest(spark, table)
+    // ONE listing pass feeds everything: prior entries (newest complete
+    // manifest), the next version (max over ALL manifest files — torn ones
+    // included, so a crashed writer's file can never collide), and the
+    // prune threshold (strictly below the newest complete BEFORE this
+    // commit, so the previous complete version and anything above survive
+    // as reader grace; torn leftovers get pruned one commit later).
+    val manifests = listManifests(fs, tablePath)
+    val newestComplete = manifests.iterator
+      .flatMap { case (v, p) => readIfComplete(fs, v, p).map(v -> _) }
+      .nextOption()
+    val prior = newestComplete.map(t => parseEntries(t._2)).getOrElse(Map.empty)
     val snapName = s".snap-${java.util.UUID.randomUUID()}"
     val snap = new Path(tablePath, snapName)
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(snap.toString)
@@ -199,28 +209,63 @@ object TableIO {
       ExternalCatalogUtils.unescapePathName(n.substring(partitionCol.length + 1)))
     val emptyComputed = computed.getOrElse(Seq.empty).toSet -- committed
     val entries = (prior -- emptyComputed) ++ committed.map(_ -> snapName)
-    writeManifest(spark, table, entries, df.schema)
+    val nextVersion = math.max(manifests.headOption.map(_._1 + 1).getOrElse(0L), 0L)
+    writeManifest(fs, tablePath, entries, df.schema, nextVersion,
+      pruneBelow = newestComplete.map(_._1).getOrElse(Long.MinValue))
     committed.toSeq.sorted
   }
 
+  /** Pre-versioned single-file manifest name (first manifest revision).
+    * Still READ — as version -1 — so upgraded tables keep their data:
+    * without this, the first post-upgrade commit would silently drop every
+    * prior partition and a vacuum would delete their snapshots outright.
+    * The file is pruned like any superseded version once two versioned
+    * commits exist.
+    */
+  private val LegacyManifestName = "_manifest.json"
+
+  /** Every manifest file of the table, (version, path), newest first; the
+    * legacy unversioned file participates as version -1.
+    */
+  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: Path): Seq[(Long, Path)] =
+    if (!fs.exists(tablePath)) Seq.empty
+    else fs.listStatus(tablePath).flatMap { s =>
+      val n = s.getPath.getName
+      if (n == LegacyManifestName) Some(-1L -> s.getPath)
+      else manifestVersionOf(n).map(_ -> s.getPath)
+    }.sortBy(-_._1).toSeq
+
+  /** The file's JSON when it is a COMPLETE manifest; None for torn writes
+    * (missing `"complete":true` terminator; the legacy format is checked
+    * structurally — it predates the terminator) and for files deleted
+    * between listing and reading (a concurrent writer's prune — skip and
+    * fall back to an older version rather than crash the reader).
+    */
+  private def readIfComplete(fs: org.apache.hadoop.fs.FileSystem,
+      version: Long, p: Path): Option[String] =
+    try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val json = new String(buf, "UTF-8")
+      val ok =
+        if (version < 0) json.trim.endsWith("}")
+        else json.trim.endsWith("\"complete\":true}")
+      if (ok) Some(json) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Newest COMPLETE manifest's (version, JSON); None when the table has
-    * none. Torn/incomplete versions (no `"complete":true` terminator — a
-    * crashed write) are skipped, falling back to the previous version.
+    * none. Torn/incomplete versions (a crashed write) are skipped, falling
+    * back to the previous version.
     */
   private def newestManifest(spark: org.apache.spark.sql.SparkSession,
       table: String): Option[(Long, String)] = {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tablePath)) return None
-    val versions = fs.listStatus(tablePath)
-      .flatMap(s => manifestVersionOf(s.getPath.getName).map(_ -> s.getPath))
-      .sortBy(-_._1)
-    versions.iterator.map { case (v, p) =>
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      (v, new String(buf, "UTF-8"))
-    }.find(_._2.trim.endsWith("\"complete\":true}"))
+    listManifests(fs, tablePath).iterator
+      .flatMap { case (v, p) => readIfComplete(fs, v, p).map(v -> _) }
+      .nextOption()
   }
 
   /** Raw manifest JSON, None when the table has no manifest. */
@@ -252,9 +297,10 @@ object TableIO {
       spark: org.apache.spark.sql.SparkSession, table: String): Map[String, String] =
     manifestJson(spark, table).map(parseEntries).getOrElse(Map.empty)
 
-  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      table: String, entries: Map[String, String],
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: Path, entries: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      nextVersion: Long, pruneBelow: Long): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json = entries.toSeq.sortBy(_._1)
       .map { case (p, d) => s"${q(p)}:${q(d)}" }
@@ -265,18 +311,31 @@ object TableIO {
       // LAST token written — the torn-write detector readers key on.
       .mkString(s"""{"version":1,"schema":${q(schema.json)},"entries":{""",
         ",", """},"complete":true}""")
-    val tablePath = new Path(table)
-    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nextVersion = newestManifest(spark, table).map(_._1 + 1).getOrElse(0L)
-    // write-once name: no overwrite, no rename, no truncation window —
-    // see ManifestPrefix scaladoc for why both alternatives are unsafe
-    val dest = new Path(tablePath, manifestFileName(nextVersion))
-    val out = fs.create(dest, false)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    // prune old versions, keeping the previous one as reader grace
-    fs.listStatus(tablePath)
-      .flatMap(s => manifestVersionOf(s.getPath.getName).map(_ -> s.getPath))
-      .filter(_._1 < nextVersion - 1)
+    // write-once name: no overwrite, no rename, no truncation window — see
+    // ManifestPrefix scaladoc. nextVersion is max over ALL manifest files
+    // (torn included), so a crashed writer's leftover cannot collide; the
+    // bump-and-retry guards the residual listing race anyway (single
+    // writer is the standing assumption, but wedging a table forever on a
+    // name collision would be an absurd failure mode to keep).
+    var v = nextVersion
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        val out = fs.create(new Path(tablePath, manifestFileName(v)), false)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+        done = true
+      } catch {
+        case e: IOException if attempts < 10 &&
+            fs.exists(new Path(tablePath, manifestFileName(v))) =>
+          attempts += 1; v += 1
+      }
+    }
+    // prune strictly below the previous complete version: that version
+    // stays as reader grace; the legacy -1 file goes once a versioned
+    // complete manifest preceded this commit
+    listManifests(fs, tablePath)
+      .filter(_._1 < pruneBelow)
       .foreach { case (_, p) => fs.delete(p, false) }
   }
 
@@ -338,16 +397,13 @@ object TableIO {
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tablePath)) return Seq.empty
     // every snapshot referenced by ANY retained, complete manifest version
-    val live: Set[String] = fs.listStatus(tablePath)
-      .flatMap(s => manifestVersionOf(s.getPath.getName).map(_ => s.getPath))
-      .flatMap { p =>
-        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        val json = new String(buf, "UTF-8")
-        if (json.trim.endsWith("\"complete\":true}")) parseEntries(json).values
-        else Seq.empty
-      }.toSet
+    // — INCLUDING the legacy pre-versioned _manifest.json (an upgraded
+    // table's only pointer; missing it here meant vacuum deleted all of
+    // the table's data)
+    val live: Set[String] = listManifests(fs, tablePath)
+      .flatMap { case (v, p) => readIfComplete(fs, v, p) }
+      .flatMap(parseEntries(_).values)
+      .toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     fs.listStatus(tablePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".snap-") &&

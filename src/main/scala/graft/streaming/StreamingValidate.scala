@@ -68,6 +68,18 @@ object StreamingValidate {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(pages.sparkSession, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
+    // drain leftover spooled alerts once at stream start: a long-running
+    // stream that goes idle (or sees only empty batches, which skip the
+    // per-batch path) must still deliver what spooled while the endpoint
+    // was down — at worst delivery waits for the next batch OR restart
+    alertEndpoint.foreach { ep =>
+      try AlertSink.drainSpool(pages.sparkSession, s"$outDir/_alert_spool", ep)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-streaming] alert spool drain failed " +
+            s"(${e.getClass.getSimpleName}) — alerts stay spooled for retry")
+      }
+    }
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

@@ -16,6 +16,13 @@ class TableIOSpec extends SparkSpec {
   private def frame(rows: Seq[(String, String, Long)]) =
     rows.toDF("partition", "k", "v")
 
+  implicit private class PathIterOps(it: java.util.Iterator[java.nio.file.Path]) {
+    def asScalaNames: Iterator[String] = {
+      import scala.jdk.CollectionConverters._
+      it.asScala.map(_.getFileName.toString)
+    }
+  }
+
   test("computed-but-empty partitions drop their stale dirs; uncomputed stay") {
     val t = table()
     TableIO.writePartitionsAtomic(
@@ -102,23 +109,63 @@ class TableIOSpec extends SparkSpec {
     }
   }
 
-  test("manifest mode: a torn (incomplete) newer manifest is skipped; old version serves") {
+  test("manifest mode: a torn manifest at maxComplete+1 is skipped AND never wedges commits") {
     withManifestMode() {
       val t = table()
-      TableIO.writePartitionsAtomic(frame(Seq(("a", "v1", 1L))), t)
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "v1", 1L))), t) // → version 0
       val before = TableIO.readTable(spark, t)
         .select("k").as[String].collect().toSeq
-      // a crashed writer left a HIGHER-versioned manifest without the
-      // "complete" terminator (torn write): readers must fall back
-      Files.write(Paths.get(t, "_manifest-00000000000000000099.json"),
+      // the REAL crash artifact: a writer died mid-write of version 1 —
+      // exactly maxComplete+1, where a naive next-version computation off
+      // the newest COMPLETE manifest would collide forever
+      Files.write(Paths.get(t, "_manifest-00000000000000000001.json"),
         """{"version":1,"schema":"{}","entries":{"a":".snap-tor""".getBytes("UTF-8"))
+      // readers skip the torn file and keep serving version 0
       assert(TableIO.readTable(spark, t)
         .select("k").as[String].collect().toSeq == before)
-      // and the next real commit publishes ABOVE the torn version, so it
-      // can never be shadowed by the garbage file
+      // the next commit must publish ABOVE the torn file (version 2), not
+      // throw FileAlreadyExistsException on it
       TableIO.writePartitionsAtomic(frame(Seq(("a", "v2", 2L))), t)
       assert(TableIO.readTable(spark, t)
         .select("k").as[String].collect().toSeq == Seq("v2"))
+      val versions = Files.list(Paths.get(t)).iterator().asScalaNames
+        .filter(_.startsWith("_manifest-")).toSet
+      assert(versions.contains("_manifest-00000000000000000002.json"), versions)
+      // one more commit prunes everything below the previous complete
+      // version — the torn leftover included
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "v3", 3L))), t)
+      val after = Files.list(Paths.get(t)).iterator().asScalaNames
+        .filter(_.startsWith("_manifest-")).toSet
+      assert(!after.contains("_manifest-00000000000000000001.json"), after)
+      assert(!after.contains("_manifest-00000000000000000000.json"), after)
+    }
+  }
+
+  test("manifest mode: legacy _manifest.json tables migrate without data loss") {
+    withManifestMode() {
+      val t = table()
+      // build a table, then rewrite its pointer in the PRE-VERSIONED
+      // format (one _manifest.json, no completeness terminator) — the
+      // state an upgraded deployment finds on disk
+      TableIO.writePartitionsAtomic(
+        frame(Seq(("a", "x", 1L), ("b", "y", 2L))), t)
+      val versioned = Files.list(Paths.get(t)).iterator().asScalaNames
+        .filter(_.startsWith("_manifest-")).toSeq
+      val json = new String(Files.readAllBytes(
+        Paths.get(t, versioned.head)), "UTF-8")
+        .replace(""","complete":true}""", "}")
+      Files.write(Paths.get(t, "_manifest.json"), json.getBytes("UTF-8"))
+      versioned.foreach(n => Files.delete(Paths.get(t, n)))
+      // readers resolve the legacy pointer
+      assert(TableIO.readTable(spark, t).count() == 2)
+      // vacuum must NOT treat legacy-referenced snapshots as garbage
+      assert(TableIO.vacuum(spark, t, graceMs = 0L).isEmpty,
+        "vacuum deleted snapshots still referenced by the legacy manifest")
+      // the first post-upgrade commit carries the legacy entries forward
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "x2", 10L))), t)
+      val out = TableIO.readTable(spark, t).orderBy("partition")
+        .select("partition", "k").as[(String, String)].collect().toSeq
+      assert(out == Seq(("a", "x2"), ("b", "y")), out.toString)
     }
   }
 
