@@ -143,7 +143,9 @@ object Main {
         // yet-published snapshot; 0 only when no writer can be in flight
         val graceRaw = opts.getOrElse("grace-hours", "24")
         val graceMs = graceRaw.toDoubleOption match {
-          case Some(h) if h >= 0 => (h * 3600 * 1000).toLong
+          // finite only: 'Infinity' / '1e999' would make vacuum a silent
+          // permanent no-op, the opposite of what validation is for
+          case Some(h) if h >= 0 && h.isFinite => (h * 3600 * 1000).toLong
           case _ =>
             System.err.println(
               s"invalid --grace-hours: '$graceRaw' (expected hours >= 0)\n$usage")

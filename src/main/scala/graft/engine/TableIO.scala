@@ -211,7 +211,8 @@ object TableIO {
     val entries = (prior -- emptyComputed) ++ committed.map(_ -> snapName)
     val nextVersion = math.max(manifests.headOption.map(_._1 + 1).getOrElse(0L), 0L)
     writeManifest(fs, tablePath, entries, df.schema, nextVersion,
-      pruneBelow = newestComplete.map(_._1).getOrElse(Long.MinValue))
+      pruneBelow = newestComplete.map(_._1).getOrElse(Long.MinValue),
+      manifests = manifests)
     committed.toSeq.sorted
   }
 
@@ -241,6 +242,12 @@ object TableIO {
     * structurally — it predates the terminator) and for files deleted
     * between listing and reading (a concurrent writer's prune — skip and
     * fall back to an older version rather than crash the reader).
+    *
+    * ONLY FileNotFound is swallowed: any other read error (throttling,
+    * network, permissions) must PROPAGATE — treating a transiently
+    * unreadable complete manifest as "torn" would make vacuum see an empty
+    * live set (deleting live snapshots) and make a commit build `prior`
+    * from a stale version (silently dropping partitions).
     */
   private def readIfComplete(fs: org.apache.hadoop.fs.FileSystem,
       version: Long, p: Path): Option[String] =
@@ -253,7 +260,7 @@ object TableIO {
         if (version < 0) json.trim.endsWith("}")
         else json.trim.endsWith("\"complete\":true}")
       if (ok) Some(json) else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Newest COMPLETE manifest's (version, JSON); None when the table has
     * none. Torn/incomplete versions (a crashed write) are skipped, falling
@@ -300,7 +307,8 @@ object TableIO {
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       tablePath: Path, entries: Map[String, String],
       schema: org.apache.spark.sql.types.StructType,
-      nextVersion: Long, pruneBelow: Long): Unit = {
+      nextVersion: Long, pruneBelow: Long,
+      manifests: Seq[(Long, Path)]): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json = entries.toSeq.sortBy(_._1)
       .map { case (p, d) => s"${q(p)}:${q(d)}" }
@@ -313,28 +321,21 @@ object TableIO {
         ",", """},"complete":true}""")
     // write-once name: no overwrite, no rename, no truncation window — see
     // ManifestPrefix scaladoc. nextVersion is max over ALL manifest files
-    // (torn included), so a crashed writer's leftover cannot collide; the
-    // bump-and-retry guards the residual listing race anyway (single
-    // writer is the standing assumption, but wedging a table forever on a
-    // name collision would be an absurd failure mode to keep).
-    var v = nextVersion
-    var attempts = 0
-    var done = false
-    while (!done) {
-      try {
-        val out = fs.create(new Path(tablePath, manifestFileName(v)), false)
-        try out.write(json.getBytes("UTF-8")) finally out.close()
-        done = true
-      } catch {
-        case e: IOException if attempts < 10 &&
-            fs.exists(new Path(tablePath, manifestFileName(v))) =>
-          attempts += 1; v += 1
-      }
-    }
+    // (torn included), so a crashed writer's leftover cannot collide. A
+    // create collision here therefore means a CONCURRENT WRITER published
+    // since our listing — the one scenario that must FAIL LOUDLY: bumping
+    // past it would publish entries built from a stale `prior`, silently
+    // dropping the other writer's partitions for the next vacuum to
+    // delete. Single writer per table is the standing assumption; its
+    // violation surfaces as this error, never as quiet data loss.
+    val out = fs.create(new Path(tablePath, manifestFileName(nextVersion)), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
     // prune strictly below the previous complete version: that version
     // stays as reader grace; the legacy -1 file goes once a versioned
-    // complete manifest preceded this commit
-    listManifests(fs, tablePath)
+    // complete manifest preceded this commit. Filtered off the listing the
+    // caller already holds — nothing below pruneBelow can appear after it
+    // under the single-writer assumption.
+    manifests
       .filter(_._1 < pruneBelow)
       .foreach { case (_, p) => fs.delete(p, false) }
   }

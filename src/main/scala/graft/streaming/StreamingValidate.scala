@@ -72,14 +72,7 @@ object StreamingValidate {
     // stream that goes idle (or sees only empty batches, which skip the
     // per-batch path) must still deliver what spooled while the endpoint
     // was down — at worst delivery waits for the next batch OR restart
-    alertEndpoint.foreach { ep =>
-      try AlertSink.drainSpool(pages.sparkSession, s"$outDir/_alert_spool", ep)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft-streaming] alert spool drain failed " +
-            s"(${e.getClass.getSimpleName}) — alerts stay spooled for retry")
-      }
-    }
+    alertEndpoint.foreach(drainLeftoverAlerts(pages.sparkSession, outDir, _))
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -89,6 +82,24 @@ object StreamingValidate {
       }
       .start()
   }
+
+  /** The spool every alert-enabled sink/tick shares, rooted under the
+    * output dir so a down endpoint's alerts survive process restarts.
+    */
+  private def alertSpoolDir(outDir: String): String = s"$outDir/_alert_spool"
+
+  /** Best-effort drain of previously spooled alerts — NonFatal-guarded:
+    * alerting failure (endpoint OR spool filesystem) never fails the
+    * stream; undelivered payloads stay spooled for the next attempt.
+    */
+  private def drainLeftoverAlerts(spark: SparkSession, outDir: String,
+      endpoint: String): Unit =
+    try { AlertSink.drainSpool(spark, alertSpoolDir(outDir), endpoint); () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft-streaming] alert spool drain failed " +
+          s"(${e.getClass.getSimpleName}) — alerts stay spooled for retry")
+    }
 
   /** The stream's stable query id — persisted in the checkpoint, stable
     * across restarts of the same checkpoint, fresh for a new/recreated one.
@@ -168,7 +179,7 @@ object StreamingValidate {
         // endpoint failures — POST errors are already contained inside
         // AlertSink, but the spool write/list paths can throw.
         alertEndpoint.foreach { ep =>
-          val spool = s"$outDir/_alert_spool"
+          val spool = alertSpoolDir(outDir)
           try {
             if (!res.violations.isEmpty)
               AlertSink.push(res.violations, ep, spoolDir = Some(spool))
@@ -229,14 +240,7 @@ object StreamingValidate {
     // a tick with NO new input produces no micro-batch at all, so spooled
     // alerts from a down-endpoint tick would never retry through the
     // per-batch path — drain once per tick up front (no-op when empty)
-    alertEndpoint.foreach { ep =>
-      try AlertSink.drainSpool(spark, s"$outDir/_alert_spool", ep)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft-streaming] alert spool drain failed " +
-            s"(${e.getClass.getSimpleName}) — alerts stay spooled for retry")
-      }
-    }
+    alertEndpoint.foreach(drainLeftoverAlerts(spark, outDir, _))
     spark.readStream
       .schema(graft.engine.WebSchema.expected)
       .parquet(inDir)

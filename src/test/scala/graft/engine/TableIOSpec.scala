@@ -16,11 +16,15 @@ class TableIOSpec extends SparkSpec {
   private def frame(rows: Seq[(String, String, Long)]) =
     rows.toDF("partition", "k", "v")
 
-  implicit private class PathIterOps(it: java.util.Iterator[java.nio.file.Path]) {
-    def asScalaNames: Iterator[String] = {
+  /** File names in a dir, with the Files.list stream CLOSED (it holds a
+    * directory fd; leaking one per call risks EMFILE across a large suite).
+    */
+  private def listNames(dir: java.nio.file.Path): Set[String] = {
+    val s = Files.list(dir)
+    try {
       import scala.jdk.CollectionConverters._
-      it.asScala.map(_.getFileName.toString)
-    }
+      s.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally s.close()
   }
 
   test("computed-but-empty partitions drop their stale dirs; uncomputed stay") {
@@ -128,14 +132,12 @@ class TableIOSpec extends SparkSpec {
       TableIO.writePartitionsAtomic(frame(Seq(("a", "v2", 2L))), t)
       assert(TableIO.readTable(spark, t)
         .select("k").as[String].collect().toSeq == Seq("v2"))
-      val versions = Files.list(Paths.get(t)).iterator().asScalaNames
-        .filter(_.startsWith("_manifest-")).toSet
+      val versions = listNames(Paths.get(t)).filter(_.startsWith("_manifest-"))
       assert(versions.contains("_manifest-00000000000000000002.json"), versions)
       // one more commit prunes everything below the previous complete
       // version — the torn leftover included
       TableIO.writePartitionsAtomic(frame(Seq(("a", "v3", 3L))), t)
-      val after = Files.list(Paths.get(t)).iterator().asScalaNames
-        .filter(_.startsWith("_manifest-")).toSet
+      val after = listNames(Paths.get(t)).filter(_.startsWith("_manifest-"))
       assert(!after.contains("_manifest-00000000000000000001.json"), after)
       assert(!after.contains("_manifest-00000000000000000000.json"), after)
     }
@@ -149,8 +151,7 @@ class TableIOSpec extends SparkSpec {
       // state an upgraded deployment finds on disk
       TableIO.writePartitionsAtomic(
         frame(Seq(("a", "x", 1L), ("b", "y", 2L))), t)
-      val versioned = Files.list(Paths.get(t)).iterator().asScalaNames
-        .filter(_.startsWith("_manifest-")).toSeq
+      val versioned = listNames(Paths.get(t)).filter(_.startsWith("_manifest-")).toSeq
       val json = new String(Files.readAllBytes(
         Paths.get(t, versioned.head)), "UTF-8")
         .replace(""","complete":true}""", "}")
