@@ -126,10 +126,19 @@ object Main {
       case "ingest" =>
         val Seq(in, out) = requirePositionals(positional, 2)
         val ckpt = opts.getOrElse("checkpoint", s"$out/_checkpoint")
+        val maxFiles = opts.get("max-files-per-trigger").map { v =>
+          v.toIntOption.filter(_ > 0).getOrElse {
+            System.err.println(
+              s"invalid --max-files-per-trigger: '$v' (expected int > 0)\n$usage")
+            sys.exit(64)
+            throw new IllegalStateException
+          }
+        }
         val q = graft.streaming.StreamingValidate
           .incrementalValidate(spark, in, out, ckpt,
             baselineDir = opts.get("baseline"),
-            alertEndpoint = opts.get("alert-endpoint"))
+            alertEndpoint = opts.get("alert-endpoint"),
+            maxFilesPerTrigger = maxFiles)
         q.awaitTermination()
         println(s"[sodspark] incremental ingest tick complete")
         spark.stop()
@@ -176,7 +185,8 @@ object Main {
   private[graft] val commandFlags: Map[String, Set[String]] = Map(
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
-    "ingest" -> Set("checkpoint", "baseline", "alert-endpoint"),
+    "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
+      "max-files-per-trigger"),
     "vacuum" -> Set("grace-hours"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
@@ -219,6 +229,7 @@ object Main {
       |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>] [--baseline <dir>]
       |      [--alert-endpoint <url>]   (per-batch {entityId,data} alert POSTs,
       |                                  spooled crash-safe under <outDir>/_alert_spool)
+      |      [--max-files-per-trigger <n>]  (bound per-micro-batch size/memory)
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
       |""".stripMargin

@@ -233,7 +233,14 @@ object StreamingValidate {
       checks: Seq[graft.engine.Constraints.Check] =
         graft.engine.Validator.DefaultChecks,
       baselineDir: Option[String] = None,
-      alertEndpoint: Option[String] = None): StreamingQuery = {
+      alertEndpoint: Option[String] = None,
+      /** Files per micro-batch: THE dial that bounds per-batch memory
+        * (incl. the stateful stage's per-key slice — see
+        * [[lastKnownNormalAlerts]]) and drives how much one
+        * `Trigger.AvailableNow` tick chews per commit. None = all
+        * available files in one batch (the historical behavior).
+        */
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(spark, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
@@ -241,8 +248,11 @@ object StreamingValidate {
     // alerts from a down-endpoint tick would never retry through the
     // per-batch path — drain once per tick up front (no-op when empty)
     alertEndpoint.foreach(drainLeftoverAlerts(spark, outDir, _))
-    spark.readStream
+    val reader = spark.readStream
       .schema(graft.engine.WebSchema.expected)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .parquet(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -223,6 +223,36 @@ class TableIOSpec extends SparkSpec {
     }
   }
 
+  test("manifest mode: hostile partition values survive the JSON+path round-trip") {
+    withManifestMode() {
+      val t = table()
+      // quotes, backslashes, JSON-injection attempts, separators — each
+      // must round-trip through q()-escaping in the manifest AND hive path
+      // escaping in the snapshot dirs. (Non-ASCII is excluded: this
+      // sandbox JVM's sun.jnu.encoding cannot even CREATE such paths —
+      // Spark's own parquet writer fails before TableIO is reached, in
+      // rename mode just the same.)
+      val hostile = Seq(
+        """quo"te""", """back\slash""", """inj","x":".snap-evil""",
+        "a=b/c:d", " lead-and-trail ", "{json}")
+      TableIO.writePartitionsAtomic(
+        frame(hostile.zipWithIndex.map { case (p, i) => (p, s"k$i", i.toLong) }), t)
+      val got = TableIO.readTable(spark, t)
+        .select("partition").as[String].collect().toSet
+      assert(got == hostile.toSet, s"lost/garbled: ${hostile.toSet -- got}")
+      // no phantom snapshot entries appeared from the injection attempt
+      assert(TableIO.readManifest(spark, t).keySet == hostile.toSet)
+      // and a partial re-commit still targets exactly one of them
+      TableIO.writePartitionsAtomic(
+        frame(Seq((hostile.head, "k0b", 100L))), t)
+      val after = TableIO.readTable(spark, t)
+        .where(col("partition") === hostile.head)
+        .select("k").as[String].collect().toSeq
+      assert(after == Seq("k0b"))
+      assert(TableIO.readTable(spark, t).count() == hostile.size)
+    }
+  }
+
   test("manifest mode: an all-empty commit reads back as an empty frame WITH schema") {
     withManifestMode() {
       val t = table()

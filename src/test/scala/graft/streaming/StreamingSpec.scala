@@ -138,6 +138,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/pages").count() == 50)
   }
 
+  test("maxFilesPerTrigger bounds micro-batch size (multiple batches per tick)") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("mft_in").toString
+    val out = Files.createTempDirectory("mft_out").toString
+    val ckpt = Files.createTempDirectory("mft_ckpt").toString
+    def pages(ids: Range, f: String) = ids.map { i =>
+      (s"https://x/$i", ts(s"2025-07-01 00:00:0${i % 10}"),
+        s"<p>$i</p>".getBytes("UTF-8"), s"doc $i", "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(in)
+    pages(0 until 10, "a"); pages(100 until 110, "b"); pages(200 until 210, "c")
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    val outDf = spark.read.parquet(s"$out/pages")
+    assert(outDf.count() == 30)
+    // one file per micro-batch → at least 3 distinct batch partitions: the
+    // per-batch memory bound the stateful stage's docs point at is real
+    val batches = outDf.select("ingest_batch").distinct().count()
+    assert(batches >= 3, s"expected ≥3 micro-batches, got $batches")
+  }
+
   test("sink replay of the same micro-batch is idempotent (ST9 exactly-once)") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("sink_replay").toString
