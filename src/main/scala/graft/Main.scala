@@ -89,11 +89,32 @@ object Main {
           case None =>
             val res = Validator.validate(wp, baselineProfiles = baseline)
             try {
-              res.violations
+              val sortedViolations = res.violations
                 .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
-                .write.mode("overwrite").partitionBy("partition").parquet(s"$out/violations")
-              res.verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
-              res.stats.write.mode("overwrite").parquet(s"$out/column_stats")
+              if (spark.conf.get(graft.engine.TableIO.CommitModeConf,
+                  "rename") == "manifest") {
+                // the operator configured manifest commits (object-store
+                // deploy): honor it here too — a plain whole-dir overwrite
+                // would silently bypass the atomicity they asked for.
+                // computed = every partition of this run, so a partition
+                // whose violations disappeared since the last run drops
+                // its stale manifest entry
+                val allParts = res.stats.select(col("partition"))
+                  .collect().map(_.getString(0)).toSeq
+                graft.engine.TableIO.writePartitionsAtomic(
+                  sortedViolations, s"$out/violations",
+                  computed = Some(allParts :+ "<global>"))
+                graft.engine.TableIO.writePartitionsAtomic(
+                  res.verdicts, s"$out/verdicts",
+                  computed = Some(allParts :+ "<global>"))
+                graft.engine.TableIO.writePartitionsAtomic(
+                  res.stats, s"$out/column_stats", computed = Some(allParts))
+              } else {
+                sortedViolations
+                  .write.mode("overwrite").partitionBy("partition").parquet(s"$out/violations")
+                res.verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
+                res.stats.write.mode("overwrite").parquet(s"$out/column_stats")
+              }
               res.verdicts.where(!col("passed")).count()
             } finally res.unpersist()
         }

@@ -108,6 +108,15 @@ object TableIO {
     requireRenameAtomicFs(tablePath)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tablePath)
+    // MODE-SWITCH GUARD (mirror of the manifest-side one): a rename-mode
+    // write into a manifest table puts data where manifest readers never
+    // look, while readTable keeps serving the stale manifest — both sides
+    // silently wrong. Fail loudly instead.
+    require(listManifests(fs, tablePath).isEmpty,
+      s"table $table is manifest-committed (has _manifest files) but the " +
+        "commit mode is 'rename' — readers resolving the manifest would " +
+        "never see this write. Set spark.graft.tableio.commitMode=manifest " +
+        "for this session or migrate the table to the rename layout")
     recoverTrash(spark, table, partitionCol)
     // a crash during a previous run's staging write leaves its (invisible)
     // .staging dir behind — reclaim the disk before staging anew. Single
@@ -186,6 +195,18 @@ object TableIO {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tablePath)
+    // MODE-SWITCH GUARD: committing a manifest over a rename-mode table
+    // would silently hide every pre-switch partition (prior = empty), with
+    // the ledger still claiming them done. Fail loudly; migration is a
+    // one-off rewrite, not an implicit flag flip.
+    val renameModeDirs = fs.listStatus(tablePath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+    require(!renameModeDirs || listManifests(fs, tablePath).nonEmpty,
+      s"table $table holds rename-mode partition directories but " +
+        "commitMode=manifest is set — a manifest commit here would hide " +
+        "all existing partitions from readers. Rewrite the table under " +
+        "manifest mode (read with spark.read.parquet, write to a fresh " +
+        "dir) or unset the commit mode for this table")
     // ONE listing pass feeds everything: prior entries (newest complete
     // manifest), the next version (max over ALL manifest files — torn ones
     // included, so a crashed writer's file can never collide), and the
@@ -270,9 +291,22 @@ object TableIO {
       table: String): Option[(Long, String)] = {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    listManifests(fs, tablePath).iterator
-      .flatMap { case (v, p) => readIfComplete(fs, v, p).map(v -> _) }
-      .nextOption()
+    // A reader can list versions and then lose ALL of them to a concurrent
+    // writer's prunes before opening any (each read hits the swallowed
+    // FileNotFound). Listed-but-none-readable therefore means STALE
+    // LISTING, not "no manifest" — falling through to a plain parquet read
+    // would crash on a healthy table. Re-list; newer complete versions
+    // exist whenever pruning happened.
+    var attempt = 0
+    while (attempt < 5) {
+      val listed = listManifests(fs, tablePath)
+      val resolved = listed.iterator
+        .flatMap { case (v, p) => readIfComplete(fs, v, p).map(v -> _) }
+        .nextOption()
+      if (resolved.isDefined || listed.isEmpty) return resolved
+      attempt += 1
+    }
+    None // persistent torn-only state: genuinely no complete manifest
   }
 
   /** Raw manifest JSON, None when the table has no manifest. */
@@ -376,7 +410,10 @@ object TableIO {
         s"$base/$partitionCol=${ExternalCatalogUtils.escapePathName(p)}")
       // basePath keeps the hive partition column in the schema
       spark.read.option("basePath", base).parquet(dirs: _*)
-    }.reduce(_.unionByName(_))
+      // allowMissingColumns: snapshots from different commits may span a
+      // schema evolution (an upgrade added a column); old snapshots read
+      // with nulls there instead of making the whole table unreadable
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Delete snapshot dirs referenced by NO retained manifest version and
@@ -407,9 +444,17 @@ object TableIO {
       .toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     fs.listStatus(tablePath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".snap-") &&
-        !live.contains(s.getPath.getName) &&
-        s.getModificationTime <= cutoff)
+      .filter { s =>
+        // mtime == 0 means the store doesn't report one (object-store
+        // prefix-inferred directories): age is UNKNOWABLE, so the grace
+        // cannot clear it — treat as too-young unless the caller said
+        // graceMs=0 (no writer can be in flight)
+        val ageKnownAndPast =
+          s.getModificationTime > 0 && s.getModificationTime <= cutoff
+        s.isDirectory && s.getPath.getName.startsWith(".snap-") &&
+          !live.contains(s.getPath.getName) &&
+          (graceMs == 0 || ageKnownAndPast)
+      }
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
       .toSeq.sorted
   }

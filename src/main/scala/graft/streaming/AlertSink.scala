@@ -47,7 +47,13 @@ object AlertSink {
     */
   final case class PushResult(posted: Long, pending: Long)
 
-  /** HTTP/batching knobs shared by push and drain. */
+  /** HTTP/batching knobs shared by push and drain. `batchSize` is a ROW
+    * budget at two levels: rows per entity object AND rows per request
+    * (objects are packed greedily up to it). `maxDeliveryAttempts` is the
+    * poison-payload bound: a payload that has failed this many drain
+    * cycles (endpoint rejects it permanently — wrong shape, over a body
+    * limit) is quarantined to parquet instead of redelivering forever.
+    */
   final case class HttpConf(
       bearerToken: Option[String] = None,
       gzipBody: Boolean = false,
@@ -55,7 +61,8 @@ object AlertSink {
       timeoutMs: Int = 10000,
       maxRetries: Int = 3,
       retryBackoffMs: Long = 200L,
-      maxConcurrency: Int = 64)
+      maxConcurrency: Int = 64,
+      maxDeliveryAttempts: Int = 20)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
     * reference's wire shape (alert/alert.go:56-66,125-134): each payload
@@ -111,6 +118,13 @@ object AlertSink {
     * violations are small by the validation contract, so the per-entity
     * shuffle is metadata-scale.
     */
+  /** Output schema: `j` (the payload JSON), `n` (its row count — postFrame
+    * packs objects into requests against a ROW budget, so a request can
+    * never carry more than ~batchSize rows regardless of how many small
+    * entity objects fit), `attempts` (delivery attempts so far — lets the
+    * drain quarantine permanently-rejected payloads instead of retrying
+    * them forever).
+    */
   private[streaming] def entityPayloads(
       violations: DataFrame, entityCol: String, batchSize: Int): DataFrame = {
     require(violations.columns.contains(entityCol),
@@ -126,11 +140,12 @@ object AlertSink {
         ((row_number().over(w) - 1) / math.max(1, batchSize)).cast("int"))
       .groupBy(col(entityCol).cast("string").as("entityId"), col("__chunk"))
       .agg(collect_list(struct(dataCols.map(col): _*)).as("data"))
-      .select(to_json(struct(col("entityId"), col("data"))).as("j"))
+      .select(to_json(struct(col("entityId"), col("data"))).as("j"),
+        size(col("data")).as("n"), lit(0).as("attempts"))
   }
 
-  /** Append a payload frame (single string column `j`) to the spool as its
-    * own batch directory. Directory names are unique per call; row content
+  /** Append a payload frame (columns j/n/attempts) to the spool as its own
+    * batch directory. Directory names are unique per call; row content
     * stays deterministic (ids come from the violation rows).
     */
   private def spool(json: DataFrame, dir: String): Unit =
@@ -195,19 +210,49 @@ object AlertSink {
       }
     }
     if (readable.isEmpty) return PushResult(0L, 0L)
-    val json = readable.map(_._2).reduce(_.unionByName(_))
-    val (posted, failed) = postFrame(json, endpoint, conf)
+    // normalize legacy spool schemas: batches from before the j/n/attempts
+    // format get n = batchSize (conservative — each legacy payload travels
+    // alone, so an old-shape body is never mixed into a shape-valid
+    // request's row budget) and attempts = 0
+    val json = readable.map(_._2).map { df =>
+      val withN =
+        if (df.columns.contains("n")) df
+        else df.withColumn("n", lit(conf.batchSize))
+      if (withN.columns.contains("attempts")) withN
+      else withN.withColumn("attempts", lit(0))
+    }.reduce(_.unionByName(_))
+    // POISON payloads — rejected maxDeliveryAttempts times (shape the
+    // receiver permanently 4xx's, body over its limit) — are quarantined
+    // to parquet for the operator instead of redelivering forever; without
+    // this one poisoned payload turns every future drain into its retry.
+    val poisoned = json.where(col("attempts") >= conf.maxDeliveryAttempts)
+    val nPoisoned = poisoned.count()
+    if (nPoisoned > 0) {
+      val qDir = s"$dir/quarantine-payloads-${java.util.UUID.randomUUID()}"
+      poisoned.write.mode("overwrite").parquet(qDir)
+      System.err.println(s"[alert-sink] $nPoisoned payload(s) failed " +
+        s"${conf.maxDeliveryAttempts} delivery cycles — quarantined to " +
+        s"$qDir; inspect/redeliver manually")
+    }
+    val (posted, failed) =
+      postFrame(json.where(col("attempts") < conf.maxDeliveryAttempts),
+        endpoint, conf)
     val pending = failed.count()
     if (pending > 0) spool(failed, dir) // re-spool BEFORE deleting the old
     readable.foreach { case (p, _) => fs.delete(p, true) }
     PushResult(posted, pending)
   }
 
-  /** POST the payload frame in chunks; returns (successful POST count,
-    * frame of rows that failed after `maxRetries` attempts). The coalesce
-    * caps in-flight connections at `maxConcurrency` tasks — the rworker
-    * analog. Per-chunk errors are contained: they surface as returned rows,
-    * never as task failures.
+  /** POST the payload frame (columns j/n/attempts) in requests packed
+    * against the ROW budget: objects are grouped greedily until the next
+    * one would push the request past `conf.batchSize` rows (always at
+    * least one object per request). Without the budget, batchSize OBJECTS
+    * of batchSize rows each made a single request carry batchSize² rows —
+    * a body-size wedge on any receiver with a limit. Returns (successful
+    * POST count, frame of payloads that failed, attempts incremented).
+    * The coalesce caps in-flight connections at `maxConcurrency` tasks —
+    * the rworker analog. Per-chunk errors are contained: they surface as
+    * returned rows, never as task failures.
     */
   private def postFrame(
       json: DataFrame, endpoint: String, conf: HttpConf): (Long, DataFrame) = {
@@ -218,11 +263,27 @@ object AlertSink {
     // cap — no need to instantiate the RDD lineage just to read its count
     val capped = json.coalesce(math.max(1, conf.maxConcurrency))
     val failedRows = capped.mapPartitions { (it: Iterator[Row]) =>
-      it.map(_.getString(0)).grouped(conf.batchSize).flatMap { chunk =>
-        if (postChunkWithRetry(chunk, endpoint, conf)) { posted.add(1); Nil }
-        else chunk
+      val triples = it.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).buffered
+      val packed = new Iterator[Seq[(String, Int, Int)]] {
+        def hasNext: Boolean = triples.hasNext
+        def next(): Seq[(String, Int, Int)] = {
+          val chunk = Seq.newBuilder[(String, Int, Int)]
+          var rows = 0
+          var count = 0
+          while (triples.hasNext &&
+              (count == 0 || rows + triples.head._2 <= conf.batchSize)) {
+            val t = triples.next(); chunk += t; rows += t._2; count += 1
+          }
+          chunk.result()
+        }
       }
-    }(org.apache.spark.sql.Encoders.STRING).toDF("j")
+      packed.flatMap { chunk =>
+        if (postChunkWithRetry(chunk.map(_._1), endpoint, conf)) {
+          posted.add(1); Nil
+        } else chunk.map(t => (t._1, t._2, t._3 + 1))
+      }
+    }(org.apache.spark.sql.Encoders.product[(String, Int, Int)])
+      .toDF("j", "n", "attempts")
     // materialize now: the accumulator and the failure set must reflect one
     // single POST pass (a lazy frame would re-POST on every consumer)
     val failed = failedRows.localCheckpoint(true)

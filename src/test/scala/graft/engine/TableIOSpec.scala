@@ -268,6 +268,32 @@ class TableIOSpec extends SparkSpec {
     }
   }
 
+  test("mode-switch guards: manifest-over-rename and rename-over-manifest both fail loudly") {
+    // manifest commit into a rename-layout table would hide every existing
+    // partition (prior = empty) while the ledger still says done
+    val t1 = table()
+    TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t1) // rename mode
+    withManifestMode() {
+      val e = intercept[IllegalArgumentException] {
+        TableIO.writePartitionsAtomic(frame(Seq(("b", "y", 2L))), t1)
+      }
+      assert(e.getMessage.contains("rename-mode partition directories"), e.getMessage)
+    }
+    // and the reverse: a rename write into a manifest table lands where
+    // manifest readers never look
+    val t2 = table()
+    withManifestMode() {
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t2)
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      TableIO.writePartitionsAtomic(frame(Seq(("b", "y", 2L))), t2)
+    }
+    assert(e2.getMessage.contains("manifest-committed"), e2.getMessage)
+    // both tables still read correctly in their own mode
+    assert(spark.read.parquet(t1).count() == 1)
+    assert(TableIO.readTable(spark, t2).count() == 1)
+  }
+
   test("readTable falls back to a plain parquet read on rename-mode tables") {
     val t = table()
     TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t)

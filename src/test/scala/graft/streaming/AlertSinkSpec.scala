@@ -186,6 +186,58 @@ class AlertSinkSpec extends SparkSpec {
     }
   }
 
+  test("request bodies respect the ROW budget across many small entity objects") {
+    withServer() { (port, received) =>
+      import spark.implicits._
+      // 24 rows over 8 entities: objects of 3 rows each; with batchSize=4
+      // a request may hold at most one 3-row object plus nothing bigger —
+      // the pre-fix packing put batchSize OBJECTS per request (up to
+      // batchSize² rows)
+      val v = (0 until 24).map(i =>
+          (s"e${i % 8}", s"u$i", "c", "o", "e", s"id$i", null: String))
+        .toDF("partition", "url", "check_name", "observed", "expected",
+          "violation_id", "extra")
+      val res = AlertSink.push(v, s"http://127.0.0.1:$port/alerts",
+        AlertSink.HttpConf(batchSize = 4))
+      assert(res.pending == 0)
+      val msgs = received.asScala.toSeq
+      assert(rowsIn(msgs) == 24)
+      assert(msgs.forall(m =>
+        "\"violation_id\"".r.findAllIn(m._3).size <= 4),
+        msgs.map(m => "\"violation_id\"".r.findAllIn(m._3).size).toString)
+      assert(msgs.size >= 6) // 24 rows / ≤4 per request
+    }
+  }
+
+  test("poison payloads are quarantined after maxDeliveryAttempts, not retried forever") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val spool = Files.createTempDirectory("alert_spool_poison").toString
+    // a payload the receiver will never accept, already at the attempt cap,
+    // sitting in the spool next to a healthy one
+    Seq(("""{"entityId":"p","data":[{"violation_id":"poison"}]}""", 1, 20),
+        ("""{"entityId":"h","data":[{"violation_id":"healthy"}]}""", 1, 3))
+      .toDF("j", "n", "attempts")
+      .write.parquet(s"$spool/batch-mixed")
+    withServer() { (port, received) =>
+      val res = AlertSink.drainSpool(spark, spool,
+        s"http://127.0.0.1:$port/alerts",
+        AlertSink.HttpConf(maxDeliveryAttempts = 20))
+      assert(res.pending == 0)
+      val bodies = received.asScala.map(_._3).mkString
+      assert(bodies.contains("healthy"))
+      assert(!bodies.contains("poison"), "poison payload was still delivered")
+    }
+    val names = Files.list(Paths.get(spool)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.exists(_.startsWith("quarantine-payloads-")), names.toString)
+    assert(!names.exists(_.startsWith("batch-")), names.toString)
+    val q = spark.read.parquet(
+      s"$spool/${names.find(_.startsWith("quarantine-payloads-")).get}")
+    assert(q.count() == 1 && q.select("j").as[String].collect()
+      .head.contains("poison"))
+  }
+
   test("fan-out is capped at maxConcurrency partitions (rworker analog)") {
     withServer() { (port, received) =>
       val v = violations.repartition(16)
