@@ -89,28 +89,26 @@ object Main {
           case None =>
             val res = Validator.validate(wp, baselineProfiles = baseline)
             try {
-              val sortedViolations = res.violations
-                .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
               if (spark.conf.get(graft.engine.TableIO.CommitModeConf,
                   "rename") == "manifest") {
                 // the operator configured manifest commits (object-store
                 // deploy): honor it here too — a plain whole-dir overwrite
-                // would silently bypass the atomicity they asked for.
-                // computed = every partition of this run, so a partition
-                // whose violations disappeared since the last run drops
-                // its stale manifest entry
-                val allParts = res.stats.select(col("partition"))
+                // would silently bypass the atomicity they asked for. The
+                // non-ledger CLI is a FULL REPLACE (the rename branch
+                // overwrites the whole dir), so `computed` must cover this
+                // run's partitions AND every partition any output table
+                // previously carried — otherwise stale verdicts from a
+                // prior run would silently survive beside this run's.
+                import graft.engine.TableIO
+                val allParts = res.stats.select(col("partition")).distinct()
                   .collect().map(_.getString(0)).toSeq
-                graft.engine.TableIO.writePartitionsAtomic(
-                  sortedViolations, s"$out/violations",
-                  computed = Some(allParts :+ "<global>"))
-                graft.engine.TableIO.writePartitionsAtomic(
-                  res.verdicts, s"$out/verdicts",
-                  computed = Some(allParts :+ "<global>"))
-                graft.engine.TableIO.writePartitionsAtomic(
-                  res.stats, s"$out/column_stats", computed = Some(allParts))
+                val priorParts = Seq("violations", "verdicts", "column_stats")
+                  .flatMap(t => TableIO.readManifest(spark, s"$out/$t").keySet)
+                Validator.commitResults(res, out,
+                  (allParts ++ priorParts).distinct)
               } else {
-                sortedViolations
+                res.violations
+                  .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
                   .write.mode("overwrite").partitionBy("partition").parquet(s"$out/violations")
                 res.verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
                 res.stats.write.mode("overwrite").parquet(s"$out/column_stats")

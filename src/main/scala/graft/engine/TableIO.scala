@@ -111,12 +111,16 @@ object TableIO {
     // MODE-SWITCH GUARD (mirror of the manifest-side one): a rename-mode
     // write into a manifest table puts data where manifest readers never
     // look, while readTable keeps serving the stale manifest — both sides
-    // silently wrong. Fail loudly instead.
-    require(listManifests(fs, tablePath).isEmpty,
-      s"table $table is manifest-committed (has _manifest files) but the " +
-        "commit mode is 'rename' — readers resolving the manifest would " +
-        "never see this write. Set spark.graft.tableio.commitMode=manifest " +
-        "for this session or migrate the table to the rename layout")
+    // silently wrong. Fail loudly instead. Keyed on a COMPLETE manifest —
+    // the readers' own notion of "is a manifest table" — so a lone torn
+    // file from a crashed first manifest attempt (where readTable already
+    // falls back to the plain layout) does not block recovery-by-revert.
+    require(!hasCompleteManifest(fs, tablePath),
+      s"table $table is manifest-committed (has a complete _manifest " +
+        "file) but the commit mode is 'rename' — readers resolving the " +
+        "manifest would never see this write. Set " +
+        "spark.graft.tableio.commitMode=manifest for this session or " +
+        "migrate the table to the rename layout")
     recoverTrash(spark, table, partitionCol)
     // a crash during a previous run's staging write leaves its (invisible)
     // .staging dir behind — reclaim the disk before staging anew. Single
@@ -201,7 +205,7 @@ object TableIO {
     // one-off rewrite, not an implicit flag flip.
     val renameModeDirs = fs.listStatus(tablePath)
       .exists(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
-    require(!renameModeDirs || listManifests(fs, tablePath).nonEmpty,
+    require(!renameModeDirs || hasCompleteManifest(fs, tablePath),
       s"table $table holds rename-mode partition directories but " +
         "commitMode=manifest is set — a manifest commit here would hide " +
         "all existing partitions from readers. Rewrite the table under " +
@@ -245,6 +249,15 @@ object TableIO {
     * commits exist.
     */
   private val LegacyManifestName = "_manifest.json"
+
+  /** Whether readers would resolve this as a manifest table (at least one
+    * COMPLETE manifest exists — torn leftovers alone do not count, exactly
+    * as readTable's fallback treats them).
+    */
+  private def hasCompleteManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: Path): Boolean =
+    listManifests(fs, tablePath)
+      .exists { case (v, p) => readIfComplete(fs, v, p).isDefined }
 
   /** Every manifest file of the table, (version, path), newest first; the
     * legacy unversioned file participates as version -1.
@@ -334,7 +347,7 @@ object TableIO {
   }
 
   /** Current partition → snapshot-dir mapping; empty when no manifest. */
-  private[engine] def readManifest(
+  private[graft] def readManifest(
       spark: org.apache.spark.sql.SparkSession, table: String): Map[String, String] =
     manifestJson(spark, table).map(parseEntries).getOrElse(Map.empty)
 

@@ -309,6 +309,35 @@ object Validator {
     df.join(broadcast(keys), Seq("partition"), "left_semi")
   }
 
+  /** Commit a pass's three output tables with partition-atomic semantics —
+    * THE one copy of the commit protocol (shared by the ledger path and
+    * the manifest-mode CLI path, so the `<global>` sentinel convention and
+    * per-table computed sets cannot drift between them).
+    *
+    * `computed`: partitions this run evaluated; computed-but-empty ones
+    * have their stale outputs deleted. "<global>" is appended for the two
+    * tables that carry cross-partition rows (violations, verdicts) — never
+    * for column_stats, which is strictly per-partition.
+    *
+    * W1 (ingest sort, collect/handler.go:75-77): violation rows are
+    * ordered within each write task — deterministic file contents + better
+    * parquet RLE/dict compression on url/check_name at scale. Stats rows
+    * are the ledger's metrics side (SURVEY §1.4 column_stats): mergeable
+    * HLL/KLL sketches a resumed or later run can roll up to table level
+    * without touching the data.
+    */
+  private[graft] def commitResults(
+      res: Result, outDir: String, computed: Seq[String]): Unit = {
+    TableIO.writePartitionsAtomic(
+      res.violations
+        .sortWithinPartitions(col("partition"), col("check_name"), col("url")),
+      s"$outDir/violations", computed = Some(computed :+ "<global>"))
+    TableIO.writePartitionsAtomic(res.verdicts, s"$outDir/verdicts",
+      computed = Some(computed :+ "<global>"))
+    TableIO.writePartitionsAtomic(res.stats, s"$outDir/column_stats",
+      computed = Some(computed))
+  }
+
   /** Ledger-gated run: skip partitions already `done`, mark `pending` before
     * the pass, `done` after outputs are written (ST9/S13 semantics). Returns
     * the partitions actually processed this run.
@@ -384,20 +413,7 @@ object Validator {
       // surviving the swap. Replay of a `pending` partition is idempotent
       // because all row content is deterministic (no uuid/now()).
 
-      // W1 (ingest sort, collect/handler.go:75-77): order rows within each
-      // write task — deterministic file contents + better parquet RLE/dict
-      // compression on url/check_name at scale
-      TableIO.writePartitionsAtomic(
-        res.violations
-          .sortWithinPartitions(col("partition"), col("check_name"), col("url")),
-        s"$outDir/violations", computed = Some(todo :+ "<global>"))
-      TableIO.writePartitionsAtomic(res.verdicts, s"$outDir/verdicts",
-        computed = Some(todo :+ "<global>"))
-      // per-partition stats incl. mergeable HLL/KLL sketch rows — the
-      // ledger's metrics side (SURVEY §1.4 column_stats): a resumed or later
-      // run can merge these to table-level stats without touching the data
-      TableIO.writePartitionsAtomic(res.stats, s"$outDir/column_stats",
-        computed = Some(todo))
+      commitResults(res, outDir, todo)
 
       val counts = res.violations
         .groupBy(col("partition")).agg(count(lit(1)).as("n"))

@@ -38,14 +38,20 @@ object AlertSink {
   /** `posted` = successful HTTP POSTs (chunks); `pending` = per-entity
     * payload objects that could not be delivered and remain in the spool
     * (0 when spooling is off and delivery succeeded; undeliverable payloads
-    * are COUNTED but dropped when spooling is off).
+    * are COUNTED but dropped when spooling is off); `quarantined` = payloads
+    * ABANDONED this call after maxDeliveryAttempts active receiver
+    * rejections — zero means everything was delivered or is still pending,
+    * nonzero means alerts now need manual redelivery from the quarantine
+    * parquet (a caller treating pending==0 as "all delivered" must also
+    * check this).
     * `posted` is an accumulator total and shares the pipeline's
     * at-least-once semantics: a task retried after its POSTs already fired
     * re-counts its chunks, so treat it as "at least this many successful
     * POSTs", not an exact delivery count (receivers dedupe on violation_id
     * either way).
     */
-  final case class PushResult(posted: Long, pending: Long)
+  final case class PushResult(posted: Long, pending: Long,
+      quarantined: Long = 0L)
 
   /** HTTP/batching knobs shared by push and drain. `batchSize` is a ROW
     * budget at two levels: rows per entity object AND rows per request
@@ -221,26 +227,32 @@ object AlertSink {
       if (withN.columns.contains("attempts")) withN
       else withN.withColumn("attempts", lit(0))
     }.reduce(_.unionByName(_))
-    // POISON payloads — rejected maxDeliveryAttempts times (shape the
-    // receiver permanently 4xx's, body over its limit) — are quarantined
-    // to parquet for the operator instead of redelivering forever; without
-    // this one poisoned payload turns every future drain into its retry.
-    val poisoned = json.where(col("attempts") >= conf.maxDeliveryAttempts)
-    val nPoisoned = poisoned.count()
-    if (nPoisoned > 0) {
-      val qDir = s"$dir/quarantine-payloads-${java.util.UUID.randomUUID()}"
-      poisoned.write.mode("overwrite").parquet(qDir)
-      System.err.println(s"[alert-sink] $nPoisoned payload(s) failed " +
-        s"${conf.maxDeliveryAttempts} delivery cycles — quarantined to " +
-        s"$qDir; inspect/redeliver manually")
-    }
-    val (posted, failed) =
-      postFrame(json.where(col("attempts") < conf.maxDeliveryAttempts),
-        endpoint, conf)
-    val pending = failed.count()
-    if (pending > 0) spool(failed, dir) // re-spool BEFORE deleting the old
-    readable.foreach { case (p, _) => fs.delete(p, true) }
-    PushResult(posted, pending)
+      // one disk pass per drain: the poison split + the POST pass would
+      // otherwise each re-read every spool batch
+      .cache()
+    try {
+      // POISON payloads — ACTIVELY REJECTED by the receiver (4xx) on
+      // maxDeliveryAttempts separate drain cycles (transient failures never
+      // age a payload) — are quarantined to parquet for the operator
+      // instead of redelivering forever; without this one poisoned payload
+      // turns every future drain into its retry.
+      val poisoned = json.where(col("attempts") >= conf.maxDeliveryAttempts)
+      val nPoisoned = poisoned.count()
+      if (nPoisoned > 0) {
+        val qDir = s"$dir/quarantine-payloads-${java.util.UUID.randomUUID()}"
+        poisoned.write.mode("overwrite").parquet(qDir)
+        System.err.println(s"[alert-sink] $nPoisoned payload(s) actively " +
+          s"rejected ${conf.maxDeliveryAttempts} times — quarantined to " +
+          s"$qDir; inspect/redeliver manually")
+      }
+      val (posted, failed) =
+        postFrame(json.where(col("attempts") < conf.maxDeliveryAttempts),
+          endpoint, conf)
+      val pending = failed.count()
+      if (pending > 0) spool(failed, dir) // re-spool BEFORE deleting the old
+      readable.foreach { case (p, _) => fs.delete(p, true) }
+      PushResult(posted, pending, nPoisoned)
+    } finally json.unpersist()
   }
 
   /** POST the payload frame (columns j/n/attempts) in requests packed
@@ -278,9 +290,26 @@ object AlertSink {
         }
       }
       packed.flatMap { chunk =>
-        if (postChunkWithRetry(chunk.map(_._1), endpoint, conf)) {
-          posted.add(1); Nil
-        } else chunk.map(t => (t._1, t._2, t._3 + 1))
+        postChunkWithRetry(chunk.map(_._1), endpoint, conf) match {
+          case Delivered => posted.add(1); Nil
+          // transient (endpoint down / 5xx / timeout): payloads age ZERO —
+          // an outage of any length must never quarantine deliverable alerts
+          case Transient => chunk
+          // rejected multi-object request: the receiver refused the BODY,
+          // which does not attribute blame — isolate by re-sending each
+          // object alone; only individually-rejected payloads gain an
+          // attempt (healthy neighbors packed beside a poison payload are
+          // delivered right here instead of aging toward quarantine)
+          case Rejected if chunk.size > 1 =>
+            chunk.flatMap { t =>
+              postChunkWithRetry(Seq(t._1), endpoint, conf) match {
+                case Delivered => posted.add(1); Nil
+                case Transient => Seq(t)
+                case Rejected  => Seq((t._1, t._2, t._3 + 1))
+              }
+            }
+          case Rejected => chunk.map(t => (t._1, t._2, t._3 + 1))
+        }
       }
     }(org.apache.spark.sql.Encoders.product[(String, Int, Int)])
       .toDF("j", "n", "attempts")
@@ -290,23 +319,40 @@ object AlertSink {
     (posted.value, failed)
   }
 
-  /** One chunk: bounded retries with linear backoff; any exception or
-    * non-2xx counts as a failed attempt. Returns success.
+  /** Delivery outcome of one request. The Rejected/Transient distinction
+    * drives poison accounting: only an ACTIVE receiver rejection (4xx,
+    * minus the retryable 408/429) counts toward quarantine — a down
+    * endpoint, 5xx, or timeout is transient and must never age a payload
+    * toward abandonment (a weekend outage is not a poison payload).
+    */
+  private sealed trait Outcome
+  private case object Delivered extends Outcome
+  private case object Rejected extends Outcome
+  private case object Transient extends Outcome
+
+  private final class RejectedException(code: Int)
+    extends java.io.IOException(s"alert POST rejected: HTTP $code")
+
+  /** One chunk: bounded retries with linear backoff for TRANSIENT failures
+    * (exceptions, 5xx, 408, 429); a permanent 4xx returns Rejected
+    * immediately — retrying a body the receiver deterministically refuses
+    * is pure noise.
     */
   private def postChunkWithRetry(
-      chunk: Seq[String], endpoint: String, conf: HttpConf): Boolean = {
+      chunk: Seq[String], endpoint: String, conf: HttpConf): Outcome = {
     var attempt = 0
     while (attempt < math.max(1, conf.maxRetries)) {
       attempt += 1
       try {
         postOnce(chunk, endpoint, conf)
-        return true
+        return Delivered
       } catch {
+        case _: RejectedException => return Rejected
         case scala.util.control.NonFatal(_) =>
           if (attempt < conf.maxRetries) Thread.sleep(conf.retryBackoffMs * attempt)
       }
     }
-    false
+    Transient
   }
 
   private def postOnce(chunk: Seq[String], endpoint: String, conf: HttpConf): Unit = {
@@ -327,6 +373,8 @@ object AlertSink {
       try os.write(body)
       finally os.close()
       val code = conn.getResponseCode
+      if (code >= 400 && code < 500 && code != 408 && code != 429)
+        throw new RejectedException(code) // permanent: receiver refuses this body
       if (code < 200 || code >= 300)
         throw new java.io.IOException(s"alert POST failed: HTTP $code")
     } finally conn.disconnect()

@@ -19,8 +19,10 @@ import graft.fixtures.WebGen
   */
 class AlertSinkSpec extends SparkSpec {
 
-  /** failFirst: respond 503 to the first N requests (transient outage). */
-  private def withServer(failFirst: Int = 0)(
+  /** failFirst: respond `failCode` to the first N requests (503 models a
+    * transient outage; 400 models an active permanent rejection).
+    */
+  private def withServer(failFirst: Int = 0, failCode: Int = 503)(
       f: (Int, ConcurrentLinkedQueue[(String, String, String)]) => Unit): Unit = {
     val received = new ConcurrentLinkedQueue[(String, String, String)]()
     val failures = new AtomicInteger(failFirst)
@@ -29,7 +31,7 @@ class AlertSinkSpec extends SparkSpec {
       val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding")).getOrElse("")
       val raw = ex.getRequestBody.readAllBytes()
       if (failures.getAndDecrement() > 0) {
-        ex.sendResponseHeaders(503, -1)
+        ex.sendResponseHeaders(failCode, -1)
         ex.close()
       } else {
         val body =
@@ -207,6 +209,36 @@ class AlertSinkSpec extends SparkSpec {
         msgs.map(m => "\"violation_id\"".r.findAllIn(m._3).size).toString)
       assert(msgs.size >= 6) // 24 rows / ≤4 per request
     }
+  }
+
+  test("outages do NOT age payloads toward quarantine; active 4xx rejections DO") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.max
+    val spool = Files.createTempDirectory("alert_spool_aging").toString
+    val v = violations
+    val fastRetry = AlertSink.HttpConf(maxRetries = 1, retryBackoffMs = 5L,
+      maxDeliveryAttempts = 2)
+    def maxAttempts(): Int = spark.read.parquet(s"$spool/batch-*")
+      .agg(max("attempts")).head.getInt(0)
+    // two full TRANSIENT cycles (refused connection): attempts must stay 0
+    // — a weekend outage is not a poison payload
+    AlertSink.push(v, "http://127.0.0.1:1/alerts", fastRetry, Some(spool))
+    AlertSink.drainSpool(spark, spool, "http://127.0.0.1:1/alerts", fastRetry)
+    assert(maxAttempts() == 0, "transient failures aged the payloads")
+    // ACTIVE rejection (HTTP 400 on every request): each drain cycle adds
+    // one attempt, and at maxDeliveryAttempts the payloads quarantine
+    withServer(failFirst = Int.MaxValue, failCode = 400) { (port, _) =>
+      val ep = s"http://127.0.0.1:$port/alerts"
+      AlertSink.drainSpool(spark, spool, ep, fastRetry)
+      assert(maxAttempts() == 1, "active rejection did not age the payloads")
+      AlertSink.drainSpool(spark, spool, ep, fastRetry)
+      assert(maxAttempts() == 2)
+      val res = AlertSink.drainSpool(spark, spool, ep, fastRetry)
+      assert(res.quarantined > 0 && res.pending == 0, res.toString)
+    }
+    val names = Files.list(java.nio.file.Paths.get(spool)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.exists(_.startsWith("quarantine-payloads-")), names.toString)
   }
 
   test("poison payloads are quarantined after maxDeliveryAttempts, not retried forever") {
