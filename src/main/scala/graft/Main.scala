@@ -103,10 +103,23 @@ object Main {
                 val allParts = res.stats.select(col("partition")).distinct()
                   .collect().map(_.getString(0)).toSeq
                 val priorParts = Seq("violations", "verdicts", "column_stats")
-                  .flatMap(t => TableIO.readManifest(spark, s"$out/$t").keySet)
+                  .flatMap(t => TableIO.livePartitions(spark, s"$out/$t"))
                 Validator.commitResults(res, out,
                   (allParts ++ priorParts).distinct)
               } else {
+                // guard the raw-overwrite path too: writing a plain layout
+                // beside a live manifest would leave readTable consumers
+                // (incl. a later --ledger run) on the stale manifest while
+                // this run's outputs sit invisible next to it
+                Seq("violations", "verdicts", "column_stats").foreach { t =>
+                  if (graft.engine.TableIO.isManifestTable(spark, s"$out/$t")) {
+                    System.err.println(s"[sodspark] $out/$t is a " +
+                      "manifest-committed table but " +
+                      s"${graft.engine.TableIO.CommitModeConf} is 'rename' — " +
+                      "set it to 'manifest' for this run or use a fresh outDir")
+                    sys.exit(64)
+                  }
+                }
                 res.violations
                   .sortWithinPartitions(col("partition"), col("check_name"), col("url"))
                   .write.mode("overwrite").partitionBy("partition").parquet(s"$out/violations")

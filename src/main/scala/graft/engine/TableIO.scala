@@ -199,28 +199,35 @@ object TableIO {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tablePath)
+    // ONE listing pass feeds everything: the mode-switch guard, prior
+    // entries (newest complete manifest), the next version (max over ALL
+    // manifest files — torn ones included, so a crashed writer's file can
+    // never collide), and the prune threshold (strictly below the newest
+    // complete BEFORE this commit, so the previous complete version and
+    // anything above survive as reader grace; torn leftovers get pruned
+    // one commit later).
+    val rootListing = fs.listStatus(tablePath)
+    val manifests = rootListing.flatMap { s =>
+      val n = s.getPath.getName
+      if (n == LegacyManifestName) Some(-1L -> s.getPath)
+      else manifestVersionOf(n).map(_ -> s.getPath)
+    }.sortBy(-_._1).toSeq
+    val newestComplete = manifests.iterator
+      .flatMap { case (v, p) => readIfComplete(fs, v, p).map(v -> _) }
+      .nextOption()
     // MODE-SWITCH GUARD: committing a manifest over a rename-mode table
     // would silently hide every pre-switch partition (prior = empty), with
     // the ledger still claiming them done. Fail loudly; migration is a
-    // one-off rewrite, not an implicit flag flip.
-    val renameModeDirs = fs.listStatus(tablePath)
+    // one-off rewrite, not an implicit flag flip. Keyed on a COMPLETE
+    // manifest, same as the readers.
+    val renameModeDirs = rootListing
       .exists(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
-    require(!renameModeDirs || hasCompleteManifest(fs, tablePath),
+    require(!renameModeDirs || newestComplete.isDefined,
       s"table $table holds rename-mode partition directories but " +
         "commitMode=manifest is set — a manifest commit here would hide " +
         "all existing partitions from readers. Rewrite the table under " +
         "manifest mode (read with spark.read.parquet, write to a fresh " +
         "dir) or unset the commit mode for this table")
-    // ONE listing pass feeds everything: prior entries (newest complete
-    // manifest), the next version (max over ALL manifest files — torn ones
-    // included, so a crashed writer's file can never collide), and the
-    // prune threshold (strictly below the newest complete BEFORE this
-    // commit, so the previous complete version and anything above survive
-    // as reader grace; torn leftovers get pruned one commit later).
-    val manifests = listManifests(fs, tablePath)
-    val newestComplete = manifests.iterator
-      .flatMap { case (v, p) => readIfComplete(fs, v, p).map(v -> _) }
-      .nextOption()
     val prior = newestComplete.map(t => parseEntries(t._2)).getOrElse(Map.empty)
     val snapName = s".snap-${java.util.UUID.randomUUID()}"
     val snap = new Path(tablePath, snapName)
@@ -346,8 +353,38 @@ object TableIO {
     }
   }
 
+  /** Whether readers resolve this path as a manifest-committed table (a
+    * COMPLETE manifest exists — lone torn leftovers do not count, matching
+    * readTable's own fallback).
+    */
+  def isManifestTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Boolean = {
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(tablePath) && hasCompleteManifest(fs, tablePath)
+  }
+
+  /** The partition VALUES a table currently serves, in either commit mode:
+    * manifest keys when a complete manifest exists, hive `partitionCol=`
+    * directory names otherwise. The table-layer primitive for full-replace
+    * semantics (callers need not know how either mode records partitions).
+    */
+  def livePartitions(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): Seq[String] = {
+    val entries = readManifest(spark, table)
+    if (entries.nonEmpty) return entries.keys.toSeq.sorted
+    val tablePath = new Path(table)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tablePath)) return Seq.empty
+    fs.listStatus(tablePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .map(s => ExternalCatalogUtils.unescapePathName(
+        s.getPath.getName.substring(partitionCol.length + 1)))
+      .toSeq.sorted
+  }
+
   /** Current partition → snapshot-dir mapping; empty when no manifest. */
-  private[graft] def readManifest(
+  private[engine] def readManifest(
       spark: org.apache.spark.sql.SparkSession, table: String): Map[String, String] =
     manifestJson(spark, table).map(parseEntries).getOrElse(Map.empty)
 

@@ -68,7 +68,16 @@ object AlertSink {
       maxRetries: Int = 3,
       retryBackoffMs: Long = 200L,
       maxConcurrency: Int = 64,
-      maxDeliveryAttempts: Int = 20)
+      maxDeliveryAttempts: Int = 20,
+      /** Secondary bound for payloads that fail TRANSIENTLY forever: a
+        * poison payload that makes the receiver 500/hang (instead of a
+        * clean 4xx) would otherwise be retried on every drain for the
+        * pipeline's lifetime. Two orders of magnitude above the rejection
+        * cap, so a genuine outage has that much headroom before anything
+        * is abandoned; payloads quarantined on this bound sit in the same
+        * redeliverable parquet.
+        */
+      maxTransientAttempts: Int = 2000)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
     * reference's wire shape (alert/alert.go:56-66,125-134): each payload
@@ -127,9 +136,9 @@ object AlertSink {
   /** Output schema: `j` (the payload JSON), `n` (its row count — postFrame
     * packs objects into requests against a ROW budget, so a request can
     * never carry more than ~batchSize rows regardless of how many small
-    * entity objects fit), `attempts` (delivery attempts so far — lets the
-    * drain quarantine permanently-rejected payloads instead of retrying
-    * them forever).
+    * entity objects fit), `attempts` (active receiver REJECTIONS so far)
+    * and `t_attempts` (transient delivery failures so far) — the two
+    * counters behind the drain's poison quarantine.
     */
   private[streaming] def entityPayloads(
       violations: DataFrame, entityCol: String, batchSize: Int): DataFrame = {
@@ -147,7 +156,8 @@ object AlertSink {
       .groupBy(col(entityCol).cast("string").as("entityId"), col("__chunk"))
       .agg(collect_list(struct(dataCols.map(col): _*)).as("data"))
       .select(to_json(struct(col("entityId"), col("data"))).as("j"),
-        size(col("data")).as("n"), lit(0).as("attempts"))
+        size(col("data")).as("n"), lit(0).as("attempts"),
+        lit(0).as("t_attempts"))
   }
 
   /** Append a payload frame (columns j/n/attempts) to the spool as its own
@@ -221,22 +231,23 @@ object AlertSink {
     // alone, so an old-shape body is never mixed into a shape-valid
     // request's row budget) and attempts = 0
     val json = readable.map(_._2).map { df =>
-      val withN =
-        if (df.columns.contains("n")) df
-        else df.withColumn("n", lit(conf.batchSize))
-      if (withN.columns.contains("attempts")) withN
-      else withN.withColumn("attempts", lit(0))
+      Seq("n" -> conf.batchSize, "attempts" -> 0, "t_attempts" -> 0)
+        .foldLeft(df) { case (d, (c, dflt)) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, lit(dflt))
+        }
     }.reduce(_.unionByName(_))
       // one disk pass per drain: the poison split + the POST pass would
       // otherwise each re-read every spool batch
       .cache()
     try {
-      // POISON payloads — ACTIVELY REJECTED by the receiver (4xx) on
-      // maxDeliveryAttempts separate drain cycles (transient failures never
-      // age a payload) — are quarantined to parquet for the operator
-      // instead of redelivering forever; without this one poisoned payload
-      // turns every future drain into its retry.
-      val poisoned = json.where(col("attempts") >= conf.maxDeliveryAttempts)
+      // POISON payloads — actively rejected maxDeliveryAttempts times, OR
+      // transiently failing maxTransientAttempts times (a payload that
+      // 500s/hangs the receiver forever) — are quarantined to parquet for
+      // the operator instead of redelivering forever; without this one
+      // poisoned payload turns every future drain into its retry.
+      val isPoisoned = col("attempts") >= conf.maxDeliveryAttempts ||
+        col("t_attempts") >= conf.maxTransientAttempts
+      val poisoned = json.where(isPoisoned)
       val nPoisoned = poisoned.count()
       if (nPoisoned > 0) {
         val qDir = s"$dir/quarantine-payloads-${java.util.UUID.randomUUID()}"
@@ -245,9 +256,7 @@ object AlertSink {
           s"rejected ${conf.maxDeliveryAttempts} times — quarantined to " +
           s"$qDir; inspect/redeliver manually")
       }
-      val (posted, failed) =
-        postFrame(json.where(col("attempts") < conf.maxDeliveryAttempts),
-          endpoint, conf)
+      val (posted, failed) = postFrame(json.where(!isPoisoned), endpoint, conf)
       val pending = failed.count()
       if (pending > 0) spool(failed, dir) // re-spool BEFORE deleting the old
       readable.foreach { case (p, _) => fs.delete(p, true) }
@@ -275,16 +284,17 @@ object AlertSink {
     // cap — no need to instantiate the RDD lineage just to read its count
     val capped = json.coalesce(math.max(1, conf.maxConcurrency))
     val failedRows = capped.mapPartitions { (it: Iterator[Row]) =>
-      val triples = it.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).buffered
-      val packed = new Iterator[Seq[(String, Int, Int)]] {
-        def hasNext: Boolean = triples.hasNext
-        def next(): Seq[(String, Int, Int)] = {
-          val chunk = Seq.newBuilder[(String, Int, Int)]
+      val quads = it.map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).buffered
+      val packed = new Iterator[Seq[(String, Int, Int, Int)]] {
+        def hasNext: Boolean = quads.hasNext
+        def next(): Seq[(String, Int, Int, Int)] = {
+          val chunk = Seq.newBuilder[(String, Int, Int, Int)]
           var rows = 0
           var count = 0
-          while (triples.hasNext &&
-              (count == 0 || rows + triples.head._2 <= conf.batchSize)) {
-            val t = triples.next(); chunk += t; rows += t._2; count += 1
+          while (quads.hasNext &&
+              (count == 0 || rows + quads.head._2 <= conf.batchSize)) {
+            val t = quads.next(); chunk += t; rows += t._2; count += 1
           }
           chunk.result()
         }
@@ -292,27 +302,29 @@ object AlertSink {
       packed.flatMap { chunk =>
         postChunkWithRetry(chunk.map(_._1), endpoint, conf) match {
           case Delivered => posted.add(1); Nil
-          // transient (endpoint down / 5xx / timeout): payloads age ZERO —
-          // an outage of any length must never quarantine deliverable alerts
-          case Transient => chunk
+          // transient (endpoint down / 5xx / timeout): only the transient
+          // counter moves — an outage must not age payloads toward the
+          // (small) rejection cap, while a hang-forever poison payload
+          // still hits the (large) transient cap eventually
+          case Transient => chunk.map(t => (t._1, t._2, t._3, t._4 + 1))
           // rejected multi-object request: the receiver refused the BODY,
           // which does not attribute blame — isolate by re-sending each
-          // object alone; only individually-rejected payloads gain an
-          // attempt (healthy neighbors packed beside a poison payload are
-          // delivered right here instead of aging toward quarantine)
+          // object alone; only individually-rejected payloads gain a
+          // rejection (healthy neighbors packed beside a poison payload
+          // are delivered right here instead of aging toward quarantine)
           case Rejected if chunk.size > 1 =>
             chunk.flatMap { t =>
               postChunkWithRetry(Seq(t._1), endpoint, conf) match {
                 case Delivered => posted.add(1); Nil
-                case Transient => Seq(t)
-                case Rejected  => Seq((t._1, t._2, t._3 + 1))
+                case Transient => Seq((t._1, t._2, t._3, t._4 + 1))
+                case Rejected  => Seq((t._1, t._2, t._3 + 1, t._4))
               }
             }
-          case Rejected => chunk.map(t => (t._1, t._2, t._3 + 1))
+          case Rejected => chunk.map(t => (t._1, t._2, t._3 + 1, t._4))
         }
       }
-    }(org.apache.spark.sql.Encoders.product[(String, Int, Int)])
-      .toDF("j", "n", "attempts")
+    }(org.apache.spark.sql.Encoders.product[(String, Int, Int, Int)])
+      .toDF("j", "n", "attempts", "t_attempts")
     // materialize now: the accumulator and the failure set must reflect one
     // single POST pass (a lazy frame would re-POST on every consumer)
     val failed = failedRows.localCheckpoint(true)
@@ -320,10 +332,12 @@ object AlertSink {
   }
 
   /** Delivery outcome of one request. The Rejected/Transient distinction
-    * drives poison accounting: only an ACTIVE receiver rejection (4xx,
-    * minus the retryable 408/429) counts toward quarantine — a down
-    * endpoint, 5xx, or timeout is transient and must never age a payload
-    * toward abandonment (a weekend outage is not a poison payload).
+    * drives poison accounting: only a BODY-SEMANTIC receiver rejection
+    * (400/413/415/422) counts toward the small quarantine cap — a down
+    * endpoint, 5xx, timeout, or auth/routing 4xx (401/403/404) is
+    * transient and ages only the much larger transient cap (a weekend
+    * outage or an expired token is not a poison payload; a payload that
+    * makes the receiver 500 forever still quarantines eventually).
     */
   private sealed trait Outcome
   private case object Delivered extends Outcome
@@ -373,8 +387,13 @@ object AlertSink {
       try os.write(body)
       finally os.close()
       val code = conn.getResponseCode
-      if (code >= 400 && code < 500 && code != 408 && code != 429)
-        throw new RejectedException(code) // permanent: receiver refuses this body
+      // ONLY body-semantic codes count as permanent rejection: 400 (bad
+      // request), 413 (too large), 415 (media type), 422 (unprocessable).
+      // 401/403/404 are environment problems (expired token, routing
+      // mid-deploy) that END — classifying them as rejection would
+      // quarantine the whole spool during an auth outage.
+      if (code == 400 || code == 413 || code == 415 || code == 422)
+        throw new RejectedException(code)
       if (code < 200 || code >= 300)
         throw new java.io.IOException(s"alert POST failed: HTTP $code")
     } finally conn.disconnect()
