@@ -98,7 +98,10 @@ object Main {
                 // overwrites the whole dir), so `computed` must cover this
                 // run's partitions AND every partition any output table
                 // previously carried — otherwise stale verdicts from a
-                // prior run would silently survive beside this run's.
+                // prior MANIFEST-MODE run would silently survive beside
+                // this run's. (Prior RENAME-layout outputs never reach
+                // this point: writePartitionsAtomic's mode-switch guard
+                // rejects a manifest commit over rename dirs up front.)
                 import graft.engine.TableIO
                 val allParts = res.stats.select(col("partition")).distinct()
                   .collect().map(_.getString(0)).toSeq
@@ -107,10 +110,12 @@ object Main {
                 Validator.commitResults(res, out,
                   (allParts ++ priorParts).distinct)
               } else {
-                // guard the raw-overwrite path too: writing a plain layout
-                // beside a live manifest would leave readTable consumers
-                // (incl. a later --ledger run) on the stale manifest while
-                // this run's outputs sit invisible next to it
+                // guard the raw-overwrite path too: mode("overwrite")
+                // non-atomically DESTROYS a manifest table's snapshots and
+                // versioned history mid-job (and under dynamic partition
+                // overwrite would instead strand readers on the stale
+                // manifest) — either way the configured commit discipline
+                // is silently violated, so fail up front
                 Seq("violations", "verdicts", "column_stats").foreach { t =>
                   if (graft.engine.TableIO.isManifestTable(spark, s"$out/$t")) {
                     System.err.println(s"[sodspark] $out/$t is a " +

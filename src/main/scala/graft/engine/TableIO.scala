@@ -207,11 +207,7 @@ object TableIO {
     // anything above survive as reader grace; torn leftovers get pruned
     // one commit later).
     val rootListing = fs.listStatus(tablePath)
-    val manifests = rootListing.flatMap { s =>
-      val n = s.getPath.getName
-      if (n == LegacyManifestName) Some(-1L -> s.getPath)
-      else manifestVersionOf(n).map(_ -> s.getPath)
-    }.sortBy(-_._1).toSeq
+    val manifests = manifestsFrom(rootListing)
     val newestComplete = manifests.iterator
       .flatMap { case (v, p) => readIfComplete(fs, v, p).map(v -> _) }
       .nextOption()
@@ -266,17 +262,23 @@ object TableIO {
     listManifests(fs, tablePath)
       .exists { case (v, p) => readIfComplete(fs, v, p).isDefined }
 
-  /** Every manifest file of the table, (version, path), newest first; the
-    * legacy unversioned file participates as version -1.
+  /** The manifest files in a directory listing, (version, path), newest
+    * first; the legacy unversioned file participates as version -1. The
+    * ONE place the manifest-name convention is interpreted.
     */
-  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
-      tablePath: Path): Seq[(Long, Path)] =
-    if (!fs.exists(tablePath)) Seq.empty
-    else fs.listStatus(tablePath).flatMap { s =>
+  private def manifestsFrom(
+      listing: Array[org.apache.hadoop.fs.FileStatus]): Seq[(Long, Path)] =
+    listing.flatMap { s =>
       val n = s.getPath.getName
       if (n == LegacyManifestName) Some(-1L -> s.getPath)
       else manifestVersionOf(n).map(_ -> s.getPath)
     }.sortBy(-_._1).toSeq
+
+  /** Every manifest file of the table, (version, path), newest first. */
+  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: Path): Seq[(Long, Path)] =
+    if (!fs.exists(tablePath)) Seq.empty
+    else manifestsFrom(fs.listStatus(tablePath))
 
   /** The file's JSON when it is a COMPLETE manifest; None for torn writes
     * (missing `"complete":true` terminator; the legacy format is checked

@@ -39,11 +39,12 @@ object AlertSink {
     * payload objects that could not be delivered and remain in the spool
     * (0 when spooling is off and delivery succeeded; undeliverable payloads
     * are COUNTED but dropped when spooling is off); `quarantined` = payloads
-    * ABANDONED this call after maxDeliveryAttempts active receiver
-    * rejections — zero means everything was delivered or is still pending,
-    * nonzero means alerts now need manual redelivery from the quarantine
-    * parquet (a caller treating pending==0 as "all delivered" must also
-    * check this).
+    * ABANDONED this call — either maxDeliveryAttempts active receiver
+    * rejections, or maxTransientAttempts transient failures past the
+    * maxTransientAgeMs age bound. Zero means everything was delivered or
+    * is still pending; nonzero means alerts now need manual redelivery
+    * from the quarantine parquet (a caller treating pending==0 as "all
+    * delivered" must also check this).
     * `posted` is an accumulator total and shares the pipeline's
     * at-least-once semantics: a task retried after its POSTs already fired
     * re-counts its chunks, so treat it as "at least this many successful
@@ -72,12 +73,17 @@ object AlertSink {
       /** Secondary bound for payloads that fail TRANSIENTLY forever: a
         * poison payload that makes the receiver 500/hang (instead of a
         * clean 4xx) would otherwise be retried on every drain for the
-        * pipeline's lifetime. Two orders of magnitude above the rejection
-        * cap, so a genuine outage has that much headroom before anything
-        * is abandoned; payloads quarantined on this bound sit in the same
-        * redeliverable parquet.
+        * pipeline's lifetime. BOTH conditions must hold to quarantine on
+        * this bound — ≥ maxTransientAttempts failed cycles AND the payload
+        * older than maxTransientAgeMs — so the bound is robust to trigger
+        * frequency: a streaming job draining every 30 s cannot quarantine
+        * a weekend outage's alerts by cycle count alone (age < 7 days),
+        * and a slow batch job cannot keep a hanging poison payload forever
+        * (cycles accumulate). Quarantined payloads sit in the same
+        * redeliverable parquet either way.
         */
-      maxTransientAttempts: Int = 2000)
+      maxTransientAttempts: Int = 2000,
+      maxTransientAgeMs: Long = 7L * 24 * 3600 * 1000)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
     * reference's wire shape (alert/alert.go:56-66,125-134): each payload
@@ -136,9 +142,11 @@ object AlertSink {
   /** Output schema: `j` (the payload JSON), `n` (its row count — postFrame
     * packs objects into requests against a ROW budget, so a request can
     * never carry more than ~batchSize rows regardless of how many small
-    * entity objects fit), `attempts` (active receiver REJECTIONS so far)
-    * and `t_attempts` (transient delivery failures so far) — the two
-    * counters behind the drain's poison quarantine.
+    * entity objects fit), `attempts` (active receiver REJECTIONS so far),
+    * `t_attempts` (transient delivery failures so far) and `first_seen`
+    * (epoch ms the payload entered the pipeline — operational metadata,
+    * not validated row content, so wall clock is fine here) — the fields
+    * behind the drain's poison quarantine.
     */
   private[streaming] def entityPayloads(
       violations: DataFrame, entityCol: String, batchSize: Int): DataFrame = {
@@ -157,12 +165,14 @@ object AlertSink {
       .agg(collect_list(struct(dataCols.map(col): _*)).as("data"))
       .select(to_json(struct(col("entityId"), col("data"))).as("j"),
         size(col("data")).as("n"), lit(0).as("attempts"),
-        lit(0).as("t_attempts"))
+        lit(0).as("t_attempts"),
+        lit(System.currentTimeMillis()).as("first_seen"))
   }
 
-  /** Append a payload frame (columns j/n/attempts) to the spool as its own
-    * batch directory. Directory names are unique per call; row content
-    * stays deterministic (ids come from the violation rows).
+  /** Append a payload frame (columns j/n/attempts/t_attempts/first_seen —
+    * see [[entityPayloads]]) to the spool as its own batch directory.
+    * Directory names are unique per call; row content stays deterministic
+    * (ids come from the violation rows).
     */
   private def spool(json: DataFrame, dir: String): Unit =
     json.write.mode("overwrite")
@@ -230,8 +240,12 @@ object AlertSink {
     // format get n = batchSize (conservative — each legacy payload travels
     // alone, so an old-shape body is never mixed into a shape-valid
     // request's row budget) and attempts = 0
+    // legacy spool schemas get conservative defaults: n = batchSize (each
+    // legacy payload travels alone), zero counters, and first_seen = NOW
+    // (the age clock starts at upgrade — never quarantine-on-arrival)
     val json = readable.map(_._2).map { df =>
-      Seq("n" -> conf.batchSize, "attempts" -> 0, "t_attempts" -> 0)
+      Seq[(String, Any)]("n" -> conf.batchSize, "attempts" -> 0,
+          "t_attempts" -> 0, "first_seen" -> System.currentTimeMillis())
         .foldLeft(df) { case (d, (c, dflt)) =>
           if (d.columns.contains(c)) d else d.withColumn(c, lit(dflt))
         }
@@ -241,20 +255,24 @@ object AlertSink {
       .cache()
     try {
       // POISON payloads — actively rejected maxDeliveryAttempts times, OR
-      // transiently failing maxTransientAttempts times (a payload that
-      // 500s/hangs the receiver forever) — are quarantined to parquet for
-      // the operator instead of redelivering forever; without this one
-      // poisoned payload turns every future drain into its retry.
+      // transiently failing maxTransientAttempts cycles AND older than
+      // maxTransientAgeMs (a payload that 500s/hangs the receiver
+      // forever) — are quarantined to parquet for the operator instead of
+      // redelivering forever; without this one poisoned payload turns
+      // every future drain into its retry.
+      val ageCutoff = System.currentTimeMillis() - conf.maxTransientAgeMs
       val isPoisoned = col("attempts") >= conf.maxDeliveryAttempts ||
-        col("t_attempts") >= conf.maxTransientAttempts
+        (col("t_attempts") >= conf.maxTransientAttempts &&
+          col("first_seen") <= ageCutoff)
       val poisoned = json.where(isPoisoned)
       val nPoisoned = poisoned.count()
       if (nPoisoned > 0) {
         val qDir = s"$dir/quarantine-payloads-${java.util.UUID.randomUUID()}"
         poisoned.write.mode("overwrite").parquet(qDir)
-        System.err.println(s"[alert-sink] $nPoisoned payload(s) actively " +
-          s"rejected ${conf.maxDeliveryAttempts} times — quarantined to " +
-          s"$qDir; inspect/redeliver manually")
+        System.err.println(s"[alert-sink] $nPoisoned payload(s) exhausted " +
+          s"delivery bounds (${conf.maxDeliveryAttempts} active rejections, " +
+          s"or ${conf.maxTransientAttempts} transient failures past the " +
+          s"age bound) — quarantined to $qDir; inspect/redeliver manually")
       }
       val (posted, failed) = postFrame(json.where(!isPoisoned), endpoint, conf)
       val pending = failed.count()
@@ -264,7 +282,8 @@ object AlertSink {
     } finally json.unpersist()
   }
 
-  /** POST the payload frame (columns j/n/attempts) in requests packed
+  /** POST the payload frame (columns j/n/attempts/t_attempts/first_seen)
+    * in requests packed
     * against the ROW budget: objects are grouped greedily until the next
     * one would push the request past `conf.batchSize` rows (always at
     * least one object per request). Without the budget, batchSize OBJECTS
@@ -284,12 +303,14 @@ object AlertSink {
     // cap — no need to instantiate the RDD lineage just to read its count
     val capped = json.coalesce(math.max(1, conf.maxConcurrency))
     val failedRows = capped.mapPartitions { (it: Iterator[Row]) =>
+      type P = (String, Int, Int, Int, Long) // j, n, attempts, t_attempts, first_seen
       val quads = it.map(r =>
-        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).buffered
-      val packed = new Iterator[Seq[(String, Int, Int, Int)]] {
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+        .buffered
+      val packed = new Iterator[Seq[P]] {
         def hasNext: Boolean = quads.hasNext
-        def next(): Seq[(String, Int, Int, Int)] = {
-          val chunk = Seq.newBuilder[(String, Int, Int, Int)]
+        def next(): Seq[P] = {
+          val chunk = Seq.newBuilder[P]
           var rows = 0
           var count = 0
           while (quads.hasNext &&
@@ -302,11 +323,11 @@ object AlertSink {
       packed.flatMap { chunk =>
         postChunkWithRetry(chunk.map(_._1), endpoint, conf) match {
           case Delivered => posted.add(1); Nil
-          // transient (endpoint down / 5xx / timeout): only the transient
-          // counter moves — an outage must not age payloads toward the
-          // (small) rejection cap, while a hang-forever poison payload
-          // still hits the (large) transient cap eventually
-          case Transient => chunk.map(t => (t._1, t._2, t._3, t._4 + 1))
+          // transient (endpoint down / 5xx / timeout / auth 4xx): only the
+          // transient counter moves — an outage must not age payloads
+          // toward the (small) rejection cap, while a hang-forever poison
+          // payload still meets the transient cap + age bound eventually
+          case Transient => chunk.map(t => t.copy(_4 = t._4 + 1))
           // rejected multi-object request: the receiver refused the BODY,
           // which does not attribute blame — isolate by re-sending each
           // object alone; only individually-rejected payloads gain a
@@ -316,15 +337,15 @@ object AlertSink {
             chunk.flatMap { t =>
               postChunkWithRetry(Seq(t._1), endpoint, conf) match {
                 case Delivered => posted.add(1); Nil
-                case Transient => Seq((t._1, t._2, t._3, t._4 + 1))
-                case Rejected  => Seq((t._1, t._2, t._3 + 1, t._4))
+                case Transient => Seq(t.copy(_4 = t._4 + 1))
+                case Rejected  => Seq(t.copy(_3 = t._3 + 1))
               }
             }
-          case Rejected => chunk.map(t => (t._1, t._2, t._3 + 1, t._4))
+          case Rejected => chunk.map(t => t.copy(_3 = t._3 + 1))
         }
       }
-    }(org.apache.spark.sql.Encoders.product[(String, Int, Int, Int)])
-      .toDF("j", "n", "attempts", "t_attempts")
+    }(org.apache.spark.sql.Encoders.product[(String, Int, Int, Int, Long)])
+      .toDF("j", "n", "attempts", "t_attempts", "first_seen")
     // materialize now: the accumulator and the failure set must reflect one
     // single POST pass (a lazy frame would re-POST on every consumer)
     val failed = failedRows.localCheckpoint(true)

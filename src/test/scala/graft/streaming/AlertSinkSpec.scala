@@ -220,11 +220,21 @@ class AlertSinkSpec extends SparkSpec {
       maxDeliveryAttempts = 2)
     def maxAttempts(): Int = spark.read.parquet(s"$spool/batch-*")
       .agg(max("attempts")).head.getInt(0)
-    // two full TRANSIENT cycles (refused connection): attempts must stay 0
-    // — a weekend outage is not a poison payload
+    // two full TRANSIENT cycles (refused connection): the rejection
+    // counter must stay 0 — a weekend outage is not a poison payload —
+    // while the transient counter records each cycle
     AlertSink.push(v, "http://127.0.0.1:1/alerts", fastRetry, Some(spool))
     AlertSink.drainSpool(spark, spool, "http://127.0.0.1:1/alerts", fastRetry)
     assert(maxAttempts() == 0, "transient failures aged the payloads")
+    assert(spark.read.parquet(s"$spool/batch-*")
+      .agg(max("t_attempts")).head.getInt(0) == 2, "t_attempts not tracked")
+    // an auth-style 4xx (401) is an ENVIRONMENT problem, not a body
+    // rejection: it must age only the transient counter too
+    withServer(failFirst = Int.MaxValue, failCode = 401) { (port, _) =>
+      AlertSink.drainSpool(spark, spool,
+        s"http://127.0.0.1:$port/alerts", fastRetry)
+      assert(maxAttempts() == 0, "401 treated as a body rejection")
+    }
     // ACTIVE rejection (HTTP 400 on every request): each drain cycle adds
     // one attempt, and at maxDeliveryAttempts the payloads quarantine
     withServer(failFirst = Int.MaxValue, failCode = 400) { (port, _) =>
@@ -239,6 +249,33 @@ class AlertSinkSpec extends SparkSpec {
     val names = Files.list(java.nio.file.Paths.get(spool)).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert(names.exists(_.startsWith("quarantine-payloads-")), names.toString)
+  }
+
+  test("transient quarantine needs BOTH the cycle cap and the age bound; legacy 3-col batches flow") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val spool = Files.createTempDirectory("alert_spool_age").toString
+    val now = System.currentTimeMillis()
+    val week = 8L * 24 * 3600 * 1000
+    // young payload over the cycle cap (a streaming job draining every few
+    // seconds during a long outage) must NOT quarantine; an old one must
+    Seq(("""{"entityId":"young","data":[{"violation_id":"young"}]}""", 1, 0, 5000, now),
+        ("""{"entityId":"old","data":[{"violation_id":"old"}]}""", 1, 0, 5000, now - week))
+      .toDF("j", "n", "attempts", "t_attempts", "first_seen")
+      .write.parquet(s"$spool/batch-aged")
+    // plus a LEGACY pre-upgrade batch (j only) — must normalize and deliver
+    Seq("""{"entityId":"legacy","data":[{"violation_id":"legacy"}]}""")
+      .toDF("j").write.parquet(s"$spool/batch-legacy")
+    withServer() { (port, received) =>
+      val res = AlertSink.drainSpool(spark, spool,
+        s"http://127.0.0.1:$port/alerts",
+        AlertSink.HttpConf(maxTransientAttempts = 2000))
+      val bodies = received.asScala.map(_._3).mkString
+      assert(bodies.contains("young"), "young payload was not redelivered")
+      assert(bodies.contains("legacy"), "legacy-format payload lost")
+      assert(!bodies.contains("\"old\""), "age-expired payload still delivered")
+      assert(res.quarantined == 1, res.toString)
+    }
   }
 
   test("poison payloads are quarantined after maxDeliveryAttempts, not retried forever") {
