@@ -75,14 +75,16 @@ object AlertSink {
         * clean 4xx) would otherwise be retried on every drain for the
         * pipeline's lifetime. BOTH conditions must hold to quarantine on
         * this bound — ≥ maxTransientAttempts failed cycles AND the payload
-        * older than maxTransientAgeMs — so the bound is robust to trigger
-        * frequency: a streaming job draining every 30 s cannot quarantine
-        * a weekend outage's alerts by cycle count alone (age < 7 days),
-        * and a slow batch job cannot keep a hanging poison payload forever
-        * (cycles accumulate). Quarantined payloads sit in the same
-        * redeliverable parquet either way.
+        * older than maxTransientAgeMs — and the AGE bound is the one that
+        * protects outages (a streaming job draining every 30 s cannot
+        * quarantine a weekend outage's alerts: age < 7 days no matter how
+        * many cycles pass), which lets the cycle cap stay SMALL enough to
+        * be reachable by slow batch jobs too (100 daily drains ≈ 3 months
+        * of a hanging payload, not the years a 2000-cycle cap would take).
+        * Quarantined payloads sit in the same redeliverable parquet either
+        * way.
         */
-      maxTransientAttempts: Int = 2000,
+      maxTransientAttempts: Int = 100,
       maxTransientAgeMs: Long = 7L * 24 * 3600 * 1000)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
@@ -236,13 +238,11 @@ object AlertSink {
       }
     }
     if (readable.isEmpty) return PushResult(0L, 0L)
-    // normalize legacy spool schemas: batches from before the j/n/attempts
-    // format get n = batchSize (conservative — each legacy payload travels
-    // alone, so an old-shape body is never mixed into a shape-valid
-    // request's row budget) and attempts = 0
     // legacy spool schemas get conservative defaults: n = batchSize (each
-    // legacy payload travels alone), zero counters, and first_seen = NOW
-    // (the age clock starts at upgrade — never quarantine-on-arrival)
+    // legacy payload travels alone, so an old-shape body is never mixed
+    // into a shape-valid request's row budget), zero counters, and
+    // first_seen = NOW (the age clock starts at upgrade — never
+    // quarantine-on-arrival)
     val json = readable.map(_._2).map { df =>
       Seq[(String, Any)]("n" -> conf.batchSize, "attempts" -> 0,
           "t_attempts" -> 0, "first_seen" -> System.currentTimeMillis())

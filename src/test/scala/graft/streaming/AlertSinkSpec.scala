@@ -263,16 +263,21 @@ class AlertSinkSpec extends SparkSpec {
         ("""{"entityId":"old","data":[{"violation_id":"old"}]}""", 1, 0, 5000, now - week))
       .toDF("j", "n", "attempts", "t_attempts", "first_seen")
       .write.parquet(s"$spool/batch-aged")
-    // plus a LEGACY pre-upgrade batch (j only) — must normalize and deliver
+    // plus LEGACY pre-upgrade batches in BOTH historical shapes — j-only
+    // (first spool format) and j/n/attempts (pre-first_seen format) — each
+    // must normalize and deliver
     Seq("""{"entityId":"legacy","data":[{"violation_id":"legacy"}]}""")
-      .toDF("j").write.parquet(s"$spool/batch-legacy")
+      .toDF("j").write.parquet(s"$spool/batch-legacy1")
+    Seq(("""{"entityId":"legacy3","data":[{"violation_id":"legacy3"}]}""", 1, 0))
+      .toDF("j", "n", "attempts").write.parquet(s"$spool/batch-legacy3")
     withServer() { (port, received) =>
       val res = AlertSink.drainSpool(spark, spool,
         s"http://127.0.0.1:$port/alerts",
         AlertSink.HttpConf(maxTransientAttempts = 2000))
       val bodies = received.asScala.map(_._3).mkString
       assert(bodies.contains("young"), "young payload was not redelivered")
-      assert(bodies.contains("legacy"), "legacy-format payload lost")
+      assert(bodies.contains("\"legacy\""), "j-only legacy payload lost")
+      assert(bodies.contains("legacy3"), "j/n/attempts legacy payload lost")
       assert(!bodies.contains("\"old\""), "age-expired payload still delivered")
       assert(res.quarantined == 1, res.toString)
     }
