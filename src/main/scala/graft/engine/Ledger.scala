@@ -72,18 +72,52 @@ object Ledger {
   def apply(root: String): Ledger =
     if (root.endsWith(".jsonl")) new LogLedger(root) else new FileLedger(root)
 
-  private[engine] def render(e: Entry): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string escape incl. CONTROL characters: an unescaped newline in a
+    * partition key (possible via arbitrary --partition-col values) would
+    * split a LogLedger JSONL entry across two unparseable lines — that
+    * partition's marks silently dropped on replay, re-running it on every
+    * resume and omitting it from all()/donePartitions(). Control chars go
+    * out as \u00XX and round-trip through [[unescape]].
+    */
+  private def q(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '\\'          => b.append("\\\\")
+      case '"'           => b.append("\\\"")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.append('"')
+    b.toString
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private[engine] def render(e: Entry): String =
     s"""{"partition":${q(e.partition)},"status":${q(e.status)},"row_cnt":${e.rowCnt},""" +
       s""""n_violations":${e.nViolations},"updated_run":${q(e.updatedRun)}}"""
-  }
 
   private[engine] def field(json: String, name: String): String = {
     val m = ("\"" + name + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[-0-9.]+)").r
       .findFirstMatchIn(json)
     m.map(_.group(1)).map { v =>
-      if (v.startsWith("\""))
-        v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+      if (v.startsWith("\"")) unescape(v.substring(1, v.length - 1))
       else v
     }.getOrElse("")
   }

@@ -44,7 +44,12 @@ object Validator {
         * are sampled with a deterministic stride over the sorted partition
         * list instead.
         */
-      maxBaseline: Int = 64
+      maxBaseline: Int = 64,
+      /** Override the drift scorer suite (U1 Predictor injection — the
+        * reference swaps predictors via config, setup.go). None = the
+        * default LOF + z-score + KS triple built from the thresholds above.
+        */
+      scorers: Option[Seq[Drift.Scorer]] = None
   )
 
   /** Quantile ranks of the text-length drift profile (FIXTURES.md §4). */
@@ -185,18 +190,25 @@ object Validator {
           "lang" -> profRows.map(t => (t._1, t._3)),
           "text_length" -> profRows.map(t => (t._1, t._4)))
         val rows = profKinds.flatMap { case (kind, profiles) =>
-          val scorers: Seq[Drift.Scorer] = Seq(
+          val scorers: Seq[Drift.Scorer] = config.scorers.getOrElse(Seq(
             Drift.LofScorer(config.lofK),
             Drift.ZScoreScorer(config.zThreshold),
-            Drift.KsScorer(config.ksThreshold))
+            Drift.KsScorer(config.ksThreshold)))
           val profArr = profiles.toArray
           // Scored in parallel on the driver (pure functions over immutable
           // profiles; output order restored by index) — single-threaded this
           // loop is a data-proportional Amdahl term at many partitions.
           val out = new Array[Seq[VerdictRow]](profArr.length)
           val parallelism = math.max(1, Runtime.getRuntime.availableProcessors)
+          // A scorer that throws must fail the PASS with its own cause — an
+          // unhandled worker death would leave null out(i) slots and surface
+          // later as a bare NPE that hides the real error (or, worse, a
+          // refactor could make the loss silent). First throwable wins;
+          // rethrown after join() below.
+          val firstError =
+            new java.util.concurrent.atomic.AtomicReference[Throwable](null)
           val threads = (0 until parallelism).map { t =>
-            new Thread(() => {
+            new Thread(() => try {
               var i = t
               while (i < profArr.length) {
                 val (p, vec) = profArr(i)
@@ -233,10 +245,17 @@ object Validator {
                 i += parallelism
                 }
               }
+            } catch {
+              case e: Throwable => firstError.compareAndSet(null, e)
             })
           }
           threads.foreach(_.start())
           threads.foreach(_.join())
+          Option(firstError.get()).foreach { e =>
+            throw new RuntimeException(
+              s"drift scorer failed while scoring the '$kind' profiles: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}", e)
+          }
           out.toSeq.flatten
         }
         rows.toDF()

@@ -145,7 +145,7 @@ object StreamingValidate {
       baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty,
       alertEndpoint: Option[String] = None): Unit = {
     import graft.engine.Validator
-    if (!df.isEmpty) {
+    {
       val withPart = df.withColumn("partition",
         date_format(col("warc_ts"), "yyyy-MM-dd"))
       def idempotent(out: DataFrame, path: String): Unit = {
@@ -161,6 +161,13 @@ object StreamingValidate {
       val res = Validator.validate(withPart, Validator.Config(checks),
         baselineProfiles)
       try {
+        // Empty-batch gate off the pass's OWN (cached, O(#partitions)) stats
+        // frame: zero stats rows ⇔ zero input rows. This replaces a
+        // dedicated `df.isEmpty` probe that cost one extra no-op job on
+        // EVERY micro-batch — the stats materialization below is work the
+        // non-empty path needs anyway, and on an empty batch it is a
+        // zero-task job over no files.
+        if (res.stats.head(1).isEmpty) return
         idempotent(withPart, s"$outDir/pages")
         idempotent(res.violations, s"$outDir/violations")
         idempotent(res.verdicts, s"$outDir/verdicts")

@@ -205,11 +205,12 @@ class ValidatorSpec extends SparkSpec {
       "append-policy lang profile must equal a manually pre-filtered baseline")
     // length profiles come from KLL sketches whose compaction is randomized
     // above k entries → equal within the sketch's rank-error bound (bound
-    // chosen well under the ~1.0 drift-day deltas the scorers act on, with
-    // headroom over the ~0.05 typical run-to-run wobble)
+    // chosen well under the ~1.0 drift-day deltas the scorers act on;
+    // typical run-to-run wobble is ~0.05 but the randomized compaction has
+    // a long tail — 0.2 was observed to flake about once per hundred runs)
     a("text_length").zip(b("text_length")).foreach { case (qa, qb) =>
       qa.zip(qb).foreach { case (x, y) =>
-        assert(math.abs(x - y) <= 0.2, s"quantile drifted: $x vs $y")
+        assert(math.abs(x - y) <= 0.35, s"quantile drifted: $x vs $y")
       }
     }
   }
@@ -301,5 +302,25 @@ class ValidatorSpec extends SparkSpec {
     val statuses = res.verdicts.where(col("check_name").startsWith("drift_"))
       .select("status").distinct().as[String].collect().toSet
     assert(statuses == Set("skipped"))
+  }
+
+  test("a throwing drift scorer fails the pass with ITS cause, not a downstream NPE") {
+    // pre-fix: raw worker Threads swallowed the throwable, left null out(i)
+    // slots, and the pass died later with a bare NPE hiding the real error
+    val wp = WebGen.generate(spark, 800L).withColumnRenamed("p_day", "partition")
+    val boom = new Drift.Scorer {
+      val name = "drift_boom"
+      def score(current: Array[Double],
+          baseline: IndexedSeq[Array[Double]]): Drift.DriftVerdict =
+        throw new IllegalStateException("scorer exploded")
+    }
+    val e = intercept[RuntimeException] {
+      Validator.validate(wp,
+        Validator.Config(checks = Seq(Constraints.NotNull("text")),
+          scorers = Some(Seq(boom))))
+    }
+    assert(e.getMessage.contains("drift scorer failed"), e.getMessage)
+    assert(e.getCause.isInstanceOf[IllegalStateException] &&
+      e.getCause.getMessage == "scorer exploded", String.valueOf(e.getCause))
   }
 }
