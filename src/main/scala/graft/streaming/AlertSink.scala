@@ -45,6 +45,15 @@ object AlertSink {
     * is still pending; nonzero means alerts now need manual redelivery
     * from the quarantine parquet (a caller treating pending==0 as "all
     * delivered" must also check this).
+    * `quarantinedBatches` = whole spool batch DIRECTORIES parked this call
+    * (crashed/torn spool writes renamed `quarantine-*`) — their payload
+    * rows are structurally unreadable so they cannot be counted into
+    * `quarantined`, but they too need operator attention; a caller
+    * following the "must also check quarantined" guidance must check this
+    * field as well.
+    * `oldestPendingMs` = epoch millis of the oldest still-pending payload's
+    * `first_seen` (-1 when nothing is pending) — "how far behind am I"
+    * during an endpoint outage, without listing the spool parquet.
     * `posted` is an accumulator total and shares the pipeline's
     * at-least-once semantics: a task retried after its POSTs already fired
     * re-counts its chunks, so treat it as "at least this many successful
@@ -52,7 +61,8 @@ object AlertSink {
     * either way).
     */
   final case class PushResult(posted: Long, pending: Long,
-      quarantined: Long = 0L)
+      quarantined: Long = 0L, quarantinedBatches: Long = 0L,
+      oldestPendingMs: Long = -1L)
 
   /** HTTP/batching knobs shared by push and drain. `batchSize` is a ROW
     * budget at two levels: rows per entity object AND rows per request
@@ -85,7 +95,17 @@ object AlertSink {
         * way.
         */
       maxTransientAttempts: Int = 100,
-      maxTransientAgeMs: Long = 7L * 24 * 3600 * 1000)
+      maxTransientAgeMs: Long = 7L * 24 * 3600 * 1000,
+      /** Cap on payload OBJECTS packed into one request. The default packs
+        * greedily against the row budget (an engine-side throughput
+        * optimization); a request carrying a single object is sent as a
+        * BARE `{entityId,data:[...]}` body — exactly the reference's wire
+        * shape (alert/alert.go do() marshals one object per request) — so
+        * `maxObjectsPerRequest = 1` makes every body reference-strict.
+        * Multi-object requests use a JSON array of such objects, a
+        * documented divergence receivers must opt into.
+        */
+      maxObjectsPerRequest: Int = Int.MaxValue)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
     * reference's wire shape (alert/alert.go:56-66,125-134): each payload
@@ -211,6 +231,11 @@ object AlertSink {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .map(_.getPath)
     if (batches.isEmpty) return PushResult(0L, 0L)
+    // dir-level quarantines are COUNTED into the result on every return
+    // path below — early returns used to report quarantinedBatches=0 even
+    // when dirs were parked in this very call, so a caller following the
+    // PushResult docs never learned rows needed manual redelivery.
+    var qBatches = 0L
     // `mayDrop`: when the quarantine rename itself fails, an UNMARKED dir
     // (no _SUCCESS — its push() never returned, so the caller holds the
     // rows) may be deleted; a MARKED dir holds rows the caller was told
@@ -222,6 +247,7 @@ object AlertSink {
       val q = new org.apache.hadoop.fs.Path(p.getParent, s"quarantine-${p.getName}")
       System.err.println(s"[alert-sink] spool batch ${p.getName} $why — " +
         s"quarantined as ${q.getName}; inspect/remove manually")
+      qBatches += 1
       if (!fs.rename(p, q) && mayDrop) fs.delete(p, true)
     }
     val (marked, partial) = batches.partition(p =>
@@ -237,7 +263,8 @@ object AlertSink {
           None
       }
     }
-    if (readable.isEmpty) return PushResult(0L, 0L)
+    if (readable.isEmpty)
+      return PushResult(0L, 0L, quarantinedBatches = qBatches)
     // legacy spool schemas get conservative defaults: n = batchSize (each
     // legacy payload travels alone, so an old-shape body is never mixed
     // into a shape-valid request's row budget), zero counters, and
@@ -278,7 +305,17 @@ object AlertSink {
       val pending = failed.count()
       if (pending > 0) spool(failed, dir) // re-spool BEFORE deleting the old
       readable.foreach { case (p, _) => fs.delete(p, true) }
-      PushResult(posted, pending, nPoisoned)
+      // spool depth/age telemetry: during an outage the operator's first
+      // question is "how far behind am I" — answer it in the result AND one
+      // log line per drain, instead of requiring a manual parquet listing
+      val oldestPending =
+        if (pending == 0) -1L
+        else failed.agg(min(col("first_seen"))).head.getLong(0)
+      if (pending > 0)
+        System.err.println(s"[alert-sink] spool after drain: $pending " +
+          s"payload(s) pending, oldest first_seen=" +
+          java.time.Instant.ofEpochMilli(oldestPending))
+      PushResult(posted, pending, nPoisoned, qBatches, oldestPending)
     } finally json.unpersist()
   }
 
@@ -314,7 +351,8 @@ object AlertSink {
           var rows = 0
           var count = 0
           while (quads.hasNext &&
-              (count == 0 || rows + quads.head._2 <= conf.batchSize)) {
+              (count == 0 || (count < conf.maxObjectsPerRequest &&
+                rows + quads.head._2 <= conf.batchSize))) {
             val t = quads.next(); chunk += t; rows += t._2; count += 1
           }
           chunk.result()
@@ -390,8 +428,17 @@ object AlertSink {
     Transient
   }
 
+  /** One request. WIRE SHAPE: a single payload travels as a BARE
+    * `{entityId,data:[...]}` object — byte-compatible with the reference's
+    * receiver (alert/alert.go do() marshals exactly one such object per
+    * request body). Only when the packer combined MULTIPLE payloads
+    * (maxObjectsPerRequest > 1, an engine-side divergence the conf
+    * documents) is the body a JSON array of those objects.
+    */
   private def postOnce(chunk: Seq[String], endpoint: String, conf: HttpConf): Unit = {
-    val body = chunk.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+    val body = (if (chunk.size == 1) chunk.head
+                else chunk.mkString("[", ",", "]"))
+      .getBytes(StandardCharsets.UTF_8)
     val conn = new URL(endpoint).openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setRequestMethod("POST")

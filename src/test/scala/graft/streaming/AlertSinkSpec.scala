@@ -69,8 +69,12 @@ class AlertSinkSpec extends SparkSpec {
       assert(msgs.size == res.posted)
       assert(msgs.forall(_._1 == "Bearer tok"))
       assert(rowsIn(msgs) == expected)
-      // every request body is a JSON array of per-entity objects
-      assert(msgs.forall(m => m._3.startsWith("[") && m._3.endsWith("]")))
+      // request bodies: a single packed payload travels as a BARE
+      // {entityId,data} object (the reference's wire shape); only
+      // multi-payload requests are arrays of such objects
+      assert(msgs.forall(m =>
+        (m._3.startsWith("{") && m._3.endsWith("}")) ||
+          (m._3.startsWith("[{") && m._3.endsWith("}]"))), msgs.map(_._3.take(20)))
       // the size cap applies per entity object: ≤ 3 rows in each data array
       val perObject = msgs.flatMap(_._3.split("\"entityId\"").drop(1))
       assert(perObject.nonEmpty)
@@ -310,6 +314,67 @@ class AlertSinkSpec extends SparkSpec {
       s"$spool/${names.find(_.startsWith("quarantine-payloads-")).get}")
     assert(q.count() == 1 && q.select("j").as[String].collect()
       .head.contains("poison"))
+  }
+
+  test("reference-strict mode: maxObjectsPerRequest=1 sends every body as ONE bare object") {
+    withServer() { (port, received) =>
+      import spark.implicits._
+      val v = (0 until 12).map(i =>
+          (s"e${i % 4}", s"u$i", "c", "o", "e", s"id$i", null: String))
+        .toDF("partition", "url", "check_name", "observed", "expected",
+          "violation_id", "extra")
+      val res = AlertSink.push(v, s"http://127.0.0.1:$port/alerts",
+        AlertSink.HttpConf(maxObjectsPerRequest = 1))
+      assert(res.pending == 0)
+      val msgs = received.asScala.toSeq
+      // one request per entity object, each a bare {entityId,data} body —
+      // exactly what a receiver built against the reference protocol
+      // (alert/alert.go do(): one object per request) expects
+      assert(msgs.size == 4, msgs.size.toString)
+      assert(msgs.forall(m => m._3.startsWith("{\"entityId\"") &&
+        m._3.endsWith("}")), msgs.map(_._3.take(30)))
+      assert(rowsIn(msgs) == 12)
+    }
+  }
+
+  test("drain reports spool depth + oldest pending first_seen (outage observability)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val spool = Files.createTempDirectory("alert_spool_depth").toString
+    val t0 = 1700000000000L // deterministic seeded ages
+    Seq(("""{"entityId":"a","data":[{"violation_id":"a"}]}""", 1, 0, 0, t0),
+        ("""{"entityId":"b","data":[{"violation_id":"b"}]}""", 1, 0, 0, t0 + 60000))
+      .toDF("j", "n", "attempts", "t_attempts", "first_seen")
+      .write.parquet(s"$spool/batch-seeded")
+    val res = AlertSink.drainSpool(spark, spool, "http://127.0.0.1:1/alerts",
+      AlertSink.HttpConf(maxRetries = 1, retryBackoffMs = 5L))
+    assert(res.pending == 2, res.toString)
+    assert(res.oldestPendingMs == t0,
+      s"oldest pending must be the seeded minimum first_seen: $res")
+    // a later successful drain clears the depth metrics
+    withServer() { (port, _) =>
+      val ok = AlertSink.drainSpool(spark, spool,
+        s"http://127.0.0.1:$port/alerts", AlertSink.HttpConf())
+      assert(ok.pending == 0 && ok.oldestPendingMs == -1L, ok.toString)
+    }
+  }
+
+  test("dir-level quarantines are counted in PushResult on EVERY return path") {
+    import java.nio.file.{Files, Paths}
+    val spool = Files.createTempDirectory("alert_spool_qcount").toString
+    // ONLY corrupt dirs in the spool: the pre-fix early return reported
+    // PushResult(0,0) with quarantinedBatches=0 — rows parked with no signal
+    val partial = Paths.get(spool, "batch-crashed")
+    Files.createDirectories(partial.resolve("_temporary"))
+    val torn = Paths.get(spool, "batch-torn")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("_SUCCESS"), Array.emptyByteArray)
+    Files.write(torn.resolve("part-00000.snappy.parquet"),
+      "garbage".getBytes("UTF-8"))
+    val res = AlertSink.drainSpool(spark, spool, "http://127.0.0.1:1/alerts",
+      AlertSink.HttpConf(maxRetries = 1, retryBackoffMs = 5L))
+    assert(res.quarantinedBatches == 2, res.toString)
+    assert(res.posted == 0 && res.pending == 0)
   }
 
   test("fan-out is capped at maxConcurrency partitions (rworker analog)") {
