@@ -171,11 +171,22 @@ object Main {
             throw new IllegalStateException
           }
         }
+        val crossBatch = opts.getOrElse("cross-batch-unique", "on") match {
+          case "on"  => true
+          case "off" => false // skip the per-batch history scan (batch
+                              // validate then owns the global check)
+          case other =>
+            System.err.println(
+              s"invalid --cross-batch-unique: '$other' (expected on|off)\n$usage")
+            sys.exit(64)
+            throw new IllegalStateException
+        }
         val q = graft.streaming.StreamingValidate
           .incrementalValidate(spark, in, out, ckpt,
             baselineDir = opts.get("baseline"),
             alertEndpoint = opts.get("alert-endpoint"),
-            maxFilesPerTrigger = maxFiles)
+            maxFilesPerTrigger = maxFiles,
+            crossBatchUnique = crossBatch)
         q.awaitTermination()
         println(s"[sodspark] incremental ingest tick complete")
         spark.stop()
@@ -223,7 +234,7 @@ object Main {
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
-      "max-files-per-trigger"),
+      "max-files-per-trigger", "cross-batch-unique"),
     "vacuum" -> Set("grace-hours"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
@@ -267,6 +278,10 @@ object Main {
       |      [--alert-endpoint <url>]   (per-batch {entityId,data} alert POSTs,
       |                                  spooled crash-safe under <outDir>/_alert_spool)
       |      [--max-files-per-trigger <n>]  (bound per-micro-batch size/memory)
+      |      [--cross-batch-unique on|off]  (flag urls already ingested by EARLIER
+      |                                  micro-batches via a reconciliation join
+      |                                  against the accumulated pages table;
+      |                                  off skips the per-batch history scan)
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
       |""".stripMargin

@@ -173,6 +173,28 @@ object Constraints {
     def expected: Column = col("__extracted")
   }
 
+  /** Streaming-side half of cross-batch uniqueness (SURVEY J5; the
+    * reference's model state is CROSS-batch, manager.go:232-234): rows
+    * whose url was already ingested by an EARLIER micro-batch arrive
+    * carrying a boolean marker column set by the ingest sink's
+    * reconciliation join against the accumulated pages table
+    * (StreamingValidate.withSeenPriorFlag); this check turns the marker
+    * into a standard violation row. Within-batch duplicates remain
+    * [[Unique]]'s business (the two checks are disjoint by construction),
+    * and the table-wide answer remains the batch validator's (same
+    * division of labor as ledger-resume's globalFrame).
+    */
+  case object SeenPriorBatch extends RowCheck {
+    /** The marker column the ingest sink attaches (and strips again before
+      * writing pages).
+      */
+    val flagColumn = "__seen_prior_batch"
+    val name = "unique_url_cross_batch"
+    def condition: Column = col(flagColumn)
+    def observed: Column = lit("url seen in a prior micro-batch")
+    def expected: Column = lit("first occurrence")
+  }
+
   /** Fixed-dimension constraint for array columns (reference analog: distance
     * dim-equality errors, internal/geom/distance.go:12-14 — re-expressed as a
     * violation instead of a runtime error, SURVEY §2.2 F8).

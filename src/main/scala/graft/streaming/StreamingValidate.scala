@@ -39,6 +39,60 @@ object StreamingValidate {
       .select(col("win.start").as("win_start"), col("lang"),
         col("row_cnt"), col("null_text"))
 
+  /** Cross-batch uniqueness via PER-BATCH RECONCILIATION against the
+    * accumulated pages table (SURVEY J5 at stream scope — the last semantic
+    * gap between `ingest` and batch `validate`; the reference's model state
+    * is cross-batch, manager.go:232-234): before a micro-batch commits, its
+    * rows are left-joined against the DISTINCT urls already in
+    * `outDir/pages`, and matches become [[graft.engine.Constraints
+    * .SeenPriorBatch]] violations. The accumulated table IS the seen-keys
+    * state — no state store, which buys four properties a
+    * `flatMapGroupsWithState` stage cannot deliver together on this path:
+    *   - `Trigger.AvailableNow` ticks TERMINATE (a ProcessingTimeTimeout
+    *     stateful operator requests "one more batch" unconditionally —
+    *     `shouldRunAnotherBatch` is hardwired true — so a tick never ends;
+    *     observed, not theorized);
+    *   - no event-time watermark, so LATE pages are never silently dropped
+    *     from the sink (watermark filtering runs before stateful
+    *     operators — unacceptable for an ingest path);
+    *   - exact answers with no eviction horizon and no extra state to
+    *     bound — duplicates are detected as far back as the table itself;
+    *   - replay-idempotent for free: detection EXCLUDES the current
+    *     (lineage, ingest_batch) partition, so a replayed batch never
+    *     flags its own earlier crash-interrupted output, and a RECREATED
+    *     checkpoint (new lineage re-reading the same files) correctly
+    *     flags its rows — they genuinely duplicate urls already in the
+    *     output table.
+    * Within-batch duplicates remain the within-batch [[graft.engine
+    * .Constraints.Unique]] check's business (`seen prior` is strictly
+    * about EARLIER batches), keeping the two checks disjoint.
+    *
+    * Scale: the cost is one url-column scan of the accumulated table plus
+    * a distinct+join shuffle per micro-batch — O(history) per tick, the
+    * price of a table-global invariant (same argument as ledger-resume's
+    * full-frame uniqueness). Parquet reads ONLY the url/lineage/
+    * ingest_batch columns (projection pushdown); for high-frequency
+    * triggers over a huge table, set `crossBatchUnique = false` and let
+    * the periodic batch validator own the global check instead.
+    */
+  private def withSeenPriorFlag(df: DataFrame, outDir: String,
+      lineage: String, batchId: Long): DataFrame = {
+    val spark = df.sparkSession
+    val seenFlag = graft.engine.Constraints.SeenPriorBatch.flagColumn
+    val pagesPath = new org.apache.hadoop.fs.Path(s"$outDir/pages")
+    val fs = pagesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pagesPath)) df.withColumn(seenFlag, lit(false))
+    else {
+      val prior = spark.read.parquet(pagesPath.toString)
+        .where(!(col("lineage") === lineage && col("ingest_batch") === batchId))
+        .select(col("url"))
+        .distinct() // ≤1 match per url keeps the left join row-preserving
+        .withColumn(seenFlag, lit(true))
+      df.join(prior, Seq("url"), "left")
+        .withColumn(seenFlag, coalesce(col(seenFlag), lit(false)))
+    }
+  }
+
   /** Micro-batched validated sink — the write-behind buffer (ST3,
     * db_tx_executor.go:51-79) re-expressed: each micro-batch runs the FULL
     * configured check suite and appends pages + violations + verdicts to
@@ -64,7 +118,13 @@ object StreamingValidate {
       checks: Seq[graft.engine.Constraints.Check] =
         graft.engine.Validator.DefaultChecks,
       baselineDir: Option[String] = None,
-      alertEndpoint: Option[String] = None): StreamingQuery = {
+      alertEndpoint: Option[String] = None,
+      /** Cross-batch duplicate-url reconciliation (see
+        * [[withSeenPriorFlag]]). Default ON — batch/streaming semantic
+        * parity; turn off to skip the per-batch history scan when the
+        * periodic batch validator owns the global check.
+        */
+      crossBatchUnique: Boolean = true): StreamingQuery = {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(pages.sparkSession, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
@@ -78,7 +138,7 @@ object StreamingValidate {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
-          batchId, checks, baseline, alertEndpoint)
+          batchId, checks, baseline, alertEndpoint, crossBatchUnique)
       }
       .start()
   }
@@ -143,10 +203,31 @@ object StreamingValidate {
       checks: Seq[graft.engine.Constraints.Check] =
         graft.engine.Validator.DefaultChecks,
       baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty,
-      alertEndpoint: Option[String] = None): Unit = {
+      alertEndpoint: Option[String] = None,
+      crossBatchUnique: Boolean = false): Unit = {
     import graft.engine.Validator
     {
-      val withPart = df.withColumn("partition",
+      // cross-batch reconciliation attaches the marker column; promote it
+      // to a first-class check for this pass and strip it before anything
+      // is written (it is pass metadata, not page content)
+      val seenFlag = graft.engine.Constraints.SeenPriorBatch.flagColumn
+      val hasSeenFlag = crossBatchUnique
+      val effChecks =
+        if (hasSeenFlag) checks :+ graft.engine.Constraints.SeenPriorBatch
+        else checks
+      // The flagged frame is consumed by several actions (stats agg, three
+      // writes): persist it so the history-scan join behind the flag runs
+      // ONCE per batch, not once per action. MEMORY_AND_DISK because html
+      // payloads can exceed the memory fraction (bounded by the trigger
+      // size either way). The stateless path keeps its cache-free
+      // two-traversal shape — re-reading the source parquet is cheaper
+      // than caching it.
+      val src =
+        if (hasSeenFlag)
+          withSeenPriorFlag(df, outDir, lineage, batchId)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
+      val withPart = src.withColumn("partition",
         date_format(col("warc_ts"), "yyyy-MM-dd"))
       def idempotent(out: DataFrame, path: String): Unit = {
         guardLayout(out.sparkSession, path)
@@ -158,7 +239,7 @@ object StreamingValidate {
       }
       // the SAME pass as batch `validate` — one fused stats+profiles agg,
       // one fused row-check scan, within-batch uniqueness, drift scoring
-      val res = Validator.validate(withPart, Validator.Config(checks),
+      val res = Validator.validate(withPart, Validator.Config(effChecks),
         baselineProfiles)
       try {
         // Empty-batch gate off the pass's OWN (cached, O(#partitions)) stats
@@ -168,7 +249,8 @@ object StreamingValidate {
         // non-empty path needs anyway, and on an empty batch it is a
         // zero-task job over no files.
         if (res.stats.head(1).isEmpty) return
-        idempotent(withPart, s"$outDir/pages")
+        idempotent(if (hasSeenFlag) withPart.drop(seenFlag) else withPart,
+          s"$outDir/pages")
         idempotent(res.violations, s"$outDir/violations")
         idempotent(res.verdicts, s"$outDir/verdicts")
         // scoring-on-ingest ALERTS (the reference's collect→score→alert
@@ -200,7 +282,10 @@ object StreamingValidate {
                 s"under $spool where the next tick retries them")
           }
         }
-      } finally res.unpersist()
+      } finally {
+        res.unpersist()
+        if (hasSeenFlag) { src.unpersist(false); () }
+      }
     }
   }
 
@@ -247,7 +332,13 @@ object StreamingValidate {
         * `Trigger.AvailableNow` tick chews per commit. None = all
         * available files in one batch (the historical behavior).
         */
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      /** Cross-batch duplicate-url reconciliation (see
+        * [[withSeenPriorFlag]]). Default ON; turn off to skip the
+        * per-batch history scan when the periodic batch validator owns
+        * the global check.
+        */
+      crossBatchUnique: Boolean = true): StreamingQuery = {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(spark, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
@@ -267,7 +358,7 @@ object StreamingValidate {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
-          batchId, checks, baseline, alertEndpoint)
+          batchId, checks, baseline, alertEndpoint, crossBatchUnique)
       }
       .start()
   }

@@ -159,6 +159,45 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 3, s"expected ≥3 micro-batches, got $batches")
   }
 
+  test("cross-batch duplicate url is flagged via reconciliation against accumulated pages (J5 parity)") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("xb_in").toString
+    val out = Files.createTempDirectory("xb_out").toString
+    val ckpt = Files.createTempDirectory("xb_ckpt").toString
+    def pages(ids: Range) = ids.map { i =>
+      (s"https://x/$i", ts(s"2025-07-01 00:00:0${i % 10}"),
+        s"<p>$i</p>".getBytes("UTF-8"), s"doc $i", "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+    // tick 1: urls 0..9 — all first sightings, nothing flagged
+    pages(0 until 10).coalesce(1).write.mode("append").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt).awaitTermination()
+    val v1 = spark.read.parquet(s"$out/violations")
+    assert(v1.where(col("check_name") === "unique_url_cross_batch").count() == 0)
+    // tick 2: urls 9..14 — url 9 was ingested by tick 1: the within-batch
+    // Unique check CANNOT see it (one occurrence per batch), only the
+    // reconciliation join can (the reference's model state is cross-batch,
+    // manager.go:232-234)
+    pages(9 until 15).coalesce(1).write.mode("append").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt).awaitTermination()
+    val v2 = spark.read.parquet(s"$out/violations")
+      .where(col("check_name") === "unique_url_cross_batch")
+    assert(v2.count() == 1, "cross-batch duplicate not flagged")
+    assert(v2.select("url").as[String].head() == "https://x/9")
+    assert(v2.select("partition").as[String].head() == "2025-07-01")
+    // the verdict grid carries the failed check for that partition
+    val verd = spark.read.parquet(s"$out/verdicts")
+      .where(col("check_name") === "unique_url_cross_batch" && !col("passed"))
+    assert(verd.count() == 1, "cross-batch uniqueness verdict missing")
+    // the within-batch unique check did NOT double-report it
+    assert(spark.read.parquet(s"$out/violations")
+      .where(col("check_name") === "unique_url").count() == 0)
+    // the marker column is stage metadata — never written to the pages table
+    val pagesOut = spark.read.parquet(s"$out/pages")
+    assert(!pagesOut.columns.contains("__seen_prior_batch"),
+      pagesOut.columns.mkString(","))
+    assert(pagesOut.count() == 16)
+  }
+
   test("sink replay of the same micro-batch is idempotent (ST9 exactly-once)") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("sink_replay").toString
