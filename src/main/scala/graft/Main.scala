@@ -181,12 +181,24 @@ object Main {
             sys.exit(64)
             throw new IllegalStateException
         }
+        val refreshPolicy = opts.getOrElse("baseline-refresh", "off")
+        if (!Set("off", "strict", "all")(refreshPolicy)) {
+          System.err.println(
+            s"invalid --baseline-refresh: '$refreshPolicy' (off|strict|all)\n$usage")
+          sys.exit(64)
+        }
+        if (refreshPolicy != "off" && opts.get("baseline").isEmpty) {
+          System.err.println(
+            s"--baseline-refresh $refreshPolicy requires --baseline <dir>\n$usage")
+          sys.exit(64)
+        }
         val q = graft.streaming.StreamingValidate
           .incrementalValidate(spark, in, out, ckpt,
             baselineDir = opts.get("baseline"),
             alertEndpoint = opts.get("alert-endpoint"),
             maxFilesPerTrigger = maxFiles,
-            crossBatchUnique = crossBatch)
+            crossBatchUnique = crossBatch,
+            baselineRefresh = refreshPolicy)
         q.awaitTermination()
         println(s"[sodspark] incremental ingest tick complete")
         spark.stop()
@@ -234,7 +246,7 @@ object Main {
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
-      "max-files-per-trigger", "cross-batch-unique"),
+      "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
@@ -282,6 +294,10 @@ object Main {
       |                                  micro-batches via a reconciliation join
       |                                  against the accumulated pages table;
       |                                  off skips the per-batch history scan)
+      |      [--baseline-refresh off|strict|all]  (fold clean batches into the
+      |                                  drift baseline after each commit; strict
+      |                                  excludes partitions with failed checks —
+      |                                  the reference's allowAppendOutlier dial)
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
       |""".stripMargin

@@ -277,12 +277,22 @@ object Validator {
   def saveBaseline(wp: DataFrame, path: String): Unit = {
     val spark = wp.sparkSession
     import spark.implicits._
-    val rows = StatsPass.statsAndProfiles(wp)
-      .select(col("partition"), col("lang_profile"),
-        lenProfile(col("len_kll_sketch")).as("len_profile"))
-      .as[(String, Array[Double], Array[Double])].collect().sortBy(_._1).toSeq
+    val rows = profileRowsOf(StatsPass.statsAndProfiles(wp))
     rows.toDF("partition", "lang_profile", "len_profile")
       .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** (partition, lang_profile, len_profile) rows off a stats frame — the
+    * baseline's persisted shape, sorted by partition; length quantiles are
+    * extracted executor-side so only the doubles travel to the driver.
+    */
+  private[graft] def profileRowsOf(
+      stats: DataFrame): Seq[(String, Array[Double], Array[Double])] = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    stats.select(col("partition"), col("lang_profile"),
+        lenProfile(col("len_kll_sketch")).as("len_profile"))
+      .as[(String, Array[Double], Array[Double])].collect().sortBy(_._1).toSeq
   }
 
   /** ST5 append policy (reference manager.go:409-418, allowAppendOutlier):
@@ -303,14 +313,15 @@ object Validator {
     saveBaseline(prepared.where(!bad).select(wp.columns.map(col): _*), path)
   }
 
+  /** Resolves BOTH baseline layouts through one reader: a flat
+    * [[saveBaseline]] snapshot, or a [[BaselineStore]] versioned store
+    * (continuous streaming maintenance) — newest complete version wins.
+    */
   def loadBaseline(spark: SparkSession, path: String): Map[String, IndexedSeq[Array[Double]]] = {
-    import spark.implicits._
-    val rows = spark.read.parquet(path)
-      .select(col("partition"), col("lang_profile"), col("len_profile"))
-      .as[(String, Array[Double], Array[Double])].collect().sortBy(_._1)
-    Map(
-      "lang" -> rows.map(_._2).toIndexedSeq,
-      "text_length" -> rows.map(_._3).toIndexedSeq)
+    require(BaselineStore.currentDir(spark, path).isDefined,
+      s"no baseline snapshot at $path (neither baseline-v* version dirs " +
+        "nor flat parquet) — run save-baseline first")
+    BaselineStore.loadMap(spark, path)
   }
 
   /** Restrict `df` to rows whose `partition` value is in `parts` — via a

@@ -93,6 +93,37 @@ object StreamingValidate {
     }
   }
 
+  /** Continuous baseline maintenance dial (ST5 — the reference accumulates
+    * its model on every ingest under allowAppendOutlier,
+    * manager.go:409-418). After each micro-batch COMMITS, the batch's
+    * per-partition profiles are folded into the versioned
+    * [[graft.engine.BaselineStore]] at `dir` and the in-flight baseline is
+    * reloaded, so later batches score against a model that absorbs slow,
+    * clean change — while a sudden shift FAILS drift, is excluded under
+    * policy "strict", and therefore keeps alerting against the unpolluted
+    * model (exactly allowAppendOutlier=false). Policy "all" folds every
+    * scored partition, outliers included (allowAppendOutlier=true).
+    * `holder` carries the live baseline map across batches of one stream.
+    */
+  final case class BaselineRefresh(
+      dir: String,
+      policy: String, // "strict" | "all"
+      holder: java.util.concurrent.atomic.AtomicReference[
+        Map[String, IndexedSeq[Array[Double]]]])
+
+  private def refreshFor(baselineDir: Option[String], policy: String,
+      initial: Map[String, IndexedSeq[Array[Double]]]): Option[BaselineRefresh] =
+    policy match {
+      case "off" => None
+      case p @ ("strict" | "all") =>
+        val dir = baselineDir.getOrElse(throw new IllegalArgumentException(
+          "baselineRefresh requires a baselineDir to fold into"))
+        Some(BaselineRefresh(dir, p,
+          new java.util.concurrent.atomic.AtomicReference(initial)))
+      case other => throw new IllegalArgumentException(
+        s"unknown baselineRefresh policy '$other' (off|strict|all)")
+    }
+
   /** Micro-batched validated sink — the write-behind buffer (ST3,
     * db_tx_executor.go:51-79) re-expressed: each micro-batch runs the FULL
     * configured check suite and appends pages + violations + verdicts to
@@ -124,10 +155,15 @@ object StreamingValidate {
         * parity; turn off to skip the per-batch history scan when the
         * periodic batch validator owns the global check.
         */
-      crossBatchUnique: Boolean = true): StreamingQuery = {
+      crossBatchUnique: Boolean = true,
+      /** "off" (frozen green snapshot, the historical behavior), "strict"
+        * or "all" — see [[BaselineRefresh]]. Non-off requires baselineDir.
+        */
+      baselineRefresh: String = "off"): StreamingQuery = {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(pages.sparkSession, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
+    val refresh = refreshFor(baselineDir, baselineRefresh, baseline)
     // drain leftover spooled alerts once at stream start: a long-running
     // stream that goes idle (or sees only empty batches, which skip the
     // per-batch path) must still deliver what spooled while the endpoint
@@ -138,7 +174,9 @@ object StreamingValidate {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
-          batchId, checks, baseline, alertEndpoint, crossBatchUnique)
+          batchId, checks,
+          refresh.map(_.holder.get()).getOrElse(baseline),
+          alertEndpoint, crossBatchUnique, refresh)
       }
       .start()
   }
@@ -204,7 +242,8 @@ object StreamingValidate {
         graft.engine.Validator.DefaultChecks,
       baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty,
       alertEndpoint: Option[String] = None,
-      crossBatchUnique: Boolean = false): Unit = {
+      crossBatchUnique: Boolean = false,
+      refresh: Option[BaselineRefresh] = None): Unit = {
     import graft.engine.Validator
     {
       // cross-batch reconciliation attaches the marker column; promote it
@@ -282,6 +321,32 @@ object StreamingValidate {
                 s"under $spool where the next tick retries them")
           }
         }
+        // ST5 continuous baseline maintenance — runs AFTER the commit (the
+        // model only ever absorbs durably-recorded data) and NonFatal-
+        // guarded: a store hiccup leaves the stream on the previous
+        // (stale but safe) baseline, never fails the ingest.
+        refresh.foreach { r =>
+          try {
+            val failedParts: Set[String] =
+              if (r.policy == "all") Set.empty
+              else res.verdicts
+                .where(!col("passed") && col("partition") =!= "<global>")
+                .select(col("partition")).distinct()
+                .collect().map(_.getString(0)).toSet
+            val rows = Validator.profileRowsOf(res.stats)
+              .filterNot(t => failedParts(t._1))
+            if (rows.nonEmpty) {
+              graft.engine.BaselineStore.merge(df.sparkSession, r.dir, rows)
+              r.holder.set(
+                graft.engine.BaselineStore.loadMap(df.sparkSession, r.dir))
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft-streaming] baseline refresh " +
+                s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+                "stream continues on the previous baseline snapshot")
+          }
+        }
       } finally {
         res.unpersist()
         if (hasSeenFlag) { src.unpersist(false); () }
@@ -338,10 +403,15 @@ object StreamingValidate {
         * per-batch history scan when the periodic batch validator owns
         * the global check.
         */
-      crossBatchUnique: Boolean = true): StreamingQuery = {
+      crossBatchUnique: Boolean = true,
+      /** "off" (frozen green snapshot, the historical behavior), "strict"
+        * or "all" — see [[BaselineRefresh]]. Non-off requires baselineDir.
+        */
+      baselineRefresh: String = "off"): StreamingQuery = {
     val baseline = baselineDir
       .map(graft.engine.Validator.loadBaseline(spark, _))
       .getOrElse(Map.empty[String, IndexedSeq[Array[Double]]])
+    val refresh = refreshFor(baselineDir, baselineRefresh, baseline)
     // a tick with NO new input produces no micro-batch at all, so spooled
     // alerts from a down-endpoint tick would never retry through the
     // per-batch path — drain once per tick up front (no-op when empty)
@@ -358,7 +428,9 @@ object StreamingValidate {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeValidatedBatch(batch.toDF(), outDir, lineageOf(batch.sparkSession),
-          batchId, checks, baseline, alertEndpoint, crossBatchUnique)
+          batchId, checks,
+          refresh.map(_.holder.get()).getOrElse(baseline),
+          alertEndpoint, crossBatchUnique, refresh)
       }
       .start()
   }

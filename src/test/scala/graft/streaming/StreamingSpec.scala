@@ -269,6 +269,57 @@ class StreamingSpec extends SparkSpec {
     assert(v.where(col("check_name") === "unique_url").count() == 1)
   }
 
+  test("baseline-refresh strict: clean batches fold into the model, drifted ones do not (ST5)") {
+    import java.nio.file.{Files, Paths}
+    import graft.engine.{BaselineStore, Validator}
+    import graft.fixtures.WebGen
+    val base = Files.createTempDirectory("refresh_base").toString + "/b"
+    val in = Files.createTempDirectory("refresh_in").toString
+    val out = Files.createTempDirectory("refresh_out").toString
+    val ckpt = Files.createTempDirectory("refresh_ckpt").toString
+    val cols = Seq("url", "warc_ts", "html", "text", "lang").map(col)
+    // green baseline from a clean corpus (flat snapshot — the store seeds
+    // from it on the first fold)
+    Validator.saveBaseline(
+      WebGen.generate(spark, 3000).withColumnRenamed("p_day", "partition"), base)
+    def versionDirs() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(Paths.get(base))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("baseline-v")).toSet
+      finally s.close()
+    }
+    // tick 1: a CLEAN day — passes all checks, so strict policy folds its
+    // profiles: the store gains its first version
+    WebGen.generate(spark, 3000).where(col("p_day") === "2025-07-01")
+      .select(cols: _*).write.mode("overwrite").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+      baselineDir = Some(base), baselineRefresh = "strict").awaitTermination()
+    assert(versionDirs().nonEmpty, "clean batch was not folded into the store")
+    val afterClean = versionDirs()
+    assert(BaselineStore.loadRows(spark, base).map(_._1)
+      .contains("2025-07-01"))
+    // tick 2: a lang-DRIFTED day — drift fails vs the green model, so
+    // strict policy must NOT fold it (allowAppendOutlier=false): no new
+    // version, and the drifted day's profile stays out of the model
+    val before = BaselineStore.loadRows(spark, base)
+      .find(_._1 == "2025-07-02").map(_._2.toSeq)
+    WebGen.generate(spark, 3000,
+        flags = WebGen.Flags(langDriftDay = Some("2025-07-02")))
+      .where(col("p_day") === "2025-07-02")
+      .select(cols: _*).write.mode("append").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+      baselineDir = Some(base), baselineRefresh = "strict").awaitTermination()
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    assert(verdicts.where(col("check_name") === "drift_zscore_lang" &&
+      !col("passed")).count() >= 1, "drifted batch not flagged")
+    assert(versionDirs() == afterClean,
+      "a drift-failing batch must not advance the baseline store under strict")
+    val after = BaselineStore.loadRows(spark, base)
+      .find(_._1 == "2025-07-02").map(_._2.toSeq)
+    assert(after == before, "drifted profiles leaked into the model")
+  }
+
   test("scoring-on-ingest alerts: per-entity POSTs during ingest; down endpoint spools, next tick drains") {
     import java.net.InetSocketAddress
     import java.nio.file.Files
