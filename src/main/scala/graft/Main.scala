@@ -163,13 +163,19 @@ object Main {
       case "ingest" =>
         val Seq(in, out) = requirePositionals(positional, 2)
         val ckpt = opts.getOrElse("checkpoint", s"$out/_checkpoint")
-        val maxFiles = opts.get("max-files-per-trigger").map { v =>
-          v.toIntOption.filter(_ > 0).getOrElse {
-            System.err.println(
-              s"invalid --max-files-per-trigger: '$v' (expected int > 0)\n$usage")
-            sys.exit(64)
-            throw new IllegalStateException
-          }
+        // absent → the conservative default; 'all' → unbounded (explicit
+        // opt-in — the pre-r5 silent default); n → that bound
+        val maxFiles: Option[Int] = opts.get("max-files-per-trigger") match {
+          case None        => Some(graft.streaming.StreamingValidate
+            .DefaultMaxFilesPerTrigger)
+          case Some("all") => None
+          case Some(v) =>
+            v.toIntOption.filter(_ > 0).map(Some(_)).getOrElse {
+              System.err.println(s"invalid --max-files-per-trigger: '$v' " +
+                s"(expected int > 0, or 'all' for unbounded)\n$usage")
+              sys.exit(64)
+              throw new IllegalStateException
+            }
         }
         val crossBatch = opts.getOrElse("cross-batch-unique", "on") match {
           case "on"  => true
@@ -289,7 +295,9 @@ object Main {
       |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>] [--baseline <dir>]
       |      [--alert-endpoint <url>]   (per-batch {entityId,data} alert POSTs,
       |                                  spooled crash-safe under <outDir>/_alert_spool)
-      |      [--max-files-per-trigger <n>]  (bound per-micro-batch size/memory)
+      |      [--max-files-per-trigger <n>|all]  (bound per-micro-batch size and
+      |                                  memory; default 64 files, 'all' = one
+      |                                  unbounded batch)
       |      [--cross-batch-unique on|off]  (flag urls already ingested by EARLIER
       |                                  micro-batches via a reconciliation join
       |                                  against the accumulated pages table;

@@ -24,6 +24,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingValidate {
 
+  /** Default `maxFilesPerTrigger` for [[incrementalValidate]]: at typical
+    * crawl-shard sizes (128 MB–1 GB parquet files) one micro-batch is then
+    * 8–64 GB spread across the cluster — comfortably inside executor
+    * memory with room for the per-batch joins, while a steady-state daily
+    * tick (a handful of files) still lands in a single batch.
+    */
+  val DefaultMaxFilesPerTrigger = 64
+
   /** Event-time windowed per-lang stats with late-data eviction (ST10/ST11):
     * tumbling windows over warc_ts, watermarked. Works identically on batch
     * frames (watermark is a no-op there) — used by tests for both modes.
@@ -394,10 +402,15 @@ object StreamingValidate {
       /** Files per micro-batch: THE dial that bounds per-batch memory
         * (incl. the stateful stage's per-key slice — see
         * [[lastKnownNormalAlerts]]) and drives how much one
-        * `Trigger.AvailableNow` tick chews per commit. None = all
-        * available files in one batch (the historical behavior).
+        * `Trigger.AvailableNow` tick chews per commit. Defaults to
+        * [[DefaultMaxFilesPerTrigger]] so a FIRST-RUN BACKFILL over a
+        * month of crawl is batched instead of arriving as one unbounded
+        * slice (the memory hazard the stateful-stage scaladoc warns
+        * about, previously only avoided if the operator knew to set the
+        * flag). None = all available files in one batch — explicit
+        * opt-in, not the silent default it used to be.
         */
-      maxFilesPerTrigger: Option[Int] = None,
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger),
       /** Cross-batch duplicate-url reconciliation (see
         * [[withSeenPriorFlag]]). Default ON; turn off to skip the
         * per-batch history scan when the periodic batch validator owns

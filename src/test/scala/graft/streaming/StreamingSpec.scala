@@ -159,6 +159,42 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 3, s"expected ≥3 micro-batches, got $batches")
   }
 
+  test("DEFAULT trigger bound batches a many-file backfill into >1 micro-batch") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("dflt_in").toString
+    val out = Files.createTempDirectory("dflt_out").toString
+    val ckpt = Files.createTempDirectory("dflt_ckpt").toString
+    // a 70-part-file backlog (a first-run backfill): with NO
+    // maxFilesPerTrigger argument the default (64) must split it — the
+    // pre-r5 default was one unbounded slice, exactly the memory hazard
+    // the stateful-stage docs warn about
+    (0 until 70).map { i =>
+      (s"https://x/$i", ts("2025-07-01 00:00:01"),
+        s"<p>$i</p>".getBytes("UTF-8"), s"doc $i", "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+      .repartition(70).write.mode("overwrite").parquet(in)
+    // AQE may coalesce the tiny round-robin shuffle below 70 output files —
+    // top the backlog up to a guaranteed 70+ part-files
+    val fjava = new java.io.File(in)
+    def nFiles() = fjava.listFiles().count(_.getName.endsWith(".parquet"))
+    var pad = 1000
+    while (nFiles() < 70) {
+      Seq((s"https://pad/$pad", ts("2025-07-01 00:00:01"),
+          "<p>p</p>".getBytes("UTF-8"), "pad", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+        .coalesce(1).write.mode("append").parquet(in)
+      pad += 1
+    }
+    val total = spark.read.parquet(in).count()
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt)
+      .awaitTermination()
+    val outDf = spark.read.parquet(s"$out/pages")
+    assert(outDf.count() == total)
+    val batches = outDf.select("ingest_batch").distinct().count()
+    assert(batches >= 2, s"default bound must split a 70+-file backlog " +
+      s"into >1 micro-batch, got $batches")
+  }
+
   test("cross-batch duplicate url is flagged via reconciliation against accumulated pages (J5 parity)") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("xb_in").toString
