@@ -100,10 +100,30 @@ object TableIO {
       df: DataFrame,
       table: String,
       partitionCol: String = "partition",
-      computed: Option[Seq[String]] = None): Seq[String] = {
+      computed: Option[Seq[String]] = None): Seq[String] =
+    committerFor(df.sparkSession).writePartitions(df, table, partitionCol, computed)
+
+  /** Resolve the configured [[TableCommitter]] — the ONE place
+    * [[CommitModeConf]] is interpreted. An unknown value fails loudly
+    * (it used to silently mean `rename`, which would quietly violate the
+    * commit discipline the operator thought they configured).
+    */
+  def committerFor(spark: org.apache.spark.sql.SparkSession): TableCommitter =
+    spark.conf.get(CommitModeConf, "rename") match {
+      case "rename"   => RenameCommitter
+      case "manifest" => ManifestCommitter
+      case "iceberg"  => new IcebergCommitter
+      case other => throw new IllegalArgumentException(
+        s"unknown $CommitModeConf value '$other' (rename|manifest|iceberg)")
+    }
+
+  /** The rename-swap commit (see the object scaladoc). */
+  private[engine] def writePartitionsRename(
+      df: DataFrame,
+      table: String,
+      partitionCol: String,
+      computed: Option[Seq[String]]): Seq[String] = {
     val spark = df.sparkSession
-    if (spark.conf.get(CommitModeConf, "rename") == "manifest")
-      return writePartitionsManifest(df, table, partitionCol, computed)
     val tablePath = new Path(table)
     requireRenameAtomicFs(tablePath)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,7 +210,7 @@ object TableIO {
     * Iceberg snapshot commit; at production scale prefer Iceberg, which
     * adds file-level manifests and concurrent-writer conflict detection.
     */
-  private def writePartitionsManifest(
+  private[engine] def writePartitionsManifest(
       df: DataFrame,
       table: String,
       partitionCol: String,
@@ -375,6 +395,12 @@ object TableIO {
       partitionCol: String = "partition"): Seq[String] = {
     val entries = readManifest(spark, table)
     if (entries.nonEmpty) return entries.keys.toSeq.sorted
+    hivePartitions(spark, table, partitionCol)
+  }
+
+  /** Hive-layout partition values (`partitionCol=` dir names), sorted. */
+  private[engine] def hivePartitions(spark: org.apache.spark.sql.SparkSession,
+      table: String, partitionCol: String): Seq[String] = {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tablePath)) return Seq.empty
@@ -538,4 +564,46 @@ object TableIO {
       }
       .toSeq
   }
+}
+
+/** The default rename-swap committer (hive-layout parquet; see [[TableIO]]'s
+  * object scaladoc for the commit semantics).
+  */
+object RenameCommitter extends TableCommitter {
+  val name = "rename"
+  def writePartitions(df: DataFrame, table: String,
+      partitionCol: String = "partition",
+      computed: Option[Seq[String]] = None): Seq[String] =
+    TableIO.writePartitionsRename(df, table, partitionCol, computed)
+  def readTable(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): DataFrame =
+    spark.read.parquet(table)
+  def livePartitions(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): Seq[String] =
+    TableIO.hivePartitions(spark, table, partitionCol)
+  /** Nothing to reclaim: rename commits supersede in place, and crash
+    * artifacts (.staging/.trash) are reclaimed inline by the next write.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, table: String,
+      graceMs: Long): Seq[String] = Seq.empty
+}
+
+/** The object-store-safe manifest-pointer committer (immutable snapshot
+  * dirs + write-once versioned manifests; see [[TableIO]] internals).
+  */
+object ManifestCommitter extends TableCommitter {
+  val name = "manifest"
+  def writePartitions(df: DataFrame, table: String,
+      partitionCol: String = "partition",
+      computed: Option[Seq[String]] = None): Seq[String] =
+    TableIO.writePartitionsManifest(df, table, partitionCol, computed)
+  def readTable(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): DataFrame =
+    TableIO.readTable(spark, table, partitionCol)
+  def livePartitions(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): Seq[String] =
+    TableIO.livePartitions(spark, table, partitionCol)
+  def vacuum(spark: org.apache.spark.sql.SparkSession, table: String,
+      graceMs: Long): Seq[String] =
+    TableIO.vacuum(spark, table, graceMs)
 }

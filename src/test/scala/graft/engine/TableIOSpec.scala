@@ -337,6 +337,61 @@ class TableIOSpec extends SparkSpec {
     assert(spark.read.parquet(t).count() == 2)
   }
 
+  // ---- TableCommitter trait contract: the SAME assertions against both
+  // local committers, resolved exactly as production resolves them
+  // (committerFor + CommitModeConf) — the swappable surface behind the
+  // "config-only" table-layer claim.
+  for (mode <- Seq("rename", "manifest"))
+    test(s"committer contract [$mode]: replace-exactly, computed-empty delete, enumeration, vacuum") {
+      val t = table()
+      spark.conf.set(TableIO.CommitModeConf, mode)
+      try {
+        val c = TableIO.committerFor(spark)
+        assert(c.name == mode)
+        c.writePartitions(frame(Seq(
+          ("a", "x", 1L), ("b", "y", 2L), ("c", "z", 3L), ("<global>", "g", 4L))), t)
+        val committed = c.writePartitions(
+          frame(Seq(("a", "x2", 10L))), t, computed = Some(Seq("a", "b")))
+        assert(committed == Seq("a"))
+        val out = c.readTable(spark, t).orderBy("partition")
+          .select("partition", "k", "v").as[(String, String, Long)].collect().toSeq
+        assert(out == Seq(("<global>", "g", 4L), ("a", "x2", 10L), ("c", "z", 3L)),
+          s"[$mode] $out")
+        assert(c.livePartitions(spark, t) == Seq("<global>", "a", "c"))
+        c.vacuum(spark, t, 0L) // callable in both modes; must not lose data
+        assert(c.readTable(spark, t).count() == 3)
+      } finally spark.conf.unset(TableIO.CommitModeConf)
+    }
+
+  test("iceberg committer is reflection-gated: absent runtime fails precisely, at use") {
+    assert(!IcebergCommitter.available,
+      "this sandbox has no iceberg runtime jar — the gate must see that")
+    spark.conf.set(TableIO.CommitModeConf, "iceberg")
+    try {
+      val c = TableIO.committerFor(spark) // resolution succeeds; gate is at use
+      assert(c.name == "iceberg")
+      val e = intercept[IllegalArgumentException] {
+        c.writePartitions(frame(Seq(("a", "x", 1L))), "cat.db.t")
+      }
+      assert(e.getMessage.contains("iceberg-spark-runtime"), e.getMessage)
+      // the static facade routes through the same gate
+      val e2 = intercept[IllegalArgumentException] {
+        TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), "cat.db.t")
+      }
+      assert(e2.getMessage.contains("iceberg-spark-runtime"), e2.getMessage)
+    } finally spark.conf.unset(TableIO.CommitModeConf)
+  }
+
+  test("unknown commit mode fails loudly instead of silently meaning rename") {
+    spark.conf.set(TableIO.CommitModeConf, "icebergg")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), table())
+      }
+      assert(e.getMessage.contains("unknown"), e.getMessage)
+    } finally spark.conf.unset(TableIO.CommitModeConf)
+  }
+
   test("completed swap's stale trash is discarded, not restored") {
     val t = table()
     TableIO.writePartitionsAtomic(frame(Seq(("a", "new", 2L))), t)
