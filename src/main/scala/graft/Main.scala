@@ -57,6 +57,19 @@ object Main {
 
     val partitionCol = opts.getOrElse("partition-col", "")
 
+    // The validate/ingest flows address tables as PATHS under <outDir>;
+    // commitMode=iceberg addresses catalog identifiers — mixing them would
+    // write through the Iceberg committer but read nothing back (or fail on
+    // identifier parsing mid-run). `vacuum` alone accepts an identifier.
+    if (Set("validate", "ingest")(cmd) &&
+        spark.conf.get(graft.engine.TableIO.CommitModeConf, "rename") == "iceberg") {
+      System.err.println("[sodspark] commitMode=iceberg is not supported by " +
+        "the outDir/path-based CLI flows (validate/ingest address tables as " +
+        "paths); use rename or manifest here, or drive Iceberg tables " +
+        "through the TableCommitter API with catalog identifiers")
+      sys.exit(64)
+    }
+
     def load(path: String) = {
       val raw = spark.read.parquet(path)
       WebSchema.validate(raw) match {

@@ -2,25 +2,40 @@ package graft.engine
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Versioned drift-baseline snapshots (ST5/ST7 — the reference accumulates
   * its model continuously under allowAppendOutlier, manager.go:409-418;
   * the green/blue snapshot swap is gbkd.go:41-62).
   *
   * A baseline directory holds write-once version dirs
-  * `baseline-v<zero-padded n>/` of (partition, lang_profile, len_profile)
-  * parquet rows; readers resolve the NEWEST COMPLETE version (`_SUCCESS`
-  * present — the parquet committer writes it last, so a torn write is
-  * structurally invisible, the same publication discipline as TableIO's
-  * versioned manifests). A legacy flat [[Validator.saveBaseline]] snapshot
-  * (parquet files directly in the directory) participates as version -1,
-  * so an existing green baseline seeds the store on first merge. Commits
-  * prune versions strictly below the previous newest complete one (one
-  * version of reader grace). Single writer per store — the owning stream.
+  * `baseline-v<zero-padded n>/` of per-partition model rows; readers
+  * resolve the NEWEST COMPLETE version (`_SUCCESS` present — the parquet
+  * committer writes it last, so a torn write is structurally invisible,
+  * the same publication discipline as TableIO's versioned manifests). A
+  * legacy flat [[Validator.saveBaseline]] snapshot (parquet files directly
+  * in the directory) seeds the store: it is read when no complete version
+  * dir exists — by EXPLICIT file list, so a torn version dir full of data
+  * files can never poison the read with parquet's "conflicting directory
+  * structures" discovery. Commits prune versions strictly below the
+  * previous newest complete one (one version of reader grace). Single
+  * writer per store — the owning stream.
   *
-  * Scale: a baseline is O(#partitions) rows of ~11 doubles — driver-scale
-  * by construction (the same budget [[Validator.loadBaseline]] already
-  * implies); every operation here is metadata-sized.
+  * Rows are MERGEABLE, not last-write-wins: a model row carries the
+  * partition's accumulated `row_cnt`, its lang fractions, and the KLL
+  * sketch of log text lengths, so a day whose files span many micro-
+  * batches (guaranteed by the default files-per-trigger bound) accumulates
+  * a whole-day profile — lang fractions combine row-count-weighted and
+  * sketches union — instead of keeping only the last batch slice's
+  * estimate. Legacy flat rows lack merge state (no count, no sketch); the
+  * first live fold for their partition replaces them, which is the
+  * green-snapshot semantics anyway (live accumulated data supersedes the
+  * frozen seed for that partition).
+  *
+  * Scale: a baseline is O(#partitions) rows of ~11 doubles + one ~2 KB
+  * sketch — driver-scale by construction (the same budget
+  * [[Validator.loadBaseline]] already implies); every operation here is
+  * metadata-sized.
   */
 object BaselineStore {
 
@@ -46,6 +61,13 @@ object BaselineStore {
         (v, s.getPath, fs.exists(new Path(s.getPath, "_SUCCESS")))))
       .sortBy(-_._1).toSeq
 
+  /** Root-level parquet files of a legacy flat snapshot. */
+  private def legacyFiles(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq.sortBy(_.getName)
+
   /** The directory the CURRENT baseline rows live in: newest complete
     * version dir, else the store root itself when it holds a legacy flat
     * snapshot, else None (no baseline yet).
@@ -53,28 +75,58 @@ object BaselineStore {
   def currentDir(spark: SparkSession, dir: String): Option[String] = {
     val (fs, root) = fsOf(spark, dir)
     versions(fs, root).collectFirst { case (_, p, true) => p.toString }
-      .orElse {
-        if (fs.exists(root) && fs.listStatus(root)
-            .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-          Some(dir)
-        else None
-      }
+      .orElse(if (legacyFiles(fs, root).nonEmpty) Some(dir) else None)
   }
 
-  /** Current baseline rows, sorted by partition. Empty when no snapshot
-    * exists yet.
+  /** One model row: partition, accumulated row count (-1 = legacy seed,
+    * no merge state), lang fractions, length-quantile profile, KLL sketch
+    * of log lengths (null = legacy seed).
+    */
+  final case class ModelRow(
+      partition: String,
+      row_cnt: Long,
+      lang_profile: Array[Double],
+      len_profile: Array[Double],
+      len_kll_sketch: Array[Byte])
+
+  private def fullRows(spark: SparkSession, dir: String): Seq[ModelRow] = {
+    val (fs, root) = fsOf(spark, dir)
+    import spark.implicits._
+    val versioned = versions(fs, root).collectFirst { case (_, p, true) => p }
+    val src = versioned match {
+      case Some(p) => Some(spark.read.parquet(p.toString))
+      case None =>
+        val files = legacyFiles(fs, root)
+        // explicit file list: never lets parquet partition discovery walk
+        // into a torn baseline-v* dir sitting beside the flat files
+        if (files.isEmpty) None
+        else Some(spark.read.parquet(files.map(_.toString): _*))
+    }
+    src match {
+      case None => Seq.empty
+      case Some(df0) =>
+        // schema liberality: legacy flat snapshots (and the first versioned
+        // revision) carry only (partition, lang_profile, len_profile)
+        val df = Seq(
+          "row_cnt" -> lit(-1L),
+          "len_kll_sketch" -> lit(null).cast("binary")
+        ).foldLeft(df0) { case (d, (c, dflt)) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, dflt)
+        }
+        df.select(col("partition"), col("row_cnt"), col("lang_profile"),
+            col("len_profile"), col("len_kll_sketch"))
+          .as[(String, Long, Array[Double], Array[Double], Array[Byte])]
+          .collect().sortBy(_._1)
+          .map(t => ModelRow(t._1, t._2, t._3, t._4, t._5)).toSeq
+    }
+  }
+
+  /** Current baseline rows (partition, lang_profile, len_profile), sorted
+    * by partition. Empty when no snapshot exists yet.
     */
   def loadRows(spark: SparkSession,
       dir: String): Seq[(String, Array[Double], Array[Double])] =
-    currentDir(spark, dir) match {
-      case None => Seq.empty
-      case Some(d) =>
-        import spark.implicits._
-        spark.read.parquet(d)
-          .select("partition", "lang_profile", "len_profile")
-          .as[(String, Array[Double], Array[Double])]
-          .collect().sortBy(_._1).toSeq
-    }
+    fullRows(spark, dir).map(r => (r.partition, r.lang_profile, r.len_profile))
 
   /** The scorer-shaped view of the current baseline (same shape as
     * [[Validator.loadBaseline]]): profile vectors per kind, in sorted
@@ -88,26 +140,44 @@ object BaselineStore {
       "text_length" -> rows.map(_._3).toIndexedSeq)
   }
 
-  /** Fold `newRows` into the store: newest-wins per partition against the
-    * current snapshot, capped to the `maxPartitions` GREATEST partition
-    * keys (dates sort chronologically, so the cap retains the most recent
-    * days — the model "forgets" ancient history the way the reference's
-    * maxStorageTime does, and the driver-side drift loop stays bounded).
-    * Publishes the result as the next write-once version dir and prunes
-    * versions below the previously-newest complete one. Returns the new
-    * version number.
+  private def lenProfileOf(sk: Array[Byte]): Array[Double] =
+    Validator.ProfileQs.map(q => sketch.KllAgg.quantile(sk, q))
+
+  /** Fold one batch's per-partition stats into the store. `newRows` carry
+    * (partition, row_cnt, lang_profile, len_kll_sketch) — the mergeable
+    * shape off [[Validator.mergeRowsOf]]. Accumulation per partition:
+    * row-count-weighted lang fractions + KLL sketch union against the
+    * current model row (legacy seed rows are replaced — no merge state).
+    * The result is capped to the `maxPartitions` GREATEST partition keys
+    * (dates sort chronologically, so the cap retains the most recent days
+    * and the driver-side drift loop stays bounded), published as the next
+    * write-once version dir, pruning versions below the previously-newest
+    * complete one. Returns the new version number.
     */
   def merge(spark: SparkSession, dir: String,
-      newRows: Seq[(String, Array[Double], Array[Double])],
+      newRows: Seq[(String, Long, Array[Double], Array[Byte])],
       maxPartitions: Int = 512): Long = {
     require(newRows.nonEmpty, "merge called with no rows — caller should skip")
     val (fs, root) = fsOf(spark, dir)
     fs.mkdirs(root)
     val existing = versions(fs, root)
     val prevComplete = existing.collectFirst { case (v, _, true) => v }
-    val current = loadRows(spark, dir)
-    val merged = (current.map(t => t._1 -> t).toMap ++
-      newRows.map(t => t._1 -> t).toMap)
+    val current = fullRows(spark, dir).map(r => r.partition -> r).toMap
+    val folded: Seq[ModelRow] = newRows.map { case (p, cnt, lang, sk) =>
+      current.get(p) match {
+        case Some(prev) if prev.row_cnt > 0 && prev.len_kll_sketch != null =>
+          val total = prev.row_cnt + cnt
+          val w = Array.tabulate(lang.length) { j =>
+            val a = if (j < prev.lang_profile.length) prev.lang_profile(j) else 0.0
+            (a * prev.row_cnt + lang(j) * cnt) / math.max(1L, total)
+          }
+          val mergedSk = sketch.KllAgg.mergeAll(Seq(prev.len_kll_sketch, sk))
+          ModelRow(p, total, w, lenProfileOf(mergedSk), mergedSk)
+        case _ => // absent, or a legacy seed with no merge state: replace
+          ModelRow(p, cnt, lang, lenProfileOf(sk), sk)
+      }
+    }
+    val merged = (current ++ folded.map(r => r.partition -> r))
       .toSeq.sortBy(_._1)
       .takeRight(math.max(1, maxPartitions))
       .map(_._2)
@@ -115,7 +185,10 @@ object BaselineStore {
     // crashed writer's leftover can never collide with the next commit
     val next = existing.headOption.map(_._1 + 1).getOrElse(0L)
     import spark.implicits._
-    merged.toDF("partition", "lang_profile", "len_profile")
+    merged.map(r => (r.partition, r.row_cnt, r.lang_profile, r.len_profile,
+        r.len_kll_sketch))
+      .toDF("partition", "row_cnt", "lang_profile", "len_profile",
+        "len_kll_sketch")
       .coalesce(1)
       .write.parquet(new Path(root, dirName(next)).toString)
     // prune strictly below the previous complete version (it stays as

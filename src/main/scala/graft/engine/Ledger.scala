@@ -92,6 +92,15 @@ object Ledger {
     b.toString
   }
 
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** NEVER throws: a malformed escape (e.g. `\u000{` from a corrupt or
+    * hand-edited line) decodes to its literal characters instead of
+    * crashing the whole replay — the parse contract is "structurally
+    * unusable lines are skipped", and one bad line must not take
+    * all()/donePartitions() down with a NumberFormatException.
+    */
   private def unescape(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
@@ -99,7 +108,8 @@ object Ledger {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              (2 to 5).forall(j => isHex(s.charAt(i + j))) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case other => b.append(other); i += 2

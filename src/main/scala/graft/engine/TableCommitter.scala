@@ -118,12 +118,25 @@ final class IcebergCommitter extends TableCommitter {
     IcebergCommitter.requireAvailable()
     // expire_snapshots is Iceberg's vacuum: same grace contract as the
     // manifest mode (readers on superseded snapshots must drain first)
+    require(table.count(_ == '.') >= 2,
+      s"iceberg vacuum needs a fully-qualified <catalog>.<db>.<table> " +
+        s"identifier to locate the catalog's system namespace, got '$table'")
     val catalog = table.split('.').head
     val olderThan = java.time.Instant
       .ofEpochMilli(System.currentTimeMillis() - math.max(0L, graceMs))
+    // The TIMESTAMP literal is parsed in the SESSION timezone — format the
+    // instant in that same zone, or the grace window shifts by the
+    // JVM-vs-session zone offset and snapshots still inside the grace (a
+    // reader mid-scan) get expired: the exact loss the grace exists to stop.
+    val sessionZone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val literal = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(olderThan.atZone(sessionZone))
     spark.sql(
       s"CALL $catalog.system.expire_snapshots(table => '${table.replace("'", "''")}', " +
-        s"older_than => TIMESTAMP '${java.sql.Timestamp.from(olderThan)}')")
+        s"older_than => TIMESTAMP '$literal')")
       .collect().map(_.toString).toSeq
   }
 }

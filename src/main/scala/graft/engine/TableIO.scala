@@ -392,6 +392,15 @@ object TableIO {
     * semantics (callers need not know how either mode records partitions).
     */
   def livePartitions(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: String = "partition"): Seq[String] =
+    committerFor(spark) match {
+      case ic: IcebergCommitter => ic.livePartitions(spark, table, partitionCol)
+      case _ => livePartitionsLocal(spark, table, partitionCol)
+    }
+
+  /** Path-based partition enumeration (manifest keys, else hive dirs). */
+  private[engine] def livePartitionsLocal(
+      spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: String = "partition"): Seq[String] = {
     val entries = readManifest(spark, table)
     if (entries.nonEmpty) return entries.keys.toSeq.sorted
@@ -460,6 +469,20 @@ object TableIO {
     */
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: String = "partition"): DataFrame = {
+    // commitMode=iceberg: `table` is a catalog identifier, not a path —
+    // route to the committer (the write side already does; a path-style
+    // read here would silently see nothing)
+    committerFor(spark) match {
+      case ic: IcebergCommitter => ic.readTable(spark, table, partitionCol)
+      case _ => readTableLocal(spark, table, partitionCol)
+    }
+  }
+
+  /** The path-based adaptive read (manifest resolution with plain-parquet
+    * fallback) — shared by both local committers, conf-independent.
+    */
+  private[engine] def readTableLocal(spark: org.apache.spark.sql.SparkSession,
+      table: String, partitionCol: String = "partition"): DataFrame = {
     val json = manifestJson(spark, table)
     if (json.isEmpty) return spark.read.parquet(table) // rename-mode table
     val entries = parseEntries(json.get)
@@ -508,7 +531,17 @@ object TableIO {
     * same contract as Iceberg snapshot expiry.
     */
   def vacuum(spark: org.apache.spark.sql.SparkSession, table: String,
-      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] =
+    committerFor(spark) match {
+      case ic: IcebergCommitter => ic.vacuum(spark, table, graceMs)
+      case _ => vacuumLocal(spark, table, graceMs)
+    }
+
+  /** Path-based snapshot reclamation (manifest mode; no-op shape on rename
+    * tables, which have no snapshot dirs).
+    */
+  private[engine] def vacuumLocal(spark: org.apache.spark.sql.SparkSession,
+      table: String, graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val tablePath = new Path(table)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tablePath)) return Seq.empty
@@ -599,11 +632,11 @@ object ManifestCommitter extends TableCommitter {
     TableIO.writePartitionsManifest(df, table, partitionCol, computed)
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: String = "partition"): DataFrame =
-    TableIO.readTable(spark, table, partitionCol)
+    TableIO.readTableLocal(spark, table, partitionCol)
   def livePartitions(spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: String = "partition"): Seq[String] =
-    TableIO.livePartitions(spark, table, partitionCol)
+    TableIO.livePartitionsLocal(spark, table, partitionCol)
   def vacuum(spark: org.apache.spark.sql.SparkSession, table: String,
       graceMs: Long): Seq[String] =
-    TableIO.vacuum(spark, table, graceMs)
+    TableIO.vacuumLocal(spark, table, graceMs)
 }

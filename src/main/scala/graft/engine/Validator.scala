@@ -295,6 +295,22 @@ object Validator {
       .as[(String, Array[Double], Array[Double])].collect().sortBy(_._1).toSeq
   }
 
+  /** MERGEABLE per-partition model rows off a stats frame — (partition,
+    * row_cnt, lang_profile, len_kll_sketch), [[BaselineStore.merge]]'s
+    * input shape: the count weights lang-fraction accumulation and the
+    * sketch unions, so a day split across micro-batches folds into a
+    * whole-day model instead of a last-slice estimate.
+    */
+  private[graft] def mergeRowsOf(
+      stats: DataFrame): Seq[(String, Long, Array[Double], Array[Byte])] = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    stats.select(col("partition"), col("row_cnt"), col("lang_profile"),
+        col("len_kll_sketch"))
+      .as[(String, Long, Array[Double], Array[Byte])]
+      .collect().sortBy(_._1).toSeq
+  }
+
   /** ST5 append policy (reference manager.go:409-418, allowAppendOutlier):
     * the reference optionally EXCLUDES outliers from the model it
     * accumulates. Batch analog: build the baseline snapshot only from rows

@@ -247,8 +247,9 @@ object AlertSink {
       val q = new org.apache.hadoop.fs.Path(p.getParent, s"quarantine-${p.getName}")
       System.err.println(s"[alert-sink] spool batch ${p.getName} $why — " +
         s"quarantined as ${q.getName}; inspect/remove manually")
-      qBatches += 1
-      if (!fs.rename(p, q) && mayDrop) fs.delete(p, true)
+      if (fs.rename(p, q)) qBatches += 1
+      else if (mayDrop) fs.delete(p, true) // dropped, NOT counted as parked
+      else qBatches += 1 // left in place — still needs operator attention
     }
     val (marked, partial) = batches.partition(p =>
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))

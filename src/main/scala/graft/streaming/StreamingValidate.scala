@@ -146,11 +146,14 @@ object StreamingValidate {
     * NotNull×3 + within-batch Unique + ByteIdenticalText) and, when
     * `baselineDir` points at a [[graft.engine.Validator.saveBaseline]]
     * snapshot, drift-scores each micro-batch's partitions against that green
-    * baseline — the streaming analog of scoring-on-ingest. Uniqueness here
-    * is WITHIN-batch (cross-batch uniqueness is a global table property; the
-    * batch validator owns it — same contract as ledger-resume's globalFrame).
-    * Baseline profiles are loaded ONCE at stream construction (driver-side,
-    * O(#baseline-partitions) doubles), not per batch.
+    * baseline — the streaming analog of scoring-on-ingest. Uniqueness runs
+    * at BOTH scopes by default: within-batch via [[graft.engine.Validator
+    * .DefaultChecks]]' Unique, and across batches via the reconciliation
+    * stage ([[withSeenPriorFlag]], `crossBatchUnique`); the periodic batch
+    * validator remains the table-wide authority (same contract as
+    * ledger-resume's globalFrame). Baseline profiles are loaded once at
+    * stream construction and, with `baselineRefresh` non-off, refreshed
+    * after every committed batch (see [[BaselineRefresh]]).
     */
   def validatedSink(pages: org.apache.spark.sql.DataFrame, outDir: String,
       checkpointDir: String,
@@ -341,7 +344,7 @@ object StreamingValidate {
                 .where(!col("passed") && col("partition") =!= "<global>")
                 .select(col("partition")).distinct()
                 .collect().map(_.getString(0)).toSet
-            val rows = Validator.profileRowsOf(res.stats)
+            val rows = Validator.mergeRowsOf(res.stats)
               .filterNot(t => failedParts(t._1))
             if (rows.nonEmpty) {
               graft.engine.BaselineStore.merge(df.sparkSession, r.dir, rows)
@@ -429,6 +432,30 @@ object StreamingValidate {
     // alerts from a down-endpoint tick would never retry through the
     // per-batch path — drain once per tick up front (no-op when empty)
     alertEndpoint.foreach(drainLeftoverAlerts(spark, outDir, _))
+    // The two defaults COMPOSE quadratically on a first-run backfill: the
+    // trigger bound splits N files into ~N/bound micro-batches, and each
+    // batch's cross-batch reconciliation re-scans the accumulated pages
+    // table — O(batches × history) url-column reads. Per-batch that is the
+    // documented price of a global invariant; across a huge backfill it is
+    // a surprise, so SAY so (the listing probe stops early — O(bound)
+    // driver work, a fraction of the full listing the source does anyway).
+    for (bound <- maxFilesPerTrigger if crossBatchUnique) {
+      val inPath = new org.apache.hadoop.fs.Path(inDir)
+      val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(inPath)) {
+        val it = fs.listFiles(inPath, true)
+        var n = 0
+        while (it.hasNext && n <= bound * 4L) { it.next(); n += 1 }
+        if (n > bound * 4L)
+          System.err.println(s"[graft-streaming] backlog exceeds " +
+            s"4x the $bound-files-per-trigger bound with cross-batch " +
+            "uniqueness ON: every micro-batch will re-scan all previously " +
+            "ingested urls (O(batches x history)). For a large initial " +
+            "backfill consider --cross-batch-unique off for this tick plus " +
+            "one batch `validate` afterwards, or raise " +
+            "--max-files-per-trigger")
+      }
+    }
     val reader = spark.readStream
       .schema(graft.engine.WebSchema.expected)
     maxFilesPerTrigger.foreach(n =>
