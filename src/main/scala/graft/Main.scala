@@ -57,16 +57,20 @@ object Main {
 
     val partitionCol = opts.getOrElse("partition-col", "")
 
-    // The validate/ingest flows address tables as PATHS under <outDir>;
-    // commitMode=iceberg addresses catalog identifiers — mixing them would
-    // write through the Iceberg committer but read nothing back (or fail on
-    // identifier parsing mid-run). `vacuum` alone accepts an identifier.
-    if (Set("validate", "ingest")(cmd) &&
+    // `validate` addresses its tables as PATHS under <outDir> and routes
+    // writes/reads through TableIO; commitMode=iceberg addresses catalog
+    // identifiers — mixing them would write through the Iceberg committer
+    // but read nothing back (or silently bypass the configured committer on
+    // the raw-overwrite branch). `ingest` is untouched: its sink writes
+    // plain path parquet and never consults the committer, so a fleet-wide
+    // iceberg conf must not break the daily tick. `vacuum` accepts an
+    // identifier and dispatches correctly.
+    if (cmd == "validate" &&
         spark.conf.get(graft.engine.TableIO.CommitModeConf, "rename") == "iceberg") {
       System.err.println("[sodspark] commitMode=iceberg is not supported by " +
-        "the outDir/path-based CLI flows (validate/ingest address tables as " +
-        "paths); use rename or manifest here, or drive Iceberg tables " +
-        "through the TableCommitter API with catalog identifiers")
+        "the outDir/path-based validate flow; use rename or manifest here, " +
+        "or drive Iceberg tables through the TableCommitter API with " +
+        "catalog identifiers")
       sys.exit(64)
     }
 

@@ -156,10 +156,29 @@ object BaselineStore {
     */
   def merge(spark: SparkSession, dir: String,
       newRows: Seq[(String, Long, Array[Double], Array[Byte])],
-      maxPartitions: Int = 512): Long = {
+      maxPartitions: Int = 512,
+      /** Replay-dedup key (e.g. "lineage/batchId"): ACCUMULATION is not
+        * naturally idempotent the way the overwrite-based data writes are —
+        * a replayed foreachBatch micro-batch would double-count its rows
+        * into the model, permanently under-weighting later slices of the
+        * same day. With a key, a write-once `_folded-<key>` marker makes
+        * the fold at-most-once: the marker is created BEFORE the version
+        * publishes, so the crash window loses one slice's contribution (an
+        * advisory model self-heals as later data folds) rather than ever
+        * double-counting. Returns -1 when the key was already folded.
+        */
+      dedupKey: Option[String] = None): Long = {
     require(newRows.nonEmpty, "merge called with no rows — caller should skip")
     val (fs, root) = fsOf(spark, dir)
     fs.mkdirs(root)
+    dedupKey.foreach { key =>
+      val marker = new Path(root, "_folded-" +
+        java.net.URLEncoder.encode(key, "UTF-8"))
+      val created =
+        try { fs.create(marker, false).close(); true }
+        catch { case _: java.io.IOException => false } // exists → replay
+      if (!created) return -1L
+    }
     val existing = versions(fs, root)
     val prevComplete = existing.collectFirst { case (v, _, true) => v }
     val current = fullRows(spark, dir).map(r => r.partition -> r).toMap

@@ -95,11 +95,12 @@ object Ledger {
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
-  /** NEVER throws: a malformed escape (e.g. `\u000{` from a corrupt or
-    * hand-edited line) decodes to its literal characters instead of
-    * crashing the whole replay — the parse contract is "structurally
-    * unusable lines are skipped", and one bad line must not take
-    * all()/donePartitions() down with a NumberFormatException.
+  /** NEVER throws: a malformed `\u` escape (e.g. `\u000{` from a corrupt or
+    * hand-edited line) is preserved LITERALLY — backslash included — instead
+    * of crashing the whole replay with a NumberFormatException (one bad line
+    * must not take all()/donePartitions() down). The preserved-literal key
+    * cannot collide with a legitimately-escaped one: [[q]] always emits
+    * valid hex, so a round-tripped key never contains a malformed escape.
     */
   private def unescape(s: String): String = {
     val b = new StringBuilder(s.length)
@@ -112,6 +113,8 @@ object Ledger {
               (2 to 5).forall(j => isHex(s.charAt(i + j))) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
+          case 'u' => // malformed: keep the full literal sequence
+            b.append('\\').append('u'); i += 2
           case other => b.append(other); i += 2
         }
       } else { b.append(c); i += 1 }

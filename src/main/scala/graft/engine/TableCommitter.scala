@@ -131,8 +131,10 @@ final class IcebergCommitter extends TableCommitter {
     val sessionZone = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone",
         java.util.TimeZone.getDefault.getID))
+    // Locale.ROOT: the default locale's DecimalStyle can render non-Latin
+    // digits (ar-SA, -u-nu-thai), which Spark's literal parser rejects
     val literal = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS", java.util.Locale.ROOT)
       .format(olderThan.atZone(sessionZone))
     spark.sql(
       s"CALL $catalog.system.expire_snapshots(table => '${table.replace("'", "''")}', " +

@@ -248,8 +248,9 @@ object AlertSink {
       System.err.println(s"[alert-sink] spool batch ${p.getName} $why — " +
         s"quarantined as ${q.getName}; inspect/remove manually")
       if (fs.rename(p, q)) qBatches += 1
-      else if (mayDrop) fs.delete(p, true) // dropped, NOT counted as parked
-      else qBatches += 1 // left in place — still needs operator attention
+      else if (mayDrop && fs.delete(p, true)) () // dropped, NOT parked
+      else qBatches += 1 // left in place (rename AND delete refused, or
+                         // marked dir) — still needs operator attention
     }
     val (marked, partial) = batches.partition(p =>
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))

@@ -347,9 +347,13 @@ object StreamingValidate {
             val rows = Validator.mergeRowsOf(res.stats)
               .filterNot(t => failedParts(t._1))
             if (rows.nonEmpty) {
-              graft.engine.BaselineStore.merge(df.sparkSession, r.dir, rows)
-              r.holder.set(
-                graft.engine.BaselineStore.loadMap(df.sparkSession, r.dir))
+              // dedupKey: a replayed micro-batch (foreachBatch is
+              // at-least-once) must not fold its rows into the model twice
+              val v = graft.engine.BaselineStore.merge(df.sparkSession,
+                r.dir, rows, dedupKey = Some(s"$lineage/$batchId"))
+              if (v >= 0)
+                r.holder.set(
+                  graft.engine.BaselineStore.loadMap(df.sparkSession, r.dir))
             }
           } catch {
             case scala.util.control.NonFatal(e) =>
@@ -439,23 +443,34 @@ object StreamingValidate {
     // documented price of a global invariant; across a huge backfill it is
     // a surprise, so SAY so (the listing probe stops early — O(bound)
     // driver work, a fraction of the full listing the source does anyway).
-    for (bound <- maxFilesPerTrigger if crossBatchUnique) {
-      val inPath = new org.apache.hadoop.fs.Path(inDir)
-      val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(inPath)) {
-        val it = fs.listFiles(inPath, true)
-        var n = 0
-        while (it.hasNext && n <= bound * 4L) { it.next(); n += 1 }
-        if (n > bound * 4L)
-          System.err.println(s"[graft-streaming] backlog exceeds " +
-            s"4x the $bound-files-per-trigger bound with cross-batch " +
-            "uniqueness ON: every micro-batch will re-scan all previously " +
-            "ingested urls (O(batches x history)). For a large initial " +
-            "backfill consider --cross-batch-unique off for this tick plus " +
-            "one batch `validate` afterwards, or raise " +
-            "--max-files-per-trigger")
+    // FIRST-RUN only (no offsets committed yet): a steady-state tick's
+    // listing is dominated by already-processed history, which would make
+    // this warning fire forever and steer operators toward disabling a
+    // check that is cheap for them. Purely advisory, so any probe error
+    // (listing races with a producer, transient FS faults) is swallowed —
+    // it must never add a crash path the streaming source itself tolerates.
+    try {
+      for (bound <- maxFilesPerTrigger if crossBatchUnique) {
+        val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+        val inPath = new org.apache.hadoop.fs.Path(inDir)
+        val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val firstRun = !fs.exists(offsets) ||
+          fs.listStatus(offsets).isEmpty
+        if (firstRun && fs.exists(inPath)) {
+          val it = fs.listFiles(inPath, true)
+          var n = 0
+          while (it.hasNext && n <= bound * 4L) { it.next(); n += 1 }
+          if (n > bound * 4L)
+            System.err.println(s"[graft-streaming] first-run backlog " +
+              s"exceeds 4x the $bound-files-per-trigger bound with " +
+              "cross-batch uniqueness ON: every micro-batch will re-scan " +
+              "all previously ingested urls (O(batches x history)). For a " +
+              "large initial backfill consider --cross-batch-unique off " +
+              "for this tick plus one batch `validate` afterwards, or " +
+              "raise --max-files-per-trigger")
+        }
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val reader = spark.readStream
       .schema(graft.engine.WebSchema.expected)
     maxFilesPerTrigger.foreach(n =>

@@ -67,6 +67,25 @@ class BaselineStoreSpec extends SparkSpec {
     assert(len(2) == 10.0, s"median of the union must be the dominant slice: ${len.toSeq}")
   }
 
+  test("merge with a dedupKey is at-most-once: a replayed micro-batch fold is skipped") {
+    // foreachBatch is at-least-once — without the key, a replayed batch
+    // would double-count its rows and permanently under-weight later
+    // slices of the same day
+    val dir = store()
+    val slice = Seq(mrow("a", 0.1, cnt = 100L, lenValues = Seq.fill(10)(2.0)))
+    assert(BaselineStore.merge(spark, dir, slice, dedupKey = Some("q1/7")) == 0L)
+    assert(BaselineStore.merge(spark, dir, slice, dedupKey = Some("q1/7")) == -1L,
+      "replayed (lineage, batch) must not fold twice")
+    // a genuinely new batch folds, and the weighting reflects ONE copy of
+    // the first slice
+    assert(BaselineStore.merge(spark, dir,
+      Seq(mrow("a", 0.5, cnt = 100L, lenValues = Seq.fill(10)(4.0))),
+      dedupKey = Some("q1/8")) == 1L)
+    val lang0 = BaselineStore.loadRows(spark, dir).head._2(0)
+    assert(math.abs(lang0 - 0.3) < 1e-9, // (0.1*100 + 0.5*100) / 200
+      s"replay leaked into the weighting: $lang0")
+  }
+
   test("versions are write-once; prune keeps exactly one version of grace") {
     val dir = store()
     BaselineStore.merge(spark, dir, Seq(mrow("a", 0.1))) // v0
