@@ -179,6 +179,13 @@ object Main {
       // reference's scoring-on-ingest, manager.go:385).
       case "ingest" =>
         val Seq(in, out) = requirePositionals(positional, 2)
+        // the streaming sink writes plain path parquet and never consults
+        // the TableCommitter — an explicitly-configured iceberg mode is a
+        // no-op here; say so once rather than silently ignoring the conf
+        if (spark.conf.get(graft.engine.TableIO.CommitModeConf, "rename") == "iceberg")
+          System.err.println("[sodspark] note: commitMode=iceberg does not " +
+            "apply to the ingest sink (path-based parquet writes); the " +
+            "conf is ignored for this command")
         val ckpt = opts.getOrElse("checkpoint", s"$out/_checkpoint")
         // absent → the conservative default; 'all' → unbounded (explicit
         // opt-in — the pre-r5 silent default); n → that bound

@@ -89,7 +89,15 @@ object BaselineStore {
       len_profile: Array[Double],
       len_kll_sketch: Array[Byte])
 
-  private def fullRows(spark: SparkSession, dir: String): Seq[ModelRow] = {
+  /** Fold-dedup keys retained with the model. Only the most recent
+    * uncommitted micro-batch per (single-writer) stream can ever replay, so
+    * a small window is ample; the cap keeps the column constant-size.
+    */
+  private val MaxFoldedKeys = 64
+
+  /** Model rows + the retained fold-dedup keys of the current snapshot. */
+  private def fullState(spark: SparkSession,
+      dir: String): (Seq[ModelRow], Seq[String]) = {
     val (fs, root) = fsOf(spark, dir)
     import spark.implicits._
     val versioned = versions(fs, root).collectFirst { case (_, p, true) => p }
@@ -103,23 +111,33 @@ object BaselineStore {
         else Some(spark.read.parquet(files.map(_.toString): _*))
     }
     src match {
-      case None => Seq.empty
+      case None => (Seq.empty, Seq.empty)
       case Some(df0) =>
-        // schema liberality: legacy flat snapshots (and the first versioned
-        // revision) carry only (partition, lang_profile, len_profile)
+        // schema liberality: legacy flat snapshots (and earlier versioned
+        // revisions) may lack the merge-state / dedup columns
         val df = Seq(
           "row_cnt" -> lit(-1L),
-          "len_kll_sketch" -> lit(null).cast("binary")
+          "len_kll_sketch" -> lit(null).cast("binary"),
+          "folded_keys" -> org.apache.spark.sql.functions
+            .typedLit(Seq.empty[String])
         ).foldLeft(df0) { case (d, (c, dflt)) =>
           if (d.columns.contains(c)) d else d.withColumn(c, dflt)
         }
-        df.select(col("partition"), col("row_cnt"), col("lang_profile"),
-            col("len_profile"), col("len_kll_sketch"))
-          .as[(String, Long, Array[Double], Array[Double], Array[Byte])]
+        val collected = df.select(col("partition"), col("row_cnt"),
+            col("lang_profile"), col("len_profile"), col("len_kll_sketch"),
+            col("folded_keys"))
+          .as[(String, Long, Array[Double], Array[Double], Array[Byte], Seq[String])]
           .collect().sortBy(_._1)
+        val rows = collected
           .map(t => ModelRow(t._1, t._2, t._3, t._4, t._5)).toSeq
+        // the key list is identical on every row (dictionary-encoded on
+        // disk); read it off the first
+        (rows, collected.headOption.map(_._6).getOrElse(Seq.empty))
     }
   }
+
+  private def fullRows(spark: SparkSession, dir: String): Seq[ModelRow] =
+    fullState(spark, dir)._1
 
   /** Current baseline rows (partition, lang_profile, len_profile), sorted
     * by partition. Empty when no snapshot exists yet.
@@ -161,27 +179,24 @@ object BaselineStore {
         * naturally idempotent the way the overwrite-based data writes are —
         * a replayed foreachBatch micro-batch would double-count its rows
         * into the model, permanently under-weighting later slices of the
-        * same day. With a key, a write-once `_folded-<key>` marker makes
-        * the fold at-most-once: the marker is created BEFORE the version
-        * publishes, so the crash window loses one slice's contribution (an
-        * advisory model self-heals as later data folds) rather than ever
-        * double-counting. Returns -1 when the key was already folded.
+        * same day. The key is recorded INSIDE the published version (a
+        * `folded_keys` column, capped at [[MaxFoldedKeys]]), so the
+        * version's _SUCCESS is the atomic commit point for data AND dedup
+        * record together: a fold that fails before publishing leaves no
+        * key behind (the retry folds cleanly — no permanent loss from a
+        * transient store fault), and a replay after a successful publish
+        * finds its key and is skipped (no double count). Returns -1 when
+        * the key was already folded.
         */
       dedupKey: Option[String] = None): Long = {
     require(newRows.nonEmpty, "merge called with no rows — caller should skip")
     val (fs, root) = fsOf(spark, dir)
     fs.mkdirs(root)
-    dedupKey.foreach { key =>
-      val marker = new Path(root, "_folded-" +
-        java.net.URLEncoder.encode(key, "UTF-8"))
-      val created =
-        try { fs.create(marker, false).close(); true }
-        catch { case _: java.io.IOException => false } // exists → replay
-      if (!created) return -1L
-    }
     val existing = versions(fs, root)
     val prevComplete = existing.collectFirst { case (v, _, true) => v }
-    val current = fullRows(spark, dir).map(r => r.partition -> r).toMap
+    val (currentRows, foldedKeys) = fullState(spark, dir)
+    dedupKey.foreach(k => if (foldedKeys.contains(k)) return -1L)
+    val current = currentRows.map(r => r.partition -> r).toMap
     val folded: Seq[ModelRow] = newRows.map { case (p, cnt, lang, sk) =>
       current.get(p) match {
         case Some(prev) if prev.row_cnt > 0 && prev.len_kll_sketch != null =>
@@ -203,11 +218,14 @@ object BaselineStore {
     // next version = max over ALL version dirs (torn included) + 1 — a
     // crashed writer's leftover can never collide with the next commit
     val next = existing.headOption.map(_._1 + 1).getOrElse(0L)
+    val newKeys = (foldedKeys ++ dedupKey).takeRight(MaxFoldedKeys)
     import spark.implicits._
     merged.map(r => (r.partition, r.row_cnt, r.lang_profile, r.len_profile,
         r.len_kll_sketch))
       .toDF("partition", "row_cnt", "lang_profile", "len_profile",
         "len_kll_sketch")
+      .withColumn("folded_keys",
+        org.apache.spark.sql.functions.typedLit(newKeys))
       .coalesce(1)
       .write.parquet(new Path(root, dirName(next)).toString)
     // prune strictly below the previous complete version (it stays as

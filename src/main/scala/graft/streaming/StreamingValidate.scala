@@ -451,11 +451,16 @@ object StreamingValidate {
     // it must never add a crash path the streaming source itself tolerates.
     try {
       for (bound <- maxFilesPerTrigger if crossBatchUnique) {
+        val conf = spark.sparkContext.hadoopConfiguration
         val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+        // each path on ITS OWN FileSystem: input and checkpoint routinely
+        // live on different stores (s3a input, local/hdfs checkpoint) and
+        // a cross-FS exists() throws "Wrong FS"
+        val ckptFs = offsets.getFileSystem(conf)
         val inPath = new org.apache.hadoop.fs.Path(inDir)
-        val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val firstRun = !fs.exists(offsets) ||
-          fs.listStatus(offsets).isEmpty
+        val fs = inPath.getFileSystem(conf)
+        val firstRun = !ckptFs.exists(offsets) ||
+          ckptFs.listStatus(offsets).isEmpty
         if (firstRun && fs.exists(inPath)) {
           val it = fs.listFiles(inPath, true)
           var n = 0
