@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, typedLit}
 
 /** Versioned drift-baseline snapshots (ST5/ST7 — the reference accumulates
   * its model continuously under allowAppendOutlier, manager.go:409-418;
@@ -99,8 +99,16 @@ object BaselineStore {
   private def fullState(spark: SparkSession,
       dir: String): (Seq[ModelRow], Seq[String]) = {
     val (fs, root) = fsOf(spark, dir)
+    fullStateFrom(spark, fs, root, versions(fs, root))
+  }
+
+  /** As [[fullState]], reusing a listing the caller already holds (merge
+    * lists once for versioning AND state — remote listStatus is not free).
+    */
+  private def fullStateFrom(spark: SparkSession, fs: FileSystem, root: Path,
+      listed: Seq[(Long, Path, Boolean)]): (Seq[ModelRow], Seq[String]) = {
     import spark.implicits._
-    val versioned = versions(fs, root).collectFirst { case (_, p, true) => p }
+    val versioned = listed.collectFirst { case (_, p, true) => p }
     val src = versioned match {
       case Some(p) => Some(spark.read.parquet(p.toString))
       case None =>
@@ -118,8 +126,7 @@ object BaselineStore {
         val df = Seq(
           "row_cnt" -> lit(-1L),
           "len_kll_sketch" -> lit(null).cast("binary"),
-          "folded_keys" -> org.apache.spark.sql.functions
-            .typedLit(Seq.empty[String])
+          "folded_keys" -> typedLit(Seq.empty[String])
         ).foldLeft(df0) { case (d, (c, dflt)) =>
           if (d.columns.contains(c)) d else d.withColumn(c, dflt)
         }
@@ -194,8 +201,15 @@ object BaselineStore {
     fs.mkdirs(root)
     val existing = versions(fs, root)
     val prevComplete = existing.collectFirst { case (v, _, true) => v }
-    val (currentRows, foldedKeys) = fullState(spark, dir)
-    dedupKey.foreach(k => if (foldedKeys.contains(k)) return -1L)
+    val (currentRows, foldedKeys) = fullStateFrom(spark, fs, root, existing)
+    dedupKey.foreach { k =>
+      if (foldedKeys.contains(k)) return -1L
+      // one interim revision recorded dedup as write-once `_folded-<key>`
+      // marker files; honor them so an upgrade mid-replay-window cannot
+      // double-fold (they are pruned below once superseded)
+      if (fs.exists(new Path(root,
+          "_folded-" + java.net.URLEncoder.encode(k, "UTF-8")))) return -1L
+    }
     val current = currentRows.map(r => r.partition -> r).toMap
     val folded: Seq[ModelRow] = newRows.map { case (p, cnt, lang, sk) =>
       current.get(p) match {
@@ -224,8 +238,7 @@ object BaselineStore {
         r.len_kll_sketch))
       .toDF("partition", "row_cnt", "lang_profile", "len_profile",
         "len_kll_sketch")
-      .withColumn("folded_keys",
-        org.apache.spark.sql.functions.typedLit(newKeys))
+      .withColumn("folded_keys", typedLit(newKeys))
       .coalesce(1)
       .write.parquet(new Path(root, dirName(next)).toString)
     // prune strictly below the previous complete version (it stays as
@@ -235,6 +248,13 @@ object BaselineStore {
         fs.delete(p, true)
       }
     }
+    // retire interim-revision marker files: their keys are dead once a
+    // version carrying the folded_keys column is published past them (only
+    // the latest uncommitted batch can replay, and its key is in-column)
+    if (prevComplete.isDefined)
+      fs.listStatus(root)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("_folded-"))
+        .foreach(s => fs.delete(s.getPath, false))
     next
   }
 }

@@ -86,6 +86,43 @@ class BaselineStoreSpec extends SparkSpec {
       s"replay leaked into the weighting: $lang0")
   }
 
+  test("a fold that failed BEFORE publishing leaves no key: the retry folds cleanly") {
+    // the transactional property the in-version dedup buys: dedup record
+    // and data publish atomically, so a transient failure never converts
+    // into permanent slice loss
+    val dir = store()
+    BaselineStore.merge(spark, dir, Seq(mrow("a", 0.1)), dedupKey = Some("q1/1"))
+    // simulate: fold of batch 2 crashed mid-publish — torn version dir,
+    // no _SUCCESS, therefore no folded key recorded anywhere
+    val torn = Paths.get(dir, "baseline-v000000001")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-dead.parquet"), Array[Byte](9))
+    // the retry with the SAME dedup key must fold (not be misread as a
+    // replay) and publish above the torn dir
+    val v = BaselineStore.merge(spark, dir, Seq(mrow("b", 0.2)),
+      dedupKey = Some("q1/2"))
+    assert(v == 2L, s"retry after torn publish must fold, got $v")
+    assert(BaselineStore.loadRows(spark, dir).map(_._1) == Seq("a", "b"))
+  }
+
+  test("interim _folded-* marker files are honored on upgrade, then retired") {
+    val dir = store()
+    BaselineStore.merge(spark, dir, Seq(mrow("a", 0.1)), dedupKey = Some("q1/1"))
+    // a marker left by the interim revision for a batch whose fold
+    // published pre-folded_keys: its replay must still be skipped
+    Files.write(Paths.get(dir, "_folded-" +
+      java.net.URLEncoder.encode("q1/2", "UTF-8")), Array.emptyByteArray)
+    assert(BaselineStore.merge(spark, dir, Seq(mrow("a", 0.9)),
+      dedupKey = Some("q1/2")) == -1L, "marker-recorded fold replayed")
+    // a later genuine fold retires the markers
+    assert(BaselineStore.merge(spark, dir, Seq(mrow("b", 0.2)),
+      dedupKey = Some("q1/3")) >= 0L)
+    val names = Files.list(Paths.get(dir)).iterator()
+    val left = Iterator.continually(names).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filter(_.startsWith("_folded-")).toSeq
+    assert(left.isEmpty, s"stale markers not retired: $left")
+  }
+
   test("versions are write-once; prune keeps exactly one version of grace") {
     val dir = store()
     BaselineStore.merge(spark, dir, Seq(mrow("a", 0.1))) // v0
