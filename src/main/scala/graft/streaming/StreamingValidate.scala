@@ -83,7 +83,7 @@ object StreamingValidate {
     * triggers over a huge table, set `crossBatchUnique = false` and let
     * the periodic batch validator own the global check instead.
     */
-  private def withSeenPriorFlag(df: DataFrame, outDir: String,
+  private[streaming] def withSeenPriorFlag(df: DataFrame, outDir: String,
       lineage: String, batchId: Long): DataFrame = {
     val spark = df.sparkSession
     val seenFlag = graft.engine.Constraints.SeenPriorBatch.flagColumn
