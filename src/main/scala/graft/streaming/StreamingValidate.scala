@@ -320,10 +320,21 @@ object StreamingValidate {
         alertEndpoint.foreach { ep =>
           val spool = alertSpoolDir(outDir)
           try {
-            if (!res.violations.isEmpty)
-              AlertSink.push(res.violations, ep, spoolDir = Some(spool))
-            else
-              AlertSink.drainSpool(df.sparkSession, spool, ep)
+            val push =
+              if (!res.violations.isEmpty)
+                AlertSink.push(res.violations, ep, spoolDir = Some(spool))
+              else
+                AlertSink.drainSpool(df.sparkSession, spool, ep)
+            // one ops line per batch: posted/backlog/parked are the numbers
+            // an on-call reads first during an endpoint incident
+            if (push.pending > 0 || push.quarantined > 0 ||
+                push.quarantinedBatches > 0)
+              System.err.println(s"[graft-streaming] alerts batch=$batchId: " +
+                s"posted=${push.posted} pending=${push.pending}" +
+                (if (push.oldestPendingMs >= 0) s" oldest=" +
+                  java.time.Instant.ofEpochMilli(push.oldestPendingMs) else "") +
+                s" quarantined=${push.quarantined}" +
+                s" quarantinedBatches=${push.quarantinedBatches}")
           } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft-streaming] alert push failed " +
