@@ -325,16 +325,20 @@ object StreamingValidate {
                 AlertSink.push(res.violations, ep, spoolDir = Some(spool))
               else
                 AlertSink.drainSpool(df.sparkSession, spool, ep)
-            // one ops line per batch: posted/backlog/parked are the numbers
-            // an on-call reads first during an endpoint incident
-            if (push.pending > 0 || push.quarantined > 0 ||
-                push.quarantinedBatches > 0)
-              System.err.println(s"[graft-streaming] alerts batch=$batchId: " +
-                s"posted=${push.posted} pending=${push.pending}" +
-                (if (push.oldestPendingMs >= 0) s" oldest=" +
-                  java.time.Instant.ofEpochMilli(push.oldestPendingMs) else "") +
-                s" quarantined=${push.quarantined}" +
-                s" quarantinedBatches=${push.quarantinedBatches}")
+            // one ops line per batch, unconditionally — suppressing the
+            // all-zero line would hide the RECOVERY batch (backlog drains
+            // to pending=0), leaving the last logged state "pending=K"
+            // forever. Units are labeled: posted counts successful HTTP
+            // REQUESTS (an at-least-once accumulator — task retries can
+            // re-count), pending/quarantined count per-entity payload
+            // OBJECTS; they are not comparable to each other.
+            System.err.println(s"[graft-streaming] alerts batch=$batchId: " +
+              s"posted_requests=${push.posted} " +
+              s"pending_payloads=${push.pending}" +
+              (if (push.oldestPendingMs >= 0) s" oldest=" +
+                java.time.Instant.ofEpochMilli(push.oldestPendingMs) else "") +
+              s" quarantined_payloads=${push.quarantined}" +
+              s" quarantined_batch_dirs=${push.quarantinedBatches}")
           } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft-streaming] alert push failed " +
