@@ -233,6 +233,27 @@ object Main {
         println(s"[sodspark] incremental ingest tick complete")
         spark.stop()
 
+      // Push the alert-spool backlog NOW, without waiting for the next data
+      // tick (during outage recovery the next tick may be hours away). Exit
+      // code 1 while payloads remain pending — scriptable as a retry loop.
+      case "drain-alerts" =>
+        val Seq(out) = requirePositionals(positional, 1)
+        val ep = opts.getOrElse("alert-endpoint", {
+          System.err.println(s"drain-alerts requires --alert-endpoint\n$usage")
+          sys.exit(64)
+          throw new IllegalStateException
+        })
+        val res = graft.streaming.AlertSink.drainSpool(
+          spark, graft.streaming.StreamingValidate.alertSpoolDir(out), ep)
+        println(s"[sodspark] drain: posted_requests=${res.posted} " +
+          s"pending_payloads=${res.pending}" +
+          (if (res.oldestPendingMs >= 0) s" oldest=" +
+            java.time.Instant.ofEpochMilli(res.oldestPendingMs) else "") +
+          s" quarantined_payloads=${res.quarantined}" +
+          s" quarantined_batch_dirs=${res.quarantinedBatches}")
+        spark.stop()
+        sys.exit(if (res.pending > 0) 1 else 0)
+
       // Manifest-table maintenance: reclaim snapshot dirs superseded by
       // later commits (run after in-flight readers drain — Iceberg's
       // expire_snapshots contract). No-op on rename-mode tables.
@@ -277,7 +298,8 @@ object Main {
     "save-baseline" -> Set("partition-col", "append-policy"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
-    "vacuum" -> Set("grace-hours"))
+    "vacuum" -> Set("grace-hours"),
+    "drain-alerts" -> Set("alert-endpoint"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
     * must be in `knownFlags` and followed by a non-flag value token.
@@ -332,5 +354,7 @@ object Main {
       |                                  the reference's allowAppendOutlier dial)
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
+      |  graft.Main drain-alerts <outDir> --alert-endpoint <url>
+      |      (push the spooled alert backlog now; exit 1 while payloads remain)
       |""".stripMargin
 }

@@ -194,8 +194,10 @@ object StreamingValidate {
 
   /** The spool every alert-enabled sink/tick shares, rooted under the
     * output dir so a down endpoint's alerts survive process restarts.
+    * private[graft]: `graft.Main drain-alerts` drains the same spool.
     */
-  private def alertSpoolDir(outDir: String): String = s"$outDir/_alert_spool"
+  private[graft] def alertSpoolDir(outDir: String): String =
+    s"$outDir/_alert_spool"
 
   /** Best-effort drain of previously spooled alerts — NonFatal-guarded:
     * alerting failure (endpoint OR spool filesystem) never fails the
