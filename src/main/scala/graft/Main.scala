@@ -234,8 +234,12 @@ object Main {
         spark.stop()
 
       // Push the alert-spool backlog NOW, without waiting for the next data
-      // tick (during outage recovery the next tick may be hours away). Exit
-      // code 1 while payloads remain pending — scriptable as a retry loop.
+      // tick (during outage recovery the next tick may be hours away).
+      // Exit codes, scriptable as a retry loop: 0 = spool clean (nothing
+      // pending, nothing quarantined), 1 = payloads still pending OR
+      // parked in quarantine (PushResult's contract: pending==0 alone is
+      // NOT all-delivered), 75 = another drain holds the spool lease
+      // (EX_TEMPFAIL — retry later), 64 = usage/path errors.
       case "drain-alerts" =>
         val Seq(out) = requirePositionals(positional, 1)
         val ep = opts.getOrElse("alert-endpoint", {
@@ -243,16 +247,24 @@ object Main {
           sys.exit(64)
           throw new IllegalStateException
         })
+        // a typo'd outDir would be indistinguishable from a drained spool
+        // (both report all-zero) — require the OUTPUT DIR to exist; the
+        // spool itself may legitimately be absent (nothing ever spooled)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(outPath)) {
+          System.err.println(s"[sodspark] output dir $out does not exist — " +
+            "pass the ingest outDir whose _alert_spool should drain")
+          sys.exit(64)
+        }
         val res = graft.streaming.AlertSink.drainSpool(
           spark, graft.streaming.StreamingValidate.alertSpoolDir(out), ep)
-        println(s"[sodspark] drain: posted_requests=${res.posted} " +
-          s"pending_payloads=${res.pending}" +
-          (if (res.oldestPendingMs >= 0) s" oldest=" +
-            java.time.Instant.ofEpochMilli(res.oldestPendingMs) else "") +
-          s" quarantined_payloads=${res.quarantined}" +
-          s" quarantined_batch_dirs=${res.quarantinedBatches}")
+        println(s"[sodspark] drain: ${res.summary}")
         spark.stop()
-        sys.exit(if (res.pending > 0) 1 else 0)
+        sys.exit(
+          if (res.lockedOut) 75
+          else if (res.unfinished) 1
+          else 0)
 
       // Manifest-table maintenance: reclaim snapshot dirs superseded by
       // later commits (run after in-flight readers drain — Iceberg's
@@ -355,6 +367,8 @@ object Main {
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
       |  graft.Main drain-alerts <outDir> --alert-endpoint <url>
-      |      (push the spooled alert backlog now; exit 1 while payloads remain)
+      |      (push the spooled alert backlog now; exit 0 = spool clean,
+      |       1 = pending or quarantined payloads remain, 75 = another
+      |       drain holds the spool lease — retry later)
       |""".stripMargin
 }

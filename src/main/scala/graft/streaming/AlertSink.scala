@@ -62,7 +62,33 @@ object AlertSink {
     */
   final case class PushResult(posted: Long, pending: Long,
       quarantined: Long = 0L, quarantinedBatches: Long = 0L,
-      oldestPendingMs: Long = -1L)
+      oldestPendingMs: Long = -1L,
+      /** True when the drain did NOTHING because another drain holds the
+        * spool lease (see [[HttpConf.drainLeaseMs]]) — the counts say
+        * nothing about the spool's real state; retry later.
+        */
+      lockedOut: Boolean = false) {
+
+    /** Anything here still needs delivery or operator attention. */
+    def unfinished: Boolean =
+      pending > 0 || quarantined > 0 || quarantinedBatches > 0 || lockedOut
+
+    /** THE labeled telemetry line — one formatter for every call site
+      * (streaming per-batch log, tick-start drain, the drain-alerts CLI)
+      * so the fields cannot drift apart. Units are labeled because they
+      * differ: posted counts successful HTTP REQUESTS (an at-least-once
+      * accumulator — task retries can re-count), pending/quarantined count
+      * per-entity payload OBJECTS.
+      */
+    def summary: String =
+      if (lockedOut) "locked_out=true (another drain holds the spool lease)"
+      else s"posted_requests=$posted pending_payloads=$pending" +
+        (if (oldestPendingMs >= 0)
+          s" oldest=${java.time.Instant.ofEpochMilli(oldestPendingMs)}"
+        else "") +
+        s" quarantined_payloads=$quarantined" +
+        s" quarantined_batch_dirs=$quarantinedBatches"
+  }
 
   /** HTTP/batching knobs shared by push and drain. `batchSize` is a ROW
     * budget at two levels: rows per entity object AND rows per request
@@ -105,7 +131,16 @@ object AlertSink {
         * Multi-object requests use a JSON array of such objects, a
         * documented divergence receivers must opt into.
         */
-      maxObjectsPerRequest: Int = Int.MaxValue)
+      maxObjectsPerRequest: Int = Int.MaxValue,
+      /** Spool-drain lease: two drains over one spool (a scheduled ingest
+        * tick racing a manual `drain-alerts`) would each re-spool the
+        * other's pending set (doubling the backlog per collision) and can
+        * crash reading files the other deleted. A `_drain.lock` file
+        * serializes them; a crashed drain's lock expires after this lease
+        * (the crash window re-opens at-least-once duplication, which the
+        * pipeline already tolerates — receivers dedupe on violation_id).
+        */
+      drainLeaseMs: Long = 15L * 60 * 1000)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
     * reference's wire shape (alert/alert.go:56-66,125-134): each payload
@@ -227,6 +262,25 @@ object AlertSink {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return PushResult(0L, 0L)
+    // serialize concurrent drains (see HttpConf.drainLeaseMs): losing the
+    // race is NOT an error — report lockedOut so callers retry later
+    val lock = new org.apache.hadoop.fs.Path(root, "_drain.lock")
+    def tryCreate(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    val acquired = tryCreate() || {
+      val stale =
+        try fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - math.max(0L, conf.drainLeaseMs)
+        catch { case _: java.io.FileNotFoundException => true } // just freed
+      stale && { fs.delete(lock, false); tryCreate() }
+    }
+    if (!acquired) {
+      System.err.println(s"[alert-sink] spool $dir is being drained by " +
+        "another process (fresh _drain.lock) — skipping this drain")
+      return PushResult(0L, 0L, lockedOut = true)
+    }
+    try {
     val batches = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .map(_.getPath)
@@ -319,6 +373,7 @@ object AlertSink {
           java.time.Instant.ofEpochMilli(oldestPending))
       PushResult(posted, pending, nPoisoned, qBatches, oldestPending)
     } finally json.unpersist()
+    } finally fs.delete(lock, false)
   }
 
   /** POST the payload frame (columns j/n/attempts/t_attempts/first_seen)

@@ -202,11 +202,18 @@ object StreamingValidate {
   /** Best-effort drain of previously spooled alerts — NonFatal-guarded:
     * alerting failure (endpoint OR spool filesystem) never fails the
     * stream; undelivered payloads stay spooled for the next attempt.
+    * The result is LOGGED when it carries signal: a recovery that happens
+    * through this tick-start drain (no new data → no per-batch line) must
+    * not leave the last logged state at "pending=K" forever.
     */
   private def drainLeftoverAlerts(spark: SparkSession, outDir: String,
       endpoint: String): Unit =
-    try { AlertSink.drainSpool(spark, alertSpoolDir(outDir), endpoint); () }
-    catch {
+    try {
+      val res = AlertSink.drainSpool(spark, alertSpoolDir(outDir), endpoint)
+      if (res.posted > 0 || res.unfinished)
+        System.err.println(
+          s"[graft-streaming] alerts tick-start drain: ${res.summary}")
+    } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft-streaming] alert spool drain failed " +
           s"(${e.getClass.getSimpleName}) — alerts stay spooled for retry")
@@ -330,17 +337,10 @@ object StreamingValidate {
             // one ops line per batch, unconditionally — suppressing the
             // all-zero line would hide the RECOVERY batch (backlog drains
             // to pending=0), leaving the last logged state "pending=K"
-            // forever. Units are labeled: posted counts successful HTTP
-            // REQUESTS (an at-least-once accumulator — task retries can
-            // re-count), pending/quarantined count per-entity payload
-            // OBJECTS; they are not comparable to each other.
-            System.err.println(s"[graft-streaming] alerts batch=$batchId: " +
-              s"posted_requests=${push.posted} " +
-              s"pending_payloads=${push.pending}" +
-              (if (push.oldestPendingMs >= 0) s" oldest=" +
-                java.time.Instant.ofEpochMilli(push.oldestPendingMs) else "") +
-              s" quarantined_payloads=${push.quarantined}" +
-              s" quarantined_batch_dirs=${push.quarantinedBatches}")
+            // forever. The labeled formatter is PushResult.summary (one
+            // copy for every drain site).
+            System.err.println(
+              s"[graft-streaming] alerts batch=$batchId: ${push.summary}")
           } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft-streaming] alert push failed " +

@@ -42,6 +42,24 @@ class MainSpec extends AnyFunSuite {
       Main.commandFlags("save-baseline")).isRight)
   }
 
+  test("drain-alerts declares exactly its own flag set") {
+    assert(Main.commandFlags("drain-alerts") == Set("alert-endpoint"))
+    val ok = Main.parseArgs(
+      Array("outdir", "--alert-endpoint", "http://x/alerts"),
+      Main.commandFlags("drain-alerts"))
+    assert(ok == Right((Seq("outdir"),
+      Map("alert-endpoint" -> "http://x/alerts"))))
+    // a flag from another command is rejected, not silently ignored
+    assert(Main.parseArgs(Array("out", "--grace-hours", "1"),
+      Main.commandFlags("drain-alerts")).isLeft)
+  }
+
+  test("ingest declares the round-5 dials") {
+    assert(Main.commandFlags("ingest").contains("cross-batch-unique"))
+    assert(Main.commandFlags("ingest").contains("baseline-refresh"))
+    assert(Main.commandFlags("ingest").contains("max-files-per-trigger"))
+  }
+
   test("a positional equal to some flag's value is kept") {
     // old parse extracted positionals by value-inequality with flag values,
     // so `validate /d /out --ledger /out` lost /out → MatchError

@@ -377,6 +377,48 @@ class AlertSinkSpec extends SparkSpec {
     assert(res.posted == 0 && res.pending == 0)
   }
 
+  test("concurrent drains are serialized by the spool lease; stale locks expire") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val spool = Files.createTempDirectory("alert_spool_lock").toString
+    Seq(("""{"entityId":"a","data":[{"violation_id":"a"}]}""", 1, 0, 0, 1L))
+      .toDF("j", "n", "attempts", "t_attempts", "first_seen")
+      .write.parquet(s"$spool/batch-seeded")
+    // a FRESH lock (another drain in flight): this drain must do NOTHING —
+    // no POSTs, no re-spool, no deletes — and say so via lockedOut
+    Files.write(Paths.get(spool, "_drain.lock"), Array.emptyByteArray)
+    withServer() { (port, received) =>
+      val res = AlertSink.drainSpool(spark, spool,
+        s"http://127.0.0.1:$port/alerts")
+      assert(res.lockedOut && res.unfinished, res.toString)
+      assert(received.isEmpty, "locked-out drain still POSTed")
+      assert(Files.exists(Paths.get(spool, "batch-seeded")),
+        "locked-out drain touched the spool")
+      // a STALE lock (crashed drain) is taken over after the lease
+      Files.setLastModifiedTime(Paths.get(spool, "_drain.lock"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 30L * 60 * 1000))
+      val res2 = AlertSink.drainSpool(spark, spool,
+        s"http://127.0.0.1:$port/alerts")
+      assert(!res2.lockedOut && res2.posted > 0 && res2.pending == 0,
+        res2.toString)
+      // the lock is released after a completed drain
+      assert(!Files.exists(Paths.get(spool, "_drain.lock")))
+    }
+  }
+
+  test("PushResult.summary labels every unit (the one formatter all sites share)") {
+    val s = AlertSink.PushResult(3L, 2L, 1L, 1L, 1700000000000L).summary
+    assert(s.contains("posted_requests=3") && s.contains("pending_payloads=2") &&
+      s.contains("quarantined_payloads=1") &&
+      s.contains("quarantined_batch_dirs=1") && s.contains("oldest="), s)
+    assert(AlertSink.PushResult(0L, 0L, lockedOut = true).summary
+      .contains("locked_out=true"))
+    assert(AlertSink.PushResult(5L, 0L).unfinished == false)
+    assert(AlertSink.PushResult(0L, 0L, quarantined = 1L).unfinished)
+    assert(AlertSink.PushResult(0L, 0L, quarantinedBatches = 1L).unfinished)
+  }
+
   test("fan-out is capped at maxConcurrency partitions (rworker analog)") {
     withServer() { (port, received) =>
       val v = violations.repartition(16)
