@@ -236,10 +236,11 @@ object Main {
       // Push the alert-spool backlog NOW, without waiting for the next data
       // tick (during outage recovery the next tick may be hours away).
       // Exit codes, scriptable as a retry loop: 0 = spool clean (nothing
-      // pending, nothing quarantined), 1 = payloads still pending OR
-      // parked in quarantine (PushResult's contract: pending==0 alone is
-      // NOT all-delivered), 75 = another drain holds the spool lease
-      // (EX_TEMPFAIL — retry later), 64 = usage/path errors.
+      // pending, no quarantine entries from this OR any earlier call —
+      // PushResult counts only this-call quarantines, so the spool dir is
+      // listed for leftovers too), 1 = payloads pending or quarantine
+      // entries awaiting manual redelivery, 75 = another drain holds the
+      // spool lease (EX_TEMPFAIL — retry later), 64 = usage/path errors.
       case "drain-alerts" =>
         val Seq(out) = requirePositionals(positional, 1)
         val ep = opts.getOrElse("alert-endpoint", {
@@ -257,13 +258,27 @@ object Main {
             "pass the ingest outDir whose _alert_spool should drain")
           sys.exit(64)
         }
-        val res = graft.streaming.AlertSink.drainSpool(
-          spark, graft.streaming.StreamingValidate.alertSpoolDir(out), ep)
+        val spoolDir = graft.streaming.StreamingValidate.alertSpoolDir(out)
+        val res = graft.streaming.AlertSink.drainSpool(spark, spoolDir, ep)
         println(s"[sodspark] drain: ${res.summary}")
+        // quarantine entries from EARLIER calls still need manual
+        // redelivery — a green exit here would tell the retry loop the
+        // spool is clean while parked alerts sit in it
+        val spoolPath = new org.apache.hadoop.fs.Path(spoolDir)
+        val spoolFs = spoolPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val quarantineLeft =
+          if (!spoolFs.exists(spoolPath)) 0
+          else spoolFs.listStatus(spoolPath)
+            .count(_.getPath.getName.startsWith("quarantine-"))
+        if (quarantineLeft > 0)
+          System.err.println(s"[sodspark] $quarantineLeft quarantine " +
+            s"entr${if (quarantineLeft == 1) "y" else "ies"} in $spoolDir " +
+            "await manual redelivery")
         spark.stop()
         sys.exit(
           if (res.lockedOut) 75
-          else if (res.unfinished) 1
+          else if (res.unfinished || quarantineLeft > 0) 1
           else 0)
 
       // Manifest-table maintenance: reclaim snapshot dirs superseded by
@@ -368,7 +383,8 @@ object Main {
       |      (reclaim superseded manifest-mode snapshots older than the grace)
       |  graft.Main drain-alerts <outDir> --alert-endpoint <url>
       |      (push the spooled alert backlog now; exit 0 = spool clean,
-      |       1 = pending or quarantined payloads remain, 75 = another
-      |       drain holds the spool lease — retry later)
+      |       1 = pending payloads remain or quarantine entries — from this
+      |       or any earlier call — await manual redelivery, 75 = another
+      |       drain holds the spool lease: retry later)
       |""".stripMargin
 }

@@ -135,12 +135,22 @@ object AlertSink {
       /** Spool-drain lease: two drains over one spool (a scheduled ingest
         * tick racing a manual `drain-alerts`) would each re-spool the
         * other's pending set (doubling the backlog per collision) and can
-        * crash reading files the other deleted. A `_drain.lock` file
-        * serializes them; a crashed drain's lock expires after this lease
-        * (the crash window re-opens at-least-once duplication, which the
-        * pipeline already tolerates — receivers dedupe on violation_id).
+        * crash reading files the other deleted. A token-bearing
+        * `_drain.lock` file serializes them: acquisition is
+        * create-no-overwrite, STALE takeover is a rename (exactly one
+        * contender wins it), and release deletes only a lock still
+        * carrying the owner's token — a drain that outlived its lease
+        * cannot release its successor's lock. A crashed drain's lock
+        * expires after this lease; size it ABOVE the worst-case drain
+        * (chunks × retries × timeout), since a live drain does not
+        * heartbeat the lock. The crash/expiry window re-opens
+        * at-least-once duplication, which the pipeline already tolerates
+        * (receivers dedupe on violation_id). HONESTY NOTE for object
+        * stores: S3-family `create(overwrite=false)` is not atomic, so
+        * there the lease is advisory only — collisions can duplicate
+        * deliveries but never lose alerts (re-spool before delete).
         */
-      drainLeaseMs: Long = 15L * 60 * 1000)
+      drainLeaseMs: Long = 60L * 60 * 1000)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
     * reference's wire shape (alert/alert.go:56-66,125-134): each payload
@@ -265,15 +275,31 @@ object AlertSink {
     // serialize concurrent drains (see HttpConf.drainLeaseMs): losing the
     // race is NOT an error — report lockedOut so callers retry later
     val lock = new org.apache.hadoop.fs.Path(root, "_drain.lock")
+    val lockToken = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(lock, false)
+        out.write(lockToken.getBytes(StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     val acquired = tryCreate() || {
-      val stale =
-        try fs.getFileStatus(lock).getModificationTime <
-          System.currentTimeMillis() - math.max(0L, conf.drainLeaseMs)
-        catch { case _: java.io.FileNotFoundException => true } // just freed
-      stale && { fs.delete(lock, false); tryCreate() }
+      val mtime =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None } // just freed
+      mtime match {
+        case None => tryCreate()
+        case Some(t) if t < System.currentTimeMillis() -
+            math.max(0L, conf.drainLeaseMs) =>
+          // STALE takeover must be atomic or two contenders both "take
+          // over" (delete-then-create lets B delete A's fresh lock):
+          // exactly one rename of the stale lock succeeds, and only the
+          // winner proceeds to create its own
+          val tomb = new org.apache.hadoop.fs.Path(root,
+            s".drain-stale-${java.util.UUID.randomUUID()}")
+          fs.rename(lock, tomb) && { fs.delete(tomb, false); tryCreate() }
+        case _ => false
+      }
     }
     if (!acquired) {
       System.err.println(s"[alert-sink] spool $dir is being drained by " +
@@ -373,7 +399,19 @@ object AlertSink {
           java.time.Instant.ofEpochMilli(oldestPending))
       PushResult(posted, pending, nPoisoned, qBatches, oldestPending)
     } finally json.unpersist()
-    } finally fs.delete(lock, false)
+    } finally {
+      // release only OUR lock: a drain that outlived its lease may have
+      // been taken over — deleting the successor's lock would cascade the
+      // lease open (C acquires while B still runs, and so on)
+      try {
+        val in = fs.open(lock)
+        val buf = new Array[Byte](64)
+        val n = try in.read(buf) finally in.close()
+        if (n > 0 &&
+            new String(buf, 0, n, StandardCharsets.UTF_8) == lockToken)
+          fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () } // gone/unreadable: leave
+    }
   }
 
   /** POST the payload frame (columns j/n/attempts/t_attempts/first_seen)

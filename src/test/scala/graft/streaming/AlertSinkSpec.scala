@@ -395,9 +395,10 @@ class AlertSinkSpec extends SparkSpec {
       assert(Files.exists(Paths.get(spool, "batch-seeded")),
         "locked-out drain touched the spool")
       // a STALE lock (crashed drain) is taken over after the lease
+      // (default 60 min — age it well past that)
       Files.setLastModifiedTime(Paths.get(spool, "_drain.lock"),
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 30L * 60 * 1000))
+          System.currentTimeMillis() - 2L * 3600 * 1000))
       val res2 = AlertSink.drainSpool(spark, spool,
         s"http://127.0.0.1:$port/alerts")
       assert(!res2.lockedOut && res2.posted > 0 && res2.pending == 0,
