@@ -261,24 +261,17 @@ object Main {
         val spoolDir = graft.streaming.StreamingValidate.alertSpoolDir(out)
         val res = graft.streaming.AlertSink.drainSpool(spark, spoolDir, ep)
         println(s"[sodspark] drain: ${res.summary}")
-        // quarantine entries from EARLIER calls still need manual
-        // redelivery — a green exit here would tell the retry loop the
-        // spool is clean while parked alerts sit in it
-        val spoolPath = new org.apache.hadoop.fs.Path(spoolDir)
-        val spoolFs = spoolPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val quarantineLeft =
-          if (!spoolFs.exists(spoolPath)) 0
-          else spoolFs.listStatus(spoolPath)
-            .count(_.getPath.getName.startsWith("quarantine-"))
-        if (quarantineLeft > 0)
-          System.err.println(s"[sodspark] $quarantineLeft quarantine " +
-            s"entr${if (quarantineLeft == 1) "y" else "ies"} in $spoolDir " +
-            "await manual redelivery")
+        // quarantine_backlog (in summary/unfinished) covers entries parked
+        // by EARLIER calls too — a green exit must mean a genuinely clean
+        // spool, not "nothing went wrong in this call"
+        if (res.quarantineBacklog > 0)
+          System.err.println(s"[sodspark] ${res.quarantineBacklog} " +
+            s"quarantine entr${if (res.quarantineBacklog == 1) "y" else "ies"} " +
+            s"in $spoolDir await manual redelivery")
         spark.stop()
         sys.exit(
           if (res.lockedOut) 75
-          else if (res.unfinished || quarantineLeft > 0) 1
+          else if (res.unfinished) 1
           else 0)
 
       // Manifest-table maintenance: reclaim snapshot dirs superseded by

@@ -67,11 +67,19 @@ object AlertSink {
         * spool lease (see [[HttpConf.drainLeaseMs]]) — the counts say
         * nothing about the spool's real state; retry later.
         */
-      lockedOut: Boolean = false) {
+      lockedOut: Boolean = false,
+      /** quarantine-* entries PRESENT in the spool after this drain —
+        * including ones parked by EARLIER calls. `quarantined`/
+        * `quarantinedBatches` count only this call, so without this field
+        * a later drain reports the spool clean while parked alerts still
+        * sit in it awaiting manual redelivery.
+        */
+      quarantineBacklog: Long = 0L) {
 
     /** Anything here still needs delivery or operator attention. */
     def unfinished: Boolean =
-      pending > 0 || quarantined > 0 || quarantinedBatches > 0 || lockedOut
+      pending > 0 || quarantined > 0 || quarantinedBatches > 0 ||
+        quarantineBacklog > 0 || lockedOut
 
     /** THE labeled telemetry line — one formatter for every call site
       * (streaming per-batch log, tick-start drain, the drain-alerts CLI)
@@ -87,7 +95,8 @@ object AlertSink {
           s" oldest=${java.time.Instant.ofEpochMilli(oldestPendingMs)}"
         else "") +
         s" quarantined_payloads=$quarantined" +
-        s" quarantined_batch_dirs=$quarantinedBatches"
+        s" quarantined_batch_dirs=$quarantinedBatches" +
+        s" quarantine_backlog=$quarantineBacklog"
   }
 
   /** HTTP/batching knobs shared by push and drain. `batchSize` is a ROW
@@ -292,12 +301,21 @@ object AlertSink {
         case Some(t) if t < System.currentTimeMillis() -
             math.max(0L, conf.drainLeaseMs) =>
           // STALE takeover must be atomic or two contenders both "take
-          // over" (delete-then-create lets B delete A's fresh lock):
-          // exactly one rename of the stale lock succeeds, and only the
-          // winner proceeds to create its own
+          // over" (delete-then-create lets B delete A's fresh lock): the
+          // rename is the atomic claim, and the claimed tomb's mtime is
+          // VERIFIED stale — if contender A already completed its takeover
+          // and created a fresh lock, B's rename grabs that LIVE lock, sees
+          // a fresh mtime, puts it back, and reports locked out
           val tomb = new org.apache.hadoop.fs.Path(root,
             s".drain-stale-${java.util.UUID.randomUUID()}")
-          fs.rename(lock, tomb) && { fs.delete(tomb, false); tryCreate() }
+          fs.rename(lock, tomb) && {
+            val tombStale =
+              try fs.getFileStatus(tomb).getModificationTime <
+                System.currentTimeMillis() - math.max(0L, conf.drainLeaseMs)
+              catch { case _: java.io.FileNotFoundException => false }
+            if (!tombStale) { fs.rename(tomb, lock); false }
+            else { fs.delete(tomb, false); tryCreate() }
+          }
         case _ => false
       }
     }
@@ -307,10 +325,24 @@ object AlertSink {
       return PushResult(0L, 0L, lockedOut = true)
     }
     try {
-    val batches = fs.listStatus(root)
+    // quarantine-* entries present AFTER the drain (incl. earlier calls'):
+    // every return path under the lock reports this backlog so no caller
+    // can read a clean result while parked alerts sit in the spool
+    def backlog(): Long = fs.listStatus(root)
+      .count(_.getPath.getName.startsWith("quarantine-"))
+    val rootListing = fs.listStatus(root)
+    // sweep orphaned takeover tombs (a contender that crashed between its
+    // rename and delete) once they age past the lease
+    rootListing
+      .filter(s => s.getPath.getName.startsWith(".drain-stale-") &&
+        s.getModificationTime <
+          System.currentTimeMillis() - math.max(0L, conf.drainLeaseMs))
+      .foreach(s => fs.delete(s.getPath, false))
+    val batches = rootListing
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .map(_.getPath)
-    if (batches.isEmpty) return PushResult(0L, 0L)
+    if (batches.isEmpty)
+      return PushResult(0L, 0L, quarantineBacklog = backlog())
     // dir-level quarantines are COUNTED into the result on every return
     // path below — early returns used to report quarantinedBatches=0 even
     // when dirs were parked in this very call, so a caller following the
@@ -346,7 +378,8 @@ object AlertSink {
       }
     }
     if (readable.isEmpty)
-      return PushResult(0L, 0L, quarantinedBatches = qBatches)
+      return PushResult(0L, 0L, quarantinedBatches = qBatches,
+        quarantineBacklog = backlog())
     // legacy spool schemas get conservative defaults: n = batchSize (each
     // legacy payload travels alone, so an old-shape body is never mixed
     // into a shape-valid request's row budget), zero counters, and
@@ -397,19 +430,28 @@ object AlertSink {
         System.err.println(s"[alert-sink] spool after drain: $pending " +
           s"payload(s) pending, oldest first_seen=" +
           java.time.Instant.ofEpochMilli(oldestPending))
-      PushResult(posted, pending, nPoisoned, qBatches, oldestPending)
+      PushResult(posted, pending, nPoisoned, qBatches, oldestPending,
+        quarantineBacklog = backlog())
     } finally json.unpersist()
     } finally {
       // release only OUR lock: a drain that outlived its lease may have
       // been taken over — deleting the successor's lock would cascade the
-      // lease open (C acquires while B still runs, and so on)
+      // lease open (C acquires while B still runs, and so on). The token
+      // is read TO EOF (a single read() may legally return a prefix, and a
+      // truncated mismatch would leave our own lock blocking every drain
+      // for a full lease). Check-then-delete is not atomic: a takeover
+      // landing in the microseconds between them can still lose its lock —
+      // a window of milliseconds against a lease of an hour, and the
+      // consequence is bounded (duplicated delivery, never loss).
       try {
         val in = fs.open(lock)
-        val buf = new Array[Byte](64)
-        val n = try in.read(buf) finally in.close()
-        if (n > 0 &&
-            new String(buf, 0, n, StandardCharsets.UTF_8) == lockToken)
-          fs.delete(lock, false)
+        val acc = new java.io.ByteArrayOutputStream(64)
+        try {
+          val tmp = new Array[Byte](64)
+          var n = in.read(tmp)
+          while (n > 0) { acc.write(tmp, 0, n); n = in.read(tmp) }
+        } finally in.close()
+        if (acc.toString("UTF-8") == lockToken) fs.delete(lock, false)
       } catch { case _: java.io.IOException => () } // gone/unreadable: leave
     }
   }

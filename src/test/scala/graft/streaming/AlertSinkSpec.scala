@@ -375,6 +375,11 @@ class AlertSinkSpec extends SparkSpec {
       AlertSink.HttpConf(maxRetries = 1, retryBackoffMs = 5L))
     assert(res.quarantinedBatches == 2, res.toString)
     assert(res.posted == 0 && res.pending == 0)
+    // and a LATER drain still surfaces the parked entries as backlog —
+    // this-call counters alone would read as a clean spool
+    val later = AlertSink.drainSpool(spark, spool, "http://127.0.0.1:1/alerts",
+      AlertSink.HttpConf(maxRetries = 1, retryBackoffMs = 5L))
+    assert(later.quarantineBacklog == 2 && later.unfinished, later.toString)
   }
 
   test("concurrent drains are serialized by the spool lease; stale locks expire") {
@@ -409,15 +414,18 @@ class AlertSinkSpec extends SparkSpec {
   }
 
   test("PushResult.summary labels every unit (the one formatter all sites share)") {
-    val s = AlertSink.PushResult(3L, 2L, 1L, 1L, 1700000000000L).summary
+    val s = AlertSink.PushResult(3L, 2L, 1L, 1L, 1700000000000L,
+      quarantineBacklog = 4L).summary
     assert(s.contains("posted_requests=3") && s.contains("pending_payloads=2") &&
       s.contains("quarantined_payloads=1") &&
-      s.contains("quarantined_batch_dirs=1") && s.contains("oldest="), s)
+      s.contains("quarantined_batch_dirs=1") &&
+      s.contains("quarantine_backlog=4") && s.contains("oldest="), s)
     assert(AlertSink.PushResult(0L, 0L, lockedOut = true).summary
       .contains("locked_out=true"))
     assert(AlertSink.PushResult(5L, 0L).unfinished == false)
     assert(AlertSink.PushResult(0L, 0L, quarantined = 1L).unfinished)
     assert(AlertSink.PushResult(0L, 0L, quarantinedBatches = 1L).unfinished)
+    assert(AlertSink.PushResult(0L, 0L, quarantineBacklog = 1L).unfinished)
   }
 
   test("fan-out is capped at maxConcurrency partitions (rworker analog)") {
