@@ -235,12 +235,13 @@ object Main {
 
       // Push the alert-spool backlog NOW, without waiting for the next data
       // tick (during outage recovery the next tick may be hours away).
-      // Exit codes, scriptable as a retry loop: 0 = spool clean (nothing
-      // pending, no quarantine entries from this OR any earlier call —
-      // PushResult counts only this-call quarantines, so the spool dir is
-      // listed for leftovers too), 1 = payloads pending or quarantine
-      // entries awaiting manual redelivery, 75 = another drain holds the
-      // spool lease (EX_TEMPFAIL — retry later), 64 = usage/path errors.
+      // Exit codes, scriptable as a retry loop: 0 = spool clean —
+      // PushResult.quarantineBacklog covers quarantine entries parked by
+      // EARLIER calls too, so green really means clean; 1 = payloads
+      // pending or quarantine entries awaiting manual redelivery; 75 =
+      // another drain holds the spool lease (EX_TEMPFAIL — retry later;
+      // the spool is still listed below so parked entries stay visible
+      // even when locked out); 64 = usage/path errors.
       case "drain-alerts" =>
         val Seq(out) = requirePositionals(positional, 1)
         val ep = opts.getOrElse("alert-endpoint", {
@@ -263,10 +264,21 @@ object Main {
         println(s"[sodspark] drain: ${res.summary}")
         // quarantine_backlog (in summary/unfinished) covers entries parked
         // by EARLIER calls too — a green exit must mean a genuinely clean
-        // spool, not "nothing went wrong in this call"
-        if (res.quarantineBacklog > 0)
-          System.err.println(s"[sodspark] ${res.quarantineBacklog} " +
-            s"quarantine entr${if (res.quarantineBacklog == 1) "y" else "ies"} " +
+        // spool, not "nothing went wrong in this call". A locked-out drain
+        // never listed the spool, so list it here (read-only, races
+        // nothing) — the operator must hear about parked alerts either way
+        val backlogNow =
+          if (!res.lockedOut) res.quarantineBacklog
+          else {
+            val p = new org.apache.hadoop.fs.Path(spoolDir)
+            val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!pfs.exists(p)) 0L
+            else pfs.listStatus(p)
+              .count(_.getPath.getName.startsWith("quarantine-")).toLong
+          }
+        if (backlogNow > 0)
+          System.err.println(s"[sodspark] $backlogNow " +
+            s"quarantine entr${if (backlogNow == 1) "y" else "ies"} " +
             s"in $spoolDir await manual redelivery")
         spark.stop()
         sys.exit(

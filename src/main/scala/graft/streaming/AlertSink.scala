@@ -146,18 +146,19 @@ object AlertSink {
         * other's pending set (doubling the backlog per collision) and can
         * crash reading files the other deleted. A token-bearing
         * `_drain.lock` file serializes them: acquisition is
-        * create-no-overwrite, STALE takeover is a rename (exactly one
-        * contender wins it), and release deletes only a lock still
-        * carrying the owner's token — a drain that outlived its lease
-        * cannot release its successor's lock. A crashed drain's lock
-        * expires after this lease; size it ABOVE the worst-case drain
-        * (chunks × retries × timeout), since a live drain does not
-        * heartbeat the lock. The crash/expiry window re-opens
-        * at-least-once duplication, which the pipeline already tolerates
-        * (receivers dedupe on violation_id). HONESTY NOTE for object
-        * stores: S3-family `create(overwrite=false)` is not atomic, so
-        * there the lease is advisory only — collisions can duplicate
-        * deliveries but never lose alerts (re-spool before delete).
+        * create-no-overwrite, a lock older than this lease is taken over
+        * best-effort (delete-then-create), and release deletes only a
+        * lock still carrying the owner's token — a drain that outlived
+        * its lease does not release its successor's lock. Size the lease
+        * ABOVE the worst-case drain (chunks × retries × timeout): a live
+        * drain does not heartbeat the lock. The lock is ADVISORY by
+        * design — correctness never depends on it (re-spool happens
+        * before delete, so collisions duplicate deliveries, never lose
+        * them; receivers dedupe on violation_id), which is also why the
+        * takeover stays a simple delete-then-create: "safer" claim
+        * protocols measurably wedge on object stores (rename resets
+        * mtime on S3-family) while buying nothing the at-least-once
+        * contract doesn't already absorb.
         */
       drainLeaseMs: Long = 60L * 60 * 1000)
 
@@ -300,22 +301,20 @@ object AlertSink {
         case None => tryCreate()
         case Some(t) if t < System.currentTimeMillis() -
             math.max(0L, conf.drainLeaseMs) =>
-          // STALE takeover must be atomic or two contenders both "take
-          // over" (delete-then-create lets B delete A's fresh lock): the
-          // rename is the atomic claim, and the claimed tomb's mtime is
-          // VERIFIED stale — if contender A already completed its takeover
-          // and created a fresh lock, B's rename grabs that LIVE lock, sees
-          // a fresh mtime, puts it back, and reports locked out
-          val tomb = new org.apache.hadoop.fs.Path(root,
-            s".drain-stale-${java.util.UUID.randomUUID()}")
-          fs.rename(lock, tomb) && {
-            val tombStale =
-              try fs.getFileStatus(tomb).getModificationTime <
-                System.currentTimeMillis() - math.max(0L, conf.drainLeaseMs)
-              catch { case _: java.io.FileNotFoundException => false }
-            if (!tombStale) { fs.rename(tomb, lock); false }
-            else { fs.delete(tomb, false); tryCreate() }
-          }
+          // STALE takeover is deliberately best-effort delete-then-create.
+          // Smarter schemes were tried and breed worse corner cases: a
+          // rename-and-verify-mtime claim permanently WEDGES takeover on
+          // S3-family stores (rename is copy+delete, the copy gets a fresh
+          // mtime, so every takeover bounces and re-arms the lease), and
+          // any put-back opens a no-lock window plus a stranded-token
+          // mode. Here the worst case — two contenders that both observed
+          // a stale lock proceed concurrently, one having deleted the
+          // other's fresh lock — is exactly the pre-lock status quo:
+          // duplicated deliveries (receivers dedupe on violation_id),
+          // never loss (re-spool happens before delete), and NO state the
+          // spool cannot recover from on the next drain.
+          fs.delete(lock, false)
+          tryCreate()
         case _ => false
       }
     }
@@ -331,8 +330,8 @@ object AlertSink {
     def backlog(): Long = fs.listStatus(root)
       .count(_.getPath.getName.startsWith("quarantine-"))
     val rootListing = fs.listStatus(root)
-    // sweep orphaned takeover tombs (a contender that crashed between its
-    // rename and delete) once they age past the lease
+    // sweep tomb leftovers from the retired rename-takeover revision once
+    // they age past the lease (nothing creates new ones)
     rootListing
       .filter(s => s.getPath.getName.startsWith(".drain-stale-") &&
         s.getModificationTime <
@@ -342,7 +341,10 @@ object AlertSink {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
       .map(_.getPath)
     if (batches.isEmpty)
-      return PushResult(0L, 0L, quarantineBacklog = backlog())
+      // the common clean-spool case (every tick-start drain): count off
+      // the listing already in hand, no second LIST round-trip
+      return PushResult(0L, 0L, quarantineBacklog = rootListing
+        .count(_.getPath.getName.startsWith("quarantine-")))
     // dir-level quarantines are COUNTED into the result on every return
     // path below — early returns used to report quarantinedBatches=0 even
     // when dirs were parked in this very call, so a caller following the
