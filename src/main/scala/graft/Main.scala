@@ -260,31 +260,39 @@ object Main {
           sys.exit(64)
         }
         val spoolDir = graft.streaming.StreamingValidate.alertSpoolDir(out)
-        val res = graft.streaming.AlertSink.drainSpool(spark, spoolDir, ep)
-        println(s"[sodspark] drain: ${res.summary}")
-        // quarantine_backlog (in summary/unfinished) covers entries parked
-        // by EARLIER calls too — a green exit must mean a genuinely clean
-        // spool, not "nothing went wrong in this call". A locked-out drain
-        // never listed the spool, so list it here (read-only, races
-        // nothing) — the operator must hear about parked alerts either way
-        val backlogNow =
-          if (!res.lockedOut) res.quarantineBacklog
-          else {
-            val p = new org.apache.hadoop.fs.Path(spoolDir)
-            val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (!pfs.exists(p)) 0L
-            else pfs.listStatus(p)
-              .count(_.getPath.getName.startsWith("quarantine-")).toLong
+        // the whole drain is wrapped: a transient FS/endpoint-race error
+        // (incl. a colliding drain deleting files under us) must map to
+        // the documented retry exit code, never an uncaught stack trace —
+        // scripts key on {0, 1, 75, 64}
+        val code =
+          try {
+            val res = graft.streaming.AlertSink.drainSpool(spark, spoolDir, ep)
+            println(s"[sodspark] drain: ${res.summary}")
+            // quarantine_backlog (in summary/unfinished) covers entries
+            // parked by EARLIER calls — a green exit must mean a genuinely
+            // clean spool. A locked-out drain never listed the spool, so
+            // ask for the read-only count separately: the operator must
+            // hear about parked alerts either way.
+            val backlogNow =
+              if (res.lockedOut)
+                graft.streaming.AlertSink.quarantineBacklog(spark, spoolDir)
+              else res.quarantineBacklog
+            if (backlogNow > 0)
+              System.err.println(s"[sodspark] $backlogNow " +
+                s"quarantine entr${if (backlogNow == 1) "y" else "ies"} " +
+                s"in $spoolDir await manual redelivery")
+            if (res.lockedOut) 75
+            else if (res.unfinished) 1
+            else 0
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[sodspark] drain failed transiently " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — spool " +
+                "unchanged or re-spooled; retry later")
+              75
           }
-        if (backlogNow > 0)
-          System.err.println(s"[sodspark] $backlogNow " +
-            s"quarantine entr${if (backlogNow == 1) "y" else "ies"} " +
-            s"in $spoolDir await manual redelivery")
         spark.stop()
-        sys.exit(
-          if (res.lockedOut) 75
-          else if (res.unfinished) 1
-          else 0)
+        sys.exit(code)
 
       // Manifest-table maintenance: reclaim snapshot dirs superseded by
       // later commits (run after in-flight readers drain — Iceberg's

@@ -35,6 +35,25 @@ import org.apache.spark.sql.functions._
   */
 object AlertSink {
 
+  /** Name prefix of everything parked for manual redelivery in a spool —
+    * the ONE place the quarantine-naming contract lives (payload parquet
+    * is `quarantine-payloads-<uuid>`, unreadable batch dirs are
+    * `quarantine-batch-<name>`).
+    */
+  val QuarantinePrefix = "quarantine-"
+
+  /** quarantine-* entries currently in `spoolDir` (0 when the dir does not
+    * exist) — the read-only view a caller that could not drain (e.g. a
+    * locked-out CLI) still needs for "parked alerts exist" visibility.
+    */
+  def quarantineBacklog(spark: SparkSession, spoolDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(spoolDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .count(_.getPath.getName.startsWith(QuarantinePrefix)).toLong
+  }
+
   /** `posted` = successful HTTP POSTs (chunks); `pending` = per-entity
     * payload objects that could not be delivered and remain in the spool
     * (0 when spooling is off and delivery succeeded; undeliverable payloads
@@ -310,9 +329,12 @@ object AlertSink {
           // mode. Here the worst case — two contenders that both observed
           // a stale lock proceed concurrently, one having deleted the
           // other's fresh lock — is exactly the pre-lock status quo:
-          // duplicated deliveries (receivers dedupe on violation_id),
-          // never loss (re-spool happens before delete), and NO state the
-          // spool cannot recover from on the next drain.
+          // duplicated deliveries (receivers dedupe on violation_id), and
+          // possibly ONE drain failing on a read-after-the-other's-delete
+          // race (the streaming callers NonFatal-absorb it and the next
+          // tick retries; the CLI maps it to its retry exit code). Never
+          // loss (re-spool happens before delete), and NO state the spool
+          // cannot recover from on the next drain.
           fs.delete(lock, false)
           tryCreate()
         case _ => false
@@ -328,7 +350,7 @@ object AlertSink {
     // every return path under the lock reports this backlog so no caller
     // can read a clean result while parked alerts sit in the spool
     def backlog(): Long = fs.listStatus(root)
-      .count(_.getPath.getName.startsWith("quarantine-"))
+      .count(_.getPath.getName.startsWith(QuarantinePrefix))
     val rootListing = fs.listStatus(root)
     // sweep tomb leftovers from the retired rename-takeover revision once
     // they age past the lease (nothing creates new ones)
@@ -344,7 +366,7 @@ object AlertSink {
       // the common clean-spool case (every tick-start drain): count off
       // the listing already in hand, no second LIST round-trip
       return PushResult(0L, 0L, quarantineBacklog = rootListing
-        .count(_.getPath.getName.startsWith("quarantine-")))
+        .count(_.getPath.getName.startsWith(QuarantinePrefix)))
     // dir-level quarantines are COUNTED into the result on every return
     // path below — early returns used to report quarantinedBatches=0 even
     // when dirs were parked in this very call, so a caller following the
@@ -358,7 +380,8 @@ object AlertSink {
     // never lose" contract outranks log noise).
     def quarantine(p: org.apache.hadoop.fs.Path, why: String,
         mayDrop: Boolean): Unit = {
-      val q = new org.apache.hadoop.fs.Path(p.getParent, s"quarantine-${p.getName}")
+      val q = new org.apache.hadoop.fs.Path(p.getParent,
+        s"$QuarantinePrefix${p.getName}")
       System.err.println(s"[alert-sink] spool batch ${p.getName} $why — " +
         s"quarantined as ${q.getName}; inspect/remove manually")
       if (fs.rename(p, q)) qBatches += 1
@@ -411,7 +434,8 @@ object AlertSink {
       val poisoned = json.where(isPoisoned)
       val nPoisoned = poisoned.count()
       if (nPoisoned > 0) {
-        val qDir = s"$dir/quarantine-payloads-${java.util.UUID.randomUUID()}"
+        val qDir =
+          s"$dir/${QuarantinePrefix}payloads-${java.util.UUID.randomUUID()}"
         poisoned.write.mode("overwrite").parquet(qDir)
         System.err.println(s"[alert-sink] $nPoisoned payload(s) exhausted " +
           s"delivery bounds (${conf.maxDeliveryAttempts} active rejections, " +
