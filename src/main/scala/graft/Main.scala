@@ -239,9 +239,11 @@ object Main {
       // PushResult.quarantineBacklog covers quarantine entries parked by
       // EARLIER calls too, so green really means clean; 1 = payloads
       // pending or quarantine entries awaiting manual redelivery; 75 =
-      // another drain holds the spool lease (EX_TEMPFAIL — retry later;
-      // the spool is still listed below so parked entries stay visible
-      // even when locked out); 64 = usage/path errors.
+      // EX_TEMPFAIL — another drain holds the spool lease, or the drain
+      // threw (spool unchanged/re-spooled either way; retry with a BOUNDED
+      // loop — stderr carries the cause when it's a thrown error; the
+      // spool is still listed below so parked entries stay visible even
+      // when locked out); 64 = usage/path errors.
       case "drain-alerts" =>
         val Seq(out) = requirePositionals(positional, 1)
         val ep = opts.getOrElse("alert-endpoint", {
@@ -286,9 +288,17 @@ object Main {
             else 0
           } catch {
             case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[sodspark] drain failed transiently " +
-                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — spool " +
-                "unchanged or re-spooled; retry later")
+              // the spool is unchanged or re-spooled (delete happens only
+              // after delivery), so 75 = "retry may succeed" — but the
+              // cause may equally be a PERMANENT misconfiguration (perms,
+              // bad endpoint URL), which this process cannot tell apart
+              // from a race. Full trace below so a persistent 75 is
+              // diagnosable; retry loops must bound their attempts.
+              System.err.println(s"[sodspark] drain failed: $e — spool " +
+                "unchanged or re-spooled. Exit 75 = retry MAY succeed; if " +
+                "it persists across a bounded retry loop, inspect the " +
+                "trace below instead of retrying forever")
+              e.printStackTrace()
               75
           }
         spark.stop()

@@ -42,6 +42,15 @@ object AlertSink {
     */
   val QuarantinePrefix = "quarantine-"
 
+  /** The ONE definition of "how many quarantine entries does this spool
+    * listing hold" — every backlog number (PushResult fields, the locked-out
+    * CLI's read-only view) flows through here so a future change to what
+    * counts as backlog cannot silently diverge between them.
+    */
+  private def countQuarantine(
+      listing: Array[org.apache.hadoop.fs.FileStatus]): Long =
+    listing.count(_.getPath.getName.startsWith(QuarantinePrefix)).toLong
+
   /** quarantine-* entries currently in `spoolDir` (0 when the dir does not
     * exist) — the read-only view a caller that could not drain (e.g. a
     * locked-out CLI) still needs for "parked alerts exist" visibility.
@@ -49,9 +58,7 @@ object AlertSink {
   def quarantineBacklog(spark: SparkSession, spoolDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(spoolDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p)
-      .count(_.getPath.getName.startsWith(QuarantinePrefix)).toLong
+    if (!fs.exists(p)) 0L else countQuarantine(fs.listStatus(p))
   }
 
   /** `posted` = successful HTTP POSTs (chunks); `pending` = per-entity
@@ -306,12 +313,27 @@ object AlertSink {
     val lock = new org.apache.hadoop.fs.Path(root, "_drain.lock")
     val lockToken = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        out.write(lockToken.getBytes(StandardCharsets.UTF_8))
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      (try Some(fs.create(lock, false))
+      catch { case _: java.io.IOException => None }) match {
+        // create itself failed = lost the race: the file is the WINNER's
+        // lock — never delete here
+        case None => false
+        case Some(out) =>
+          try {
+            out.write(lockToken.getBytes(StandardCharsets.UTF_8))
+            out.close()
+            true
+          } catch {
+            case _: java.io.IOException =>
+              // the create SUCCEEDED, so the half-written file is ours: if
+              // left behind, its fresh mtime reads as "another process is
+              // draining" and wedges every drain for a full lease with no
+              // holder alive. Best-effort remove before reporting failure.
+              try fs.delete(lock, false)
+              catch { case _: java.io.IOException => () }
+              false
+          }
+      }
     val acquired = tryCreate() || {
       val mtime =
         try Some(fs.getFileStatus(lock).getModificationTime)
@@ -345,12 +367,14 @@ object AlertSink {
         "another process (fresh _drain.lock) — skipping this drain")
       return PushResult(0L, 0L, lockedOut = true)
     }
+    // monotonic acquire mark: the release path uses elapsed-vs-lease to
+    // decide whether a takeover was even possible (see the finally block)
+    val acquiredAtNanos = System.nanoTime()
     try {
     // quarantine-* entries present AFTER the drain (incl. earlier calls'):
     // every return path under the lock reports this backlog so no caller
     // can read a clean result while parked alerts sit in the spool
-    def backlog(): Long = fs.listStatus(root)
-      .count(_.getPath.getName.startsWith(QuarantinePrefix))
+    def backlog(): Long = countQuarantine(fs.listStatus(root))
     val rootListing = fs.listStatus(root)
     // sweep tomb leftovers from the retired rename-takeover revision once
     // they age past the lease (nothing creates new ones)
@@ -365,8 +389,7 @@ object AlertSink {
     if (batches.isEmpty)
       // the common clean-spool case (every tick-start drain): count off
       // the listing already in hand, no second LIST round-trip
-      return PushResult(0L, 0L, quarantineBacklog = rootListing
-        .count(_.getPath.getName.startsWith(QuarantinePrefix)))
+      return PushResult(0L, 0L, quarantineBacklog = countQuarantine(rootListing))
     // dir-level quarantines are COUNTED into the result on every return
     // path below — early returns used to report quarantinedBatches=0 even
     // when dirs were parked in this very call, so a caller following the
@@ -469,16 +492,46 @@ object AlertSink {
       // landing in the microseconds between them can still lose its lock —
       // a window of milliseconds against a lease of an hour, and the
       // consequence is bounded (duplicated delivery, never loss).
-      try {
-        val in = fs.open(lock)
-        val acc = new java.io.ByteArrayOutputStream(64)
+      // A transient read failure must not leave OUR OWN completed-drain
+      // lock blocking every drain for the rest of the lease, so the verify
+      // is retried, and a persistent failure falls back on lease math:
+      // a takeover is only POSSIBLE once the lease has expired, so while
+      // the drain finished well inside it (half, for mtime-vs-local-clock
+      // skew) the lock can only be ours — delete unverified. Past that
+      // margin a successor may hold it: leave it (waiting out the lease
+      // beats cascading someone else's lock open).
+      var attempts = 0
+      var settled = false
+      while (!settled && attempts < 3) {
+        attempts += 1
         try {
-          val tmp = new Array[Byte](64)
-          var n = in.read(tmp)
-          while (n > 0) { acc.write(tmp, 0, n); n = in.read(tmp) }
-        } finally in.close()
-        if (acc.toString("UTF-8") == lockToken) fs.delete(lock, false)
-      } catch { case _: java.io.IOException => () } // gone/unreadable: leave
+          val in = fs.open(lock)
+          val acc = new java.io.ByteArrayOutputStream(64)
+          try {
+            val tmp = new Array[Byte](64)
+            var n = in.read(tmp)
+            while (n > 0) { acc.write(tmp, 0, n); n = in.read(tmp) }
+          } finally in.close()
+          if (acc.toString("UTF-8") == lockToken) fs.delete(lock, false)
+          settled = true // verified ours (deleted) or a successor's (left)
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            settled = true // already gone: nothing to release
+          case _: java.io.IOException =>
+            if (attempts < 3) Thread.sleep(50L * attempts)
+        }
+      }
+      if (!settled) {
+        val elapsedMs = (System.nanoTime() - acquiredAtNanos) / 1000000L
+        if (elapsedMs < math.max(0L, conf.drainLeaseMs) / 2)
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
+        else
+          System.err.println("[alert-sink] could not verify drain-lock " +
+            s"ownership after $attempts reads and the takeover margin has " +
+            "passed — leaving the lock; drains unblock when the lease " +
+            "expires")
+      }
     }
   }
 

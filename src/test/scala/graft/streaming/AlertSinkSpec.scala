@@ -440,4 +440,110 @@ class AlertSinkSpec extends SparkSpec {
       assert(rowsIn(received.asScala.toSeq) == expected)
     }
   }
+
+  test("lock release survives transient read failures; persistent ones fall back to lease math") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val spool = Files.createTempDirectory("alert_spool_flaky").toString
+    def seed(name: String): Unit =
+      Seq(("""{"entityId":"a","data":[{"violation_id":"a"}]}""", 1, 0, 0, 1L))
+        .toDF("j", "n", "attempts", "t_attempts", "first_seen")
+        .write.parquet(s"$spool/$name")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyLockFs].getName)
+    withServer() { (port, _) =>
+      // transient: two failed lock reads are absorbed by the retry; the
+      // third verifies the token and deletes our lock
+      seed("batch-a")
+      FlakyLockFs.openFailuresLeft.set(2)
+      val res = AlertSink.drainSpool(spark, s"flaky:$spool",
+        s"http://127.0.0.1:$port/alerts")
+      assert(!res.lockedOut && res.posted > 0, res.toString)
+      assert(!Files.exists(Paths.get(spool, "_drain.lock")),
+        "transient lock-read failures left the completed drain's lock behind")
+      // persistent: every read fails, but the drain finished well inside
+      // the lease, so no takeover was POSSIBLE — the lock must be deleted
+      // unverified rather than wedge every drain for the rest of the lease
+      seed("batch-b")
+      FlakyLockFs.openFailuresLeft.set(1000)
+      val res2 = AlertSink.drainSpool(spark, s"flaky:$spool",
+        s"http://127.0.0.1:$port/alerts")
+      FlakyLockFs.openFailuresLeft.set(0)
+      assert(!res2.lockedOut && res2.posted > 0, res2.toString)
+      assert(!Files.exists(Paths.get(spool, "_drain.lock")),
+        "persistent lock-read failure left our own lock wedging the spool")
+    }
+  }
+
+  test("a failed lock WRITE cleans up the half-created lock instead of wedging the lease") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val spool = Files.createTempDirectory("alert_spool_halflock").toString
+    Seq(("""{"entityId":"a","data":[{"violation_id":"a"}]}""", 1, 0, 0, 1L))
+      .toDF("j", "n", "attempts", "t_attempts", "first_seen")
+      .write.parquet(s"$spool/batch-seeded")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyLockFs].getName)
+    withServer() { (port, _) =>
+      // the create SUCCEEDS but the token write throws: without cleanup the
+      // fresh zero-byte lock reads as "another drain in flight" and wedges
+      // every drain for a full lease with no holder alive. With cleanup the
+      // acquire retry path (lock vanished → recreate) proceeds in THIS call.
+      FlakyLockFs.createWriteFailuresLeft.set(1)
+      val res = AlertSink.drainSpool(spark, s"flaky:$spool",
+        s"http://127.0.0.1:$port/alerts")
+      FlakyLockFs.createWriteFailuresLeft.set(0)
+      assert(!res.lockedOut && res.posted > 0,
+        s"half-written lock wedged the drain: $res")
+      assert(!Files.exists(Paths.get(spool, "_drain.lock")))
+    }
+  }
+}
+
+/** RawLocalFileSystem (scheme `flaky:`) that injects IOExceptions into
+  * open() of `_drain.lock` — lets the spec drive [[AlertSink.drainSpool]]'s
+  * release path: bounded read retry, then the lease-math unverified delete.
+  * Public: Hadoop instantiates it reflectively from `fs.flaky.impl`.
+  */
+class FlakyLockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def open(f: org.apache.hadoop.fs.Path,
+      bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    if (f.getName == "_drain.lock" &&
+        FlakyLockFs.openFailuresLeft.getAndDecrement() > 0)
+      throw new java.io.IOException("injected lock-read failure")
+    super.open(f, bufferSize)
+  }
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val out =
+      super.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    if (f.getName == "_drain.lock" &&
+        FlakyLockFs.createWriteFailuresLeft.getAndDecrement() > 0)
+      // create has SUCCEEDED (file exists) — fail the token write, the
+      // crash window the acquire path must clean up after
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FilterOutputStream(out) {
+          private def boom(): Nothing = {
+            try super.close() catch { case _: java.io.IOException => () }
+            throw new java.io.IOException("injected lock-write failure")
+          }
+          override def write(b: Int): Unit = boom()
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            boom()
+        }, null)
+    else out
+  }
+}
+
+object FlakyLockFs {
+  /** Decremented per `_drain.lock` open; > 0 means "fail this one". */
+  val openFailuresLeft = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Decremented per `_drain.lock` create; > 0 means "fail its write". */
+  val createWriteFailuresLeft = new java.util.concurrent.atomic.AtomicInteger(0)
 }
