@@ -82,8 +82,17 @@ object Main {
           sys.exit(2)
           throw new IllegalStateException
         case Right(_) =>
-          if (partitionCol.nonEmpty) raw.withColumn("partition", col(partitionCol).cast("string"))
-          else raw.withColumn("partition", date_format(col("warc_ts"), "yyyy-MM-dd"))
+          // null keys (null warc_ts is legal input — DefaultChecks does not
+          // NotNull it; a custom --partition-col may hold nulls too) fold
+          // into a "<unknown>" partition instead of flowing a null key
+          // through stats/drift/baseline/ledger/alert grouping
+          if (partitionCol.nonEmpty)
+            raw.withColumn("partition",
+              coalesce(col(partitionCol).cast("string"), lit("<unknown>")))
+          else
+            raw.withColumn("partition",
+              coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"),
+                lit("<unknown>")))
       }
     }
 

@@ -134,7 +134,7 @@ object BaselineStore {
             col("lang_profile"), col("len_profile"), col("len_kll_sketch"),
             col("folded_keys"))
           .as[(String, Long, Array[Double], Array[Double], Array[Byte], Seq[String])]
-          .collect().sortBy(_._1)
+          .collect().sortBy(t => Option(t._1)) // null-key-safe (legacy data)
         val rows = collected
           .map(t => ModelRow(t._1, t._2, t._3, t._4, t._5)).toSeq
         // the key list is identical on every row (dictionary-encoded on
@@ -226,7 +226,7 @@ object BaselineStore {
       }
     }
     val merged = (current ++ folded.map(r => r.partition -> r))
-      .toSeq.sortBy(_._1)
+      .toSeq.sortBy(t => Option(t._1))
       .takeRight(math.max(1, maxPartitions))
       .map(_._2)
     // next version = max over ALL version dirs (torn included) + 1 — a

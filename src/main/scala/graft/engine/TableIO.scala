@@ -608,12 +608,17 @@ object RenameCommitter extends TableCommitter {
       partitionCol: String = "partition",
       computed: Option[Seq[String]] = None): Seq[String] =
     TableIO.writePartitionsRename(df, table, partitionCol, computed)
+  // the ADAPTIVE local reads, same as ManifestCommitter: a rename-mode
+  // conf pointed at a manifest-layout table must resolve the manifest
+  // (the static TableIO.readTable facade has always tolerated this —
+  // a bare spark.read.parquet here would walk superseded snapshot dirs
+  // and return duplicate/stale rows through the trait surface)
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: String = "partition"): DataFrame =
-    spark.read.parquet(table)
+    TableIO.readTableLocal(spark, table, partitionCol)
   def livePartitions(spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: String = "partition"): Seq[String] =
-    TableIO.hivePartitions(spark, table, partitionCol)
+    TableIO.livePartitionsLocal(spark, table, partitionCol)
   /** Nothing to reclaim: rename commits supersede in place, and crash
     * artifacts (.staging/.trash) are reclaimed inline by the next write.
     */

@@ -184,7 +184,7 @@ object Validator {
         val profRows = (scoredRows ++
           baselinePeerStats.map(profileRows).getOrElse(Array.empty)
             .filterNot(t => scoredSet(t._1)))
-          .toSeq.sortBy(_._1)
+          .toSeq.sortBy(t => Option(t._1))
         val warm: Map[String, Long] = profRows.map(t => (t._1, t._2)).toMap
         val profKinds: Seq[(String, Seq[(String, Array[Double])])] = Seq(
           "lang" -> profRows.map(t => (t._1, t._3)),
@@ -292,7 +292,10 @@ object Validator {
     import spark.implicits._
     stats.select(col("partition"), col("lang_profile"),
         lenProfile(col("len_kll_sketch")).as("len_profile"))
-      .as[(String, Array[Double], Array[Double])].collect().sortBy(_._1).toSeq
+      // Option-sort: a null key (library callers bypassing the CLI's
+      // "<unknown>" coalesce) must not NPE the whole pass
+      .as[(String, Array[Double], Array[Double])].collect()
+      .sortBy(t => Option(t._1)).toSeq
   }
 
   /** MERGEABLE per-partition model rows off a stats frame — (partition,
@@ -308,7 +311,7 @@ object Validator {
     stats.select(col("partition"), col("row_cnt"), col("lang_profile"),
         col("len_kll_sketch"))
       .as[(String, Long, Array[Double], Array[Byte])]
-      .collect().sortBy(_._1).toSeq
+      .collect().sortBy(t => Option(t._1)).toSeq
   }
 
   /** ST5 append policy (reference manager.go:409-418, allowAppendOutlier):

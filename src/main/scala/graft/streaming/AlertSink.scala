@@ -186,7 +186,16 @@ object AlertSink {
         * mtime on S3-family) while buying nothing the at-least-once
         * contract doesn't already absorb.
         */
-      drainLeaseMs: Long = 60L * 60 * 1000)
+      drainLeaseMs: Long = 60L * 60 * 1000,
+      /** How old an UNMARKED spool batch dir (no `_SUCCESS`) must be before
+        * a drain treats it as a crashed write and quarantines it. The
+        * drain lease serializes drain-vs-drain only — a live stream's
+        * [[spool]] write takes no lock, so a younger unmarked dir is most
+        * likely a write IN PROGRESS (they complete in seconds) and is
+        * skipped untouched; quarantining it mid-write would fail the
+        * writer's commit and lose the batch's alerts.
+        */
+      spoolWriteGraceMs: Long = 15L * 60 * 1000)
 
   /** POST all rows of `violations` to `endpoint`, grouped PER ENTITY in the
     * reference's wire shape (alert/alert.go:56-66,125-134): each payload
@@ -297,8 +306,12 @@ object AlertSink {
     *      QUARANTINED — renamed `quarantine-<name>` so the next drain skips
     *      it, the rows stay on disk for the operator, and delivery of every
     *      other batch proceeds.
-    * Partial dirs without the marker are quarantined too (their push() call
-    * never returned success, so nothing the caller relies on is lost).
+    * Partial dirs without the marker are quarantined too, but only once
+    * they age past [[HttpConf.spoolWriteGraceMs]] — a younger unmarked dir
+    * is most likely a CONCURRENT spool() mid-write (the drain lease
+    * serializes drains only) and is skipped untouched; an aged one is a
+    * crashed write whose push() never returned success, so nothing the
+    * caller relies on is lost.
     */
   def drainSpool(
       spark: SparkSession,
@@ -383,9 +396,9 @@ object AlertSink {
         s.getModificationTime <
           System.currentTimeMillis() - math.max(0L, conf.drainLeaseMs))
       .foreach(s => fs.delete(s.getPath, false))
-    val batches = rootListing
+    val batchStats = rootListing
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
-      .map(_.getPath)
+    val batches = batchStats.map(_.getPath)
     if (batches.isEmpty)
       // the common clean-spool case (every tick-start drain): count off
       // the listing already in hand, no second LIST round-trip
@@ -412,11 +425,24 @@ object AlertSink {
       else qBatches += 1 // left in place (rename AND delete refused, or
                          // marked dir) — still needs operator attention
     }
-    val (marked, partial) = batches.partition(p =>
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-    partial.foreach(quarantine(_,
-      "has no _SUCCESS marker (crashed spool write)", mayDrop = true))
-    val readable = marked.flatMap { p =>
+    val (markedStats, partialStats) = batchStats.partition(s =>
+      fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+    // an unmarked dir younger than the write grace is most likely a LIVE
+    // stream's spool() mid-write (the lease serializes drains only, not
+    // spool writes) — leave it for a later drain; only an AGED unmarked
+    // dir is a crashed write, safe to park/drop (its push() never
+    // returned, so the rows were never reported as safely spooled)
+    val writeGraceCutoff =
+      System.currentTimeMillis() - math.max(0L, conf.spoolWriteGraceMs)
+    val (agedPartial, inFlight) =
+      partialStats.partition(_.getModificationTime < writeGraceCutoff)
+    inFlight.foreach(s => System.err.println(s"[alert-sink] spool batch " +
+      s"${s.getPath.getName} has no _SUCCESS yet and is younger than the " +
+      "write grace — skipping (likely an in-progress spool write)"))
+    agedPartial.foreach(s => quarantine(s.getPath,
+      "has no _SUCCESS marker past the write grace (crashed spool write)",
+      mayDrop = true))
+    val readable = markedStats.map(_.getPath).flatMap { p =>
       try Some(p -> spark.read.parquet(p.toString))
       catch {
         case scala.util.control.NonFatal(e) =>

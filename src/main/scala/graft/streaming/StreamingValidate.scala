@@ -282,12 +282,22 @@ object StreamingValidate {
       // two-traversal shape — re-reading the source parquet is cheaper
       // than caching it.
       val src =
-        if (hasSeenFlag)
+        if (hasSeenFlag) {
+          // cross-batch mode gates empty batches on the RAW batch frame
+          // FIRST: the stats gate below would otherwise execute the
+          // reconciliation join — an O(accumulated-history) url scan +
+          // distinct shuffle — just to learn the batch holds zero rows.
+          // One cheap probe job over the batch's own files buys that out.
+          if (df.head(1).isEmpty) return
           withSeenPriorFlag(df, outDir, lineage, batchId)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else df
+        } else df
+      // null warc_ts (legal input) folds into "<unknown>" — same sentinel
+      // as batch `validate`; a null key would NPE the baseline-refresh
+      // sort and slip through null-escaping `=!=` verdict filters
       val withPart = src.withColumn("partition",
-        date_format(col("warc_ts"), "yyyy-MM-dd"))
+        coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"),
+          lit("<unknown>")))
       def idempotent(out: DataFrame, path: String): Unit = {
         guardLayout(out.sparkSession, path)
         out.withColumn("lineage", lit(lineage))
@@ -305,8 +315,9 @@ object StreamingValidate {
         // frame: zero stats rows ⇔ zero input rows. This replaces a
         // dedicated `df.isEmpty` probe that cost one extra no-op job on
         // EVERY micro-batch — the stats materialization below is work the
-        // non-empty path needs anyway, and on an empty batch it is a
-        // zero-task job over no files.
+        // non-empty path needs anyway, and WITHOUT the cross-batch join in
+        // the plan (the hasSeenFlag path pre-gated above) an empty batch's
+        // stats probe is a zero-task job over no files.
         if (res.stats.head(1).isEmpty) return
         idempotent(if (hasSeenFlag) withPart.drop(seenFlag) else withPart,
           s"$outDir/pages")

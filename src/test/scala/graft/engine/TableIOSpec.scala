@@ -113,6 +113,26 @@ class TableIOSpec extends SparkSpec {
     }
   }
 
+  test("RenameCommitter reads are manifest-adaptive, matching the static TableIO facade") {
+    // a manifest-layout table read under a rename-mode conf: the static
+    // TableIO.readTable has always resolved the manifest in this case; the
+    // trait surface must agree — a bare parquet read here would walk
+    // SUPERSEDED snapshot dirs and return stale duplicate rows
+    val t = table()
+    withManifestMode() {
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "x", 1L))), t)
+      TableIO.writePartitionsAtomic(frame(Seq(("a", "x2", 2L))), t) // supersede
+    }
+    // conf is now rename (default) — both trait reads must still resolve
+    val viaTrait = RenameCommitter.readTable(spark, t)
+      .select("partition", "k", "v").as[(String, String, Long)].collect().toSeq
+    assert(viaTrait == Seq(("a", "x2", 2L)), viaTrait.toString)
+    assert(RenameCommitter.livePartitions(spark, t) == Seq("a"))
+    val viaFacade = TableIO.readTable(spark, t)
+      .select("partition", "k", "v").as[(String, String, Long)].collect().toSeq
+    assert(viaFacade == viaTrait, "trait and facade reads disagree")
+  }
+
   test("manifest mode: a torn manifest at maxComplete+1 is skipped AND never wedges commits") {
     withManifestMode() {
       val t = table()

@@ -153,9 +153,18 @@ class AlertSinkSpec extends SparkSpec {
     val fastRetry = AlertSink.HttpConf(maxRetries = 2, retryBackoffMs = 10L)
     // one GOOD spooled batch (endpoint down → rows persist with _SUCCESS)
     AlertSink.push(v, "http://127.0.0.1:1/alerts", fastRetry, Some(spool))
-    // a PARTIAL batch — crashed mid-spool: only _temporary, no footers
+    // a PARTIAL batch — crashed mid-spool: only _temporary, no footers —
+    // aged past the write grace so the drain reads it as crashed, not live
     val partial = Paths.get(spool, "batch-partial-crash")
     Files.createDirectories(partial.resolve("_temporary"))
+    Files.setLastModifiedTime(partial,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 20L * 60 * 1000))
+    // a FRESH unmarked dir models a concurrent stream's spool() MID-WRITE
+    // (spool writes take no lock): the drain must leave it untouched —
+    // quarantining it would fail the writer's commit and lose its alerts
+    val live = Paths.get(spool, "batch-partial-live")
+    Files.createDirectories(live.resolve("_temporary"))
     // a MARKED-but-torn batch: _SUCCESS present, parquet file is garbage
     val torn = Paths.get(spool, "batch-torn")
     Files.createDirectories(torn)
@@ -173,8 +182,10 @@ class AlertSinkSpec extends SparkSpec {
     }
     val names = Files.list(Paths.get(spool)).iterator().asScala
       .map(_.getFileName.toString).toSet
-    assert(!names.exists(_.startsWith("batch-")), s"undrained: $names")
-    assert(names.exists(_.startsWith("quarantine-batch-partial")), names.toString)
+    assert(names.filter(_.startsWith("batch-")) == Set("batch-partial-live"),
+      s"undrained or live-write touched: $names")
+    assert(names.exists(_.startsWith("quarantine-batch-partial-crash")),
+      names.toString)
     assert(names.exists(_.startsWith("quarantine-batch-torn")), names.toString)
     // quarantined rows stay on disk for the operator
     assert(Files.exists(Paths.get(spool).resolve(
@@ -366,6 +377,9 @@ class AlertSinkSpec extends SparkSpec {
     // PushResult(0,0) with quarantinedBatches=0 — rows parked with no signal
     val partial = Paths.get(spool, "batch-crashed")
     Files.createDirectories(partial.resolve("_temporary"))
+    Files.setLastModifiedTime(partial, // aged past the write grace = crashed
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 20L * 60 * 1000))
     val torn = Paths.get(spool, "batch-torn")
     Files.createDirectories(torn)
     Files.write(torn.resolve("_SUCCESS"), Array.emptyByteArray)

@@ -374,6 +374,46 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, "drifted profiles leaked into the model")
   }
 
+  test("null warc_ts folds into <unknown> partition; baseline refresh still advances (no NPE skip)") {
+    import java.nio.file.{Files, Paths}
+    import graft.engine.{BaselineStore, Validator}
+    import graft.fixtures.WebGen
+    val base = Files.createTempDirectory("nullts_base").toString + "/b"
+    val in = Files.createTempDirectory("nullts_in").toString
+    val out = Files.createTempDirectory("nullts_out").toString
+    val ckpt = Files.createTempDirectory("nullts_ckpt").toString
+    val cols = Seq("url", "warc_ts", "html", "text", "lang").map(col)
+    Validator.saveBaseline(
+      WebGen.generate(spark, 3000).withColumnRenamed("p_day", "partition"), base)
+    // a clean day PLUS one legal null-warc_ts row (DefaultChecks does not
+    // NotNull warc_ts): the null key must become "<unknown>", and the
+    // refresh fold must still run — before the sentinel, the null key
+    // NPE'd mergeRowsOf's sort and the NonFatal guard silently skipped
+    // EVERY fold for as long as such rows kept arriving
+    WebGen.generate(spark, 3000).where(col("p_day") === "2025-07-01")
+      .select(cols: _*)
+      .unionByName(Seq(
+        ("https://x/null-ts", Option.empty[Timestamp],
+          "<p>n</p>".getBytes("UTF-8"), "null ts doc", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang"))
+      .write.mode("overwrite").parquet(in)
+    StreamingValidate.incrementalValidate(spark, in, out, ckpt,
+      baselineDir = Some(base), baselineRefresh = "strict").awaitTermination()
+    val pages = spark.read.parquet(s"$out/pages")
+    assert(pages.where(col("partition") === "<unknown>").count() == 1,
+      "null warc_ts row did not land in the <unknown> partition")
+    def versions() = {
+      val s = java.nio.file.Files.list(Paths.get(base))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .count(_.startsWith("baseline-v"))
+      finally s.close()
+    }
+    assert(versions() > 0,
+      "baseline refresh was skipped on a batch containing a null warc_ts row")
+    assert(BaselineStore.loadRows(spark, base).map(_._1)
+      .contains("2025-07-01"), "clean day missing from the folded model")
+  }
+
   test("scoring-on-ingest alerts: per-entity POSTs during ingest; down endpoint spools, next tick drains") {
     import java.net.InetSocketAddress
     import java.nio.file.Files

@@ -10,15 +10,17 @@ set -euo pipefail
 log="${1:?usage: update_readme_counts.sh <sbt-test-log> [oracle_sql.json]}"
 oracle_json="${2:-/tmp/verify_out/oracle_sql.json}"
 
-specs=$(grep -oE 'Total number of tests run: [0-9]+' "$log" | tail -1 | grep -oE '[0-9]+')
+# `|| true` keeps set -e from killing the assignment on a no-match grep —
+# otherwise the friendly guards below can never fire
+specs=$(grep -oE 'Total number of tests run: [0-9]+' "$log" | tail -1 | grep -oE '[0-9]+' || true)
 [ -n "$specs" ] || { echo "no 'Total number of tests run' in $log" >&2; exit 1; }
-fails=$(grep -oE 'Tests: succeeded [0-9]+, failed [0-9]+' "$log" | tail -1 | grep -oE 'failed [0-9]+' | grep -oE '[0-9]+')
-[ "$fails" = "0" ] || { echo "refusing to record counts from a FAILING run ($fails failed)" >&2; exit 1; }
+fails=$(grep -oE 'Tests: succeeded [0-9]+, failed [0-9]+' "$log" | tail -1 | grep -oE 'failed [0-9]+' | grep -oE '[0-9]+' || true)
+[ "$fails" = "0" ] || { echo "refusing to record counts from a FAILING run (failed=${fails:-unknown})" >&2; exit 1; }
 
 sed -i -E "s/\`sbt -batch test\` — [0-9]+ specs:/\`sbt -batch test\` — $specs specs:/" README.md
 
 if [ -f "$oracle_json" ]; then
-  oracle=$(python3 -c "import json,sys; print(len(json.load(open('$oracle_json'))))")
+  oracle=$(python3 -c "import json,sys; print(len(json.load(open(sys.argv[1]))))" "$oracle_json")
   sed -i -E "s/oracle reproduces [0-9]+\/[0-9]+ SQL-expressible/oracle reproduces $oracle\/$oracle SQL-expressible/" README.md
   echo "README.md: $specs specs, $oracle/$oracle oracle queries"
 else
