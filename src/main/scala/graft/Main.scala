@@ -88,11 +88,12 @@ object Main {
           // through stats/drift/baseline/ledger/alert grouping
           if (partitionCol.nonEmpty)
             raw.withColumn("partition",
-              coalesce(col(partitionCol).cast("string"), lit("<unknown>")))
+              coalesce(col(partitionCol).cast("string"),
+                lit(graft.engine.Validator.UnknownPartition)))
           else
             raw.withColumn("partition",
               coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"),
-                lit("<unknown>")))
+                lit(graft.engine.Validator.UnknownPartition)))
       }
     }
 
@@ -303,7 +304,7 @@ object Main {
               // bad endpoint URL), which this process cannot tell apart
               // from a race. Full trace below so a persistent 75 is
               // diagnosable; retry loops must bound their attempts.
-              System.err.println(s"[sodspark] drain failed: $e — spool " +
+              System.err.println("[sodspark] drain failed — spool " +
                 "unchanged or re-spooled. Exit 75 = retry MAY succeed; if " +
                 "it persists across a bounded retry loop, inspect the " +
                 "trace below instead of retrying forever")

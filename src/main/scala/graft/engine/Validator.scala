@@ -26,6 +26,23 @@ final case class VerdictRow(
   */
 object Validator {
 
+  /** Partition key assigned to rows whose key expression evaluates to null
+    * (e.g. a null `warc_ts` under the CLI's date derivation, or nulls in a
+    * custom --partition-col). Normalized ONCE at the validator entry points
+    * so a null key never reaches the driver-side profile sorts, the
+    * ledger's filename encoding, or the alert entityId. The sentinel is
+    * EXCLUDED from drift baseline models ([[saveBaseline]], the streaming
+    * fold): it is a catch-all bucket whose mixed profile would pollute the
+    * peer pool and, sorting above every date key, permanently survive the
+    * store's recency cap.
+    */
+  val UnknownPartition = "<unknown>"
+
+  /** Null partition keys → [[UnknownPartition]]; applied at every entry. */
+  private[graft] def normalizePartitionKey(df: DataFrame): DataFrame =
+    df.withColumn("partition",
+      coalesce(col("partition").cast("string"), lit(UnknownPartition)))
+
   final case class Config(
       checks: Seq[Constraints.Check],
       lofK: Int = Lof.MinKNum,
@@ -101,7 +118,7 @@ object Validator {
     * far" (ST7 snapshot semantics).
     */
   def validate(
-      wp: DataFrame,
+      wpRaw: DataFrame,
       config: Config = Config(DefaultChecks),
       baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty,
       /** Frame for GLOBAL-scoped checks (cross-partition uniqueness) when it
@@ -121,6 +138,7 @@ object Validator {
         */
       baselinePeerStats: Option[DataFrame] = None
   ): Result = {
+    val wp = normalizePartitionKey(wpRaw)
     val spark = wp.sparkSession
     import spark.implicits._
 
@@ -277,7 +295,11 @@ object Validator {
   def saveBaseline(wp: DataFrame, path: String): Unit = {
     val spark = wp.sparkSession
     import spark.implicits._
-    val rows = profileRowsOf(StatsPass.statsAndProfiles(wp))
+    // the "<unknown>" bucket never enters the model: its mixed profile is
+    // not a real entity's distribution (see UnknownPartition scaladoc)
+    val rows = profileRowsOf(
+      StatsPass.statsAndProfiles(normalizePartitionKey(wp)))
+      .filterNot(_._1 == UnknownPartition)
     rows.toDF("partition", "lang_profile", "len_profile")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
@@ -392,13 +414,14 @@ object Validator {
     * the partitions actually processed this run.
     */
   def runWithLedger(
-      wp: DataFrame,
+      wpRaw: DataFrame,
       ledger: Ledger,
       runId: String,
       outDir: String,
       config: Config = Config(DefaultChecks),
       baselineProfiles: Map[String, IndexedSeq[Array[Double]]] = Map.empty
   ): Seq[String] = {
+    val wp = normalizePartitionKey(wpRaw)
     val spark = wp.sparkSession
     import spark.implicits._
     val allParts = wp.select(col("partition")).distinct()

@@ -100,12 +100,20 @@ object AlertSink {
         * a later drain reports the spool clean while parked alerts still
         * sit in it awaiting manual redelivery.
         */
-      quarantineBacklog: Long = 0L) {
+      quarantineBacklog: Long = 0L,
+      /** Unmarked batch dirs SKIPPED this drain because they are younger
+        * than [[HttpConf.spoolWriteGraceMs]] (likely a concurrent spool()
+        * mid-write, possibly a fresh crashed write — indistinguishable
+        * until the grace passes). They are not deliverable yet, so a
+        * "green means clean" caller must NOT read an exit-worthy clean
+        * state while one exists: counted into [[unfinished]].
+        */
+      inFlightBatches: Long = 0L) {
 
     /** Anything here still needs delivery or operator attention. */
     def unfinished: Boolean =
       pending > 0 || quarantined > 0 || quarantinedBatches > 0 ||
-        quarantineBacklog > 0 || lockedOut
+        quarantineBacklog > 0 || inFlightBatches > 0 || lockedOut
 
     /** THE labeled telemetry line — one formatter for every call site
       * (streaming per-batch log, tick-start drain, the drain-alerts CLI)
@@ -122,7 +130,9 @@ object AlertSink {
         else "") +
         s" quarantined_payloads=$quarantined" +
         s" quarantined_batch_dirs=$quarantinedBatches" +
-        s" quarantine_backlog=$quarantineBacklog"
+        s" quarantine_backlog=$quarantineBacklog" +
+        (if (inFlightBatches > 0) s" in_flight_batch_dirs=$inFlightBatches"
+        else "")
   }
 
   /** HTTP/batching knobs shared by push and drain. `batchSize` is a ROW
@@ -431,14 +441,42 @@ object AlertSink {
     // stream's spool() mid-write (the lease serializes drains only, not
     // spool writes) — leave it for a later drain; only an AGED unmarked
     // dir is a crashed write, safe to park/drop (its push() never
-    // returned, so the rows were never reported as safely spooled)
+    // returned, so the rows were never reported as safely spooled).
+    // Age comes from the dir's CONTENTS, not the dir entry: object-store
+    // listings report mtime 0 for synthetic dirs (S3A fake-dir markers),
+    // and a real dir's mtime freezes once its direct entries stop
+    // changing — a long write stays "fresh" through its task files'
+    // stamps. 0 (nothing readable inside either) means age UNKNOWN, and
+    // unknown is NOT aged: a dir is only parked on positive evidence its
+    // write stopped long ago.
+    def newestMtime(top: org.apache.hadoop.fs.FileStatus): Long = {
+      def scan(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+        val kids =
+          try fs.listStatus(p)
+          catch {
+            case _: java.io.IOException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus]
+          }
+        val own = kids.map(_.getModificationTime).maxOption.getOrElse(0L)
+        val deeper =
+          if (depth <= 1) 0L
+          else kids.filter(_.isDirectory)
+            .map(k => scan(k.getPath, depth - 1)).maxOption.getOrElse(0L)
+        math.max(own, deeper)
+      }
+      math.max(top.getModificationTime, scan(top.getPath, 2))
+    }
     val writeGraceCutoff =
       System.currentTimeMillis() - math.max(0L, conf.spoolWriteGraceMs)
-    val (agedPartial, inFlight) =
-      partialStats.partition(_.getModificationTime < writeGraceCutoff)
+    val (agedPartial, inFlight) = partialStats.partition { s =>
+      val m = newestMtime(s)
+      m > 0L && m < writeGraceCutoff
+    }
     inFlight.foreach(s => System.err.println(s"[alert-sink] spool batch " +
       s"${s.getPath.getName} has no _SUCCESS yet and is younger than the " +
-      "write grace — skipping (likely an in-progress spool write)"))
+      "write grace — skipping (likely an in-progress spool write); " +
+      "counted as in_flight so callers do not read a clean spool"))
+    val inFlightN = inFlight.length.toLong
     agedPartial.foreach(s => quarantine(s.getPath,
       "has no _SUCCESS marker past the write grace (crashed spool write)",
       mayDrop = true))
@@ -453,7 +491,7 @@ object AlertSink {
     }
     if (readable.isEmpty)
       return PushResult(0L, 0L, quarantinedBatches = qBatches,
-        quarantineBacklog = backlog())
+        quarantineBacklog = backlog(), inFlightBatches = inFlightN)
     // legacy spool schemas get conservative defaults: n = batchSize (each
     // legacy payload travels alone, so an old-shape body is never mixed
     // into a shape-valid request's row budget), zero counters, and
@@ -506,7 +544,7 @@ object AlertSink {
           s"payload(s) pending, oldest first_seen=" +
           java.time.Instant.ofEpochMilli(oldestPending))
       PushResult(posted, pending, nPoisoned, qBatches, oldestPending,
-        quarantineBacklog = backlog())
+        quarantineBacklog = backlog(), inFlightBatches = inFlightN)
     } finally json.unpersist()
     } finally {
       // release only OUR lock: a drain that outlived its lease may have

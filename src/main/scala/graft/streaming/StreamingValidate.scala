@@ -297,7 +297,7 @@ object StreamingValidate {
       // sort and slip through null-escaping `=!=` verdict filters
       val withPart = src.withColumn("partition",
         coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"),
-          lit("<unknown>")))
+          lit(graft.engine.Validator.UnknownPartition)))
       def idempotent(out: DataFrame, path: String): Unit = {
         guardLayout(out.sparkSession, path)
         out.withColumn("lineage", lit(lineage))
@@ -372,8 +372,12 @@ object StreamingValidate {
                 .where(!col("passed") && col("partition") =!= "<global>")
                 .select(col("partition")).distinct()
                 .collect().map(_.getString(0)).toSet
+            // "<unknown>" (null-key bucket) never folds into the model —
+            // its mixed profile would pollute the drift peer pool and,
+            // sorting above every date key, outlive the store's recency cap
             val rows = Validator.mergeRowsOf(res.stats)
-              .filterNot(t => failedParts(t._1))
+              .filterNot(t => failedParts(t._1) ||
+                t._1 == Validator.UnknownPartition)
             if (rows.nonEmpty) {
               // dedupKey: a replayed micro-batch (foreachBatch is
               // at-least-once) must not fold its rows into the model twice

@@ -157,9 +157,10 @@ class AlertSinkSpec extends SparkSpec {
     // aged past the write grace so the drain reads it as crashed, not live
     val partial = Paths.get(spool, "batch-partial-crash")
     Files.createDirectories(partial.resolve("_temporary"))
-    Files.setLastModifiedTime(partial,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 20L * 60 * 1000))
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 20L * 60 * 1000)
+    Files.setLastModifiedTime(partial.resolve("_temporary"), aged)
+    Files.setLastModifiedTime(partial, aged)
     // a FRESH unmarked dir models a concurrent stream's spool() MID-WRITE
     // (spool writes take no lock): the drain must leave it untouched —
     // quarantining it would fail the writer's commit and lose its alerts
@@ -178,6 +179,8 @@ class AlertSinkSpec extends SparkSpec {
       val drained = AlertSink.drainSpool(
         spark, spool, s"http://127.0.0.1:$port/alerts", fastRetry)
       assert(drained.pending == 0 && drained.posted > 0, drained.toString)
+      assert(drained.inFlightBatches == 1 && drained.unfinished,
+        s"skipped live write must keep the result unfinished: $drained")
       assert(rowsIn(received.asScala.toSeq) == expected)
     }
     val names = Files.list(Paths.get(spool)).iterator().asScala
@@ -377,9 +380,10 @@ class AlertSinkSpec extends SparkSpec {
     // PushResult(0,0) with quarantinedBatches=0 — rows parked with no signal
     val partial = Paths.get(spool, "batch-crashed")
     Files.createDirectories(partial.resolve("_temporary"))
-    Files.setLastModifiedTime(partial, // aged past the write grace = crashed
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 20L * 60 * 1000))
+    val aged = java.nio.file.attribute.FileTime.fromMillis( // past the grace
+      System.currentTimeMillis() - 20L * 60 * 1000)
+    Files.setLastModifiedTime(partial.resolve("_temporary"), aged)
+    Files.setLastModifiedTime(partial, aged)
     val torn = Paths.get(spool, "batch-torn")
     Files.createDirectories(torn)
     Files.write(torn.resolve("_SUCCESS"), Array.emptyByteArray)
@@ -440,6 +444,10 @@ class AlertSinkSpec extends SparkSpec {
     assert(AlertSink.PushResult(0L, 0L, quarantined = 1L).unfinished)
     assert(AlertSink.PushResult(0L, 0L, quarantinedBatches = 1L).unfinished)
     assert(AlertSink.PushResult(0L, 0L, quarantineBacklog = 1L).unfinished)
+    // a skipped possibly-in-progress write is NOT a clean spool: green
+    // (exit 0) must keep meaning "nothing left to deliver"
+    val fl = AlertSink.PushResult(0L, 0L, inFlightBatches = 2L)
+    assert(fl.unfinished && fl.summary.contains("in_flight_batch_dirs=2"), fl)
   }
 
   test("fan-out is capped at maxConcurrency partitions (rworker analog)") {
@@ -453,6 +461,45 @@ class AlertSinkSpec extends SparkSpec {
       assert(res.posted <= 2, s"cap ignored: ${res.posted} POSTs")
       assert(rowsIn(received.asScala.toSeq) == expected)
     }
+  }
+
+  test("unmarked-dir aging probes content mtimes (object-store fake dirs read as age-unknown)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val spool = Files.createTempDirectory("alert_spool_mtime").toString
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 20L * 60 * 1000)
+    val epoch = FileTime.fromMillis(0L) // S3A fake-dir marker analog
+    def mk(name: String, withFile: Boolean): java.nio.file.Path = {
+      val d = Paths.get(spool, name)
+      Files.createDirectories(d.resolve("_temporary"))
+      if (withFile)
+        Files.write(d.resolve("_temporary").resolve("task-0"),
+          "x".getBytes("UTF-8"))
+      d
+    }
+    // a: every stamp aged → positive evidence of a crashed write → park it
+    val a = mk("batch-aged", withFile = true)
+    Files.setLastModifiedTime(a.resolve("_temporary").resolve("task-0"), old)
+    Files.setLastModifiedTime(a.resolve("_temporary"), old)
+    Files.setLastModifiedTime(a, old)
+    // b: dir entry says epoch-0 (fake-dir marker) but a task file is FRESH
+    // — a live write on an object store; dir-mtime-only aging would park it
+    val b = mk("batch-live-s3", withFile = true)
+    Files.setLastModifiedTime(b, epoch)
+    // c: dir entry epoch-0 and NO readable contents: age unknown → skip
+    // (park only on positive evidence; empty markers are harmless)
+    val c = mk("batch-empty-s3", withFile = false)
+    Files.setLastModifiedTime(c.resolve("_temporary"), epoch)
+    Files.setLastModifiedTime(c, epoch)
+    val res = AlertSink.drainSpool(spark, spool, "http://127.0.0.1:1/alerts",
+      AlertSink.HttpConf(maxRetries = 1, retryBackoffMs = 5L))
+    assert(res.quarantinedBatches == 1 && res.inFlightBatches == 2,
+      res.toString)
+    val names = Files.list(Paths.get(spool)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.contains("quarantine-batch-aged"), names.toString)
+    assert(names.contains("batch-live-s3") && names.contains("batch-empty-s3"),
+      s"live/unknown-age dirs must be left untouched: $names")
   }
 
   test("lock release survives transient read failures; persistent ones fall back to lease math") {
