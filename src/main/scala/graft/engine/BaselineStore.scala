@@ -151,7 +151,11 @@ object BaselineStore {
     */
   def loadRows(spark: SparkSession,
       dir: String): Seq[(String, Array[Double], Array[Double])] =
-    fullRows(spark, dir).map(r => (r.partition, r.lang_profile, r.len_profile))
+    fullRows(spark, dir)
+      // stores/flat snapshots written before the exclusion may still hold
+      // the "<unknown>" null-key bucket: never serve it as a baseline
+      .filterNot(_.partition == Validator.UnknownPartition)
+      .map(r => (r.partition, r.lang_profile, r.len_profile))
 
   /** The scorer-shaped view of the current baseline (same shape as
     * [[Validator.loadBaseline]]): profile vectors per kind, in sorted
@@ -196,7 +200,16 @@ object BaselineStore {
         * the key was already folded.
         */
       dedupKey: Option[String] = None): Long = {
-    require(newRows.nonEmpty, "merge called with no rows — caller should skip")
+    // the "<unknown>" null-key bucket never enters the model — filtered
+    // HERE (not only at fold call sites) so pre-existing sentinel rows in
+    // a store written before the exclusion wash out on the next commit
+    // (they sort above every yyyy-MM-dd key, so takeRight would retain
+    // them forever), and every future caller inherits the rule.
+    val newRowsClean =
+      newRows.filterNot(_._1 == Validator.UnknownPartition)
+    if (newRowsClean.isEmpty && newRows.nonEmpty) return -1L // nothing real
+    require(newRowsClean.nonEmpty,
+      "merge called with no rows — caller should skip")
     val (fs, root) = fsOf(spark, dir)
     fs.mkdirs(root)
     val existing = versions(fs, root)
@@ -210,8 +223,10 @@ object BaselineStore {
       if (fs.exists(new Path(root,
           "_folded-" + java.net.URLEncoder.encode(k, "UTF-8")))) return -1L
     }
-    val current = currentRows.map(r => r.partition -> r).toMap
-    val folded: Seq[ModelRow] = newRows.map { case (p, cnt, lang, sk) =>
+    val current = currentRows
+      .filterNot(_.partition == Validator.UnknownPartition) // legacy purge
+      .map(r => r.partition -> r).toMap
+    val folded: Seq[ModelRow] = newRowsClean.map { case (p, cnt, lang, sk) =>
       current.get(p) match {
         case Some(prev) if prev.row_cnt > 0 && prev.len_kll_sketch != null =>
           val total = prev.row_cnt + cnt

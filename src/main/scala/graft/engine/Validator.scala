@@ -239,7 +239,12 @@ object Validator {
                     var j = 0
                     var taken = 0
                     while (j < profArr.length && taken < config.maxBaseline) {
-                      if (profArr(j)._1 != p && (j % stride == 0)) {
+                      // the "<unknown>" catch-all is scored but never a
+                      // PEER: its mixed profile is not an entity's
+                      // distribution (same exclusion as the saved models)
+                      if (profArr(j)._1 != p &&
+                          profArr(j)._1 != UnknownPartition &&
+                          (j % stride == 0)) {
                         b += profArr(j)._2; taken += 1
                       }
                       j += 1

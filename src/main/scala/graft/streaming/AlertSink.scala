@@ -446,40 +446,59 @@ object AlertSink {
     // listings report mtime 0 for synthetic dirs (S3A fake-dir markers),
     // and a real dir's mtime freezes once its direct entries stop
     // changing — a long write stays "fresh" through its task files'
-    // stamps. 0 (nothing readable inside either) means age UNKNOWN, and
-    // unknown is NOT aged: a dir is only parked on positive evidence its
-    // write stopped long ago.
-    def newestMtime(top: org.apache.hadoop.fs.FileStatus): Long = {
-      def scan(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
-        val kids =
-          try fs.listStatus(p)
-          catch {
-            case _: java.io.IOException =>
-              Array.empty[org.apache.hadoop.fs.FileStatus]
-          }
-        val own = kids.map(_.getModificationTime).maxOption.getOrElse(0L)
-        val deeper =
-          if (depth <= 1) 0L
-          else kids.filter(_.isDirectory)
-            .map(k => scan(k.getPath, depth - 1)).maxOption.getOrElse(0L)
-        math.max(own, deeper)
+    // stamps. The probe recurses to depth 6 because Spark's
+    // FileOutputCommitter nests those files as
+    // `_temporary/<appAttempt>/_temporary/<taskAttempt>/part-*` — the
+    // stamps proving a write is LIVE sit at the bottom, and a shallow scan
+    // would misread a slow write's frozen upper dirs as "aged" and destroy
+    // it. Returns (newest stamp seen, file count seen); stamp 0 = age
+    // UNKNOWN, and unknown is never "aged" — a dir is parked only on
+    // positive evidence its write stopped long ago.
+    def probe(p: org.apache.hadoop.fs.Path, depth: Int): (Long, Long) = {
+      val kids =
+        try fs.listStatus(p)
+        catch {
+          case _: java.io.IOException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus]
+        }
+      var m = kids.map(_.getModificationTime).maxOption.getOrElse(0L)
+      var files = kids.count(!_.isDirectory).toLong
+      if (depth > 1) kids.filter(_.isDirectory).foreach { k =>
+        val (dm, df) = probe(k.getPath, depth - 1)
+        m = math.max(m, dm); files += df
       }
-      math.max(top.getModificationTime, scan(top.getPath, 2))
+      (m, files)
     }
     val writeGraceCutoff =
       System.currentTimeMillis() - math.max(0L, conf.spoolWriteGraceMs)
-    val (agedPartial, inFlight) = partialStats.partition { s =>
-      val m = newestMtime(s)
-      m > 0L && m < writeGraceCutoff
+    var inFlightN = 0L
+    partialStats.foreach { s =>
+      val (kidStamp, files) = probe(s.getPath, 6)
+      val m = math.max(s.getModificationTime, kidStamp)
+      if (m > 0L && m < writeGraceCutoff)
+        quarantine(s.getPath,
+          "has no _SUCCESS marker past the write grace (crashed spool write)",
+          mayDrop = true)
+      else if (files > 0 || m > 0L) {
+        // young, or age-unknown WITH content: possibly a live spool()
+        // mid-write — skip untouched and surface via in_flight so callers
+        // do not read a clean spool while rows may be landing
+        System.err.println(s"[alert-sink] spool batch ${s.getPath.getName} " +
+          "has no _SUCCESS yet and is not provably past the write grace — " +
+          "skipping (likely an in-progress spool write); counted as " +
+          "in_flight so callers do not read a clean spool")
+        inFlightN += 1
+      } else
+        // inert shell: zero files anywhere AND no time signal (an
+        // object-store fake-dir marker left by a crashed write, or a
+        // just-mkdir'd live write on a store without dir mtimes). It holds
+        // NO rows, so skipping parks nothing — logged but NOT counted into
+        // unfinished, otherwise drain-alerts would exit 1 forever on a
+        // harmless marker with no remediation path.
+        System.err.println(s"[alert-sink] spool batch ${s.getPath.getName} " +
+          "is an empty unmarked shell with no age signal — ignoring (holds " +
+          "no rows; remove manually if it persists)")
     }
-    inFlight.foreach(s => System.err.println(s"[alert-sink] spool batch " +
-      s"${s.getPath.getName} has no _SUCCESS yet and is younger than the " +
-      "write grace — skipping (likely an in-progress spool write); " +
-      "counted as in_flight so callers do not read a clean spool"))
-    val inFlightN = inFlight.length.toLong
-    agedPartial.foreach(s => quarantine(s.getPath,
-      "has no _SUCCESS marker past the write grace (crashed spool write)",
-      mayDrop = true))
     val readable = markedStats.map(_.getPath).flatMap { p =>
       try Some(p -> spark.read.parquet(p.toString))
       catch {

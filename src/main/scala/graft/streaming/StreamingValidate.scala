@@ -372,12 +372,10 @@ object StreamingValidate {
                 .where(!col("passed") && col("partition") =!= "<global>")
                 .select(col("partition")).distinct()
                 .collect().map(_.getString(0)).toSet
-            // "<unknown>" (null-key bucket) never folds into the model —
-            // its mixed profile would pollute the drift peer pool and,
-            // sorting above every date key, outlive the store's recency cap
+            // ("<unknown>" null-key rows are excluded inside
+            // BaselineStore.merge — the one home of that rule)
             val rows = Validator.mergeRowsOf(res.stats)
-              .filterNot(t => failedParts(t._1) ||
-                t._1 == Validator.UnknownPartition)
+              .filterNot(t => failedParts(t._1))
             if (rows.nonEmpty) {
               // dedupKey: a replayed micro-batch (foreachBatch is
               // at-least-once) must not fold its rows into the model twice

@@ -486,11 +486,26 @@ class AlertSinkSpec extends SparkSpec {
     // — a live write on an object store; dir-mtime-only aging would park it
     val b = mk("batch-live-s3", withFile = true)
     Files.setLastModifiedTime(b, epoch)
-    // c: dir entry epoch-0 and NO readable contents: age unknown → skip
-    // (park only on positive evidence; empty markers are harmless)
+    // c: dir entry epoch-0 and NO contents anywhere: an inert shell — it
+    // holds no rows, so it is ignored (left in place, logged, NOT counted
+    // into in_flight/unfinished — else drain-alerts exits 1 forever on a
+    // harmless object-store marker)
     val c = mk("batch-empty-s3", withFile = false)
     Files.setLastModifiedTime(c.resolve("_temporary"), epoch)
     Files.setLastModifiedTime(c, epoch)
+    // d: the REAL Spark committer layout — task file nested at
+    // _temporary/0/_temporary/attempt_1/part-0, upper dirs all aged (their
+    // mtimes freeze at write start) but the task file itself FRESH: a slow
+    // live write. A shallow probe would read the frozen upper dirs as aged
+    // and destroy the write; the deep probe must classify it in-flight.
+    val d = Paths.get(spool, "batch-deep-live")
+    val attempt = d.resolve("_temporary").resolve("0")
+      .resolve("_temporary").resolve("attempt_1")
+    Files.createDirectories(attempt)
+    Files.write(attempt.resolve("part-0"), "x".getBytes("UTF-8"))
+    Seq(attempt, attempt.getParent, attempt.getParent.getParent,
+        d.resolve("_temporary"), d)
+      .foreach(Files.setLastModifiedTime(_, old))
     val res = AlertSink.drainSpool(spark, spool, "http://127.0.0.1:1/alerts",
       AlertSink.HttpConf(maxRetries = 1, retryBackoffMs = 5L))
     assert(res.quarantinedBatches == 1 && res.inFlightBatches == 2,
@@ -498,7 +513,8 @@ class AlertSinkSpec extends SparkSpec {
     val names = Files.list(Paths.get(spool)).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert(names.contains("quarantine-batch-aged"), names.toString)
-    assert(names.contains("batch-live-s3") && names.contains("batch-empty-s3"),
+    assert(names.contains("batch-live-s3") && names.contains("batch-empty-s3")
+      && names.contains("batch-deep-live"),
       s"live/unknown-age dirs must be left untouched: $names")
   }
 
