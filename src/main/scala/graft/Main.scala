@@ -415,7 +415,10 @@ object Main {
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
       |  graft.Main drain-alerts <outDir> --alert-endpoint <url>
-      |      (push the spooled alert backlog now; exit 0 = spool clean,
+      |      (push the spooled alert backlog now; exit 0 = no rows known
+      |       pending at listing time — NOT a license to delete the spool
+      |       dir while an ingest stream is live (a concurrent spool()
+      |       can land right after any listing),
       |       1 = pending payloads remain or quarantine entries — from this
       |       or any earlier call — await manual redelivery, 75 = another
       |       drain holds the spool lease: retry later)

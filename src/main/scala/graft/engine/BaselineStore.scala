@@ -146,6 +146,15 @@ object BaselineStore {
   private def fullRows(spark: SparkSession, dir: String): Seq[ModelRow] =
     fullState(spark, dir)._1
 
+  /** The null-key catch-all bucket, in either spelling: the "<unknown>"
+    * sentinel the CLI/streaming entry points coalesce null keys to, or a
+    * literal null from a library caller that skipped the coalesce. Its
+    * mixed profile is not an entity's distribution and never enters or
+    * leaves the model.
+    */
+  private def notModelEligible(partition: String): Boolean =
+    partition == null || partition == Validator.UnknownPartition
+
   /** Current baseline rows (partition, lang_profile, len_profile), sorted
     * by partition. Empty when no snapshot exists yet.
     */
@@ -153,8 +162,10 @@ object BaselineStore {
       dir: String): Seq[(String, Array[Double], Array[Double])] =
     fullRows(spark, dir)
       // stores/flat snapshots written before the exclusion may still hold
-      // the "<unknown>" null-key bucket: never serve it as a baseline
-      .filterNot(_.partition == Validator.UnknownPartition)
+      // the null-key catch-all — as the "<unknown>" sentinel (CLI paths) or
+      // a literal null (library callers that skipped the coalesce): never
+      // serve it as a baseline
+      .filterNot(r => notModelEligible(r.partition))
       .map(r => (r.partition, r.lang_profile, r.len_profile))
 
   /** The scorer-shaped view of the current baseline (same shape as
@@ -196,17 +207,25 @@ object BaselineStore {
         * record together: a fold that fails before publishing leaves no
         * key behind (the retry folds cleanly — no permanent loss from a
         * transient store fault), and a replay after a successful publish
-        * finds its key and is skipped (no double count). Returns -1 when
-        * the key was already folded.
+        * finds its key and is skipped (no double count).
+        *
+        * Returns the new version number, or -1 when NO new version was
+        * committed — either the dedup key was already folded (replay) or
+        * the batch held only null-key catch-all rows (nothing
+        * model-eligible; no dedup key is recorded in that case, so a later
+        * batch under the same key with real rows still folds). Callers
+        * must treat -1 only as "store unchanged, do not reload".
         */
       dedupKey: Option[String] = None): Long = {
-    // the "<unknown>" null-key bucket never enters the model — filtered
-    // HERE (not only at fold call sites) so pre-existing sentinel rows in
-    // a store written before the exclusion wash out on the next commit
-    // (they sort above every yyyy-MM-dd key, so takeRight would retain
-    // them forever), and every future caller inherits the rule.
-    val newRowsClean =
-      newRows.filterNot(_._1 == Validator.UnknownPartition)
+    // the null-key catch-all bucket never enters the model — matched both
+    // as the "<unknown>" sentinel (CLI paths coalesce to it) and as a
+    // literal null key (library callers that bypassed the coalesce), and
+    // filtered HERE (not only at fold call sites) so pre-existing
+    // catch-all rows in a store written before the exclusion wash out on
+    // the next commit (the sentinel sorts above every yyyy-MM-dd key, so
+    // takeRight would retain it forever), and every future caller
+    // inherits the rule.
+    val newRowsClean = newRows.filterNot(t => notModelEligible(t._1))
     if (newRowsClean.isEmpty && newRows.nonEmpty) return -1L // nothing real
     require(newRowsClean.nonEmpty,
       "merge called with no rows — caller should skip")
@@ -224,7 +243,7 @@ object BaselineStore {
           "_folded-" + java.net.URLEncoder.encode(k, "UTF-8")))) return -1L
     }
     val current = currentRows
-      .filterNot(_.partition == Validator.UnknownPartition) // legacy purge
+      .filterNot(r => notModelEligible(r.partition)) // legacy purge
       .map(r => r.partition -> r).toMap
     val folded: Seq[ModelRow] = newRowsClean.map { case (p, cnt, lang, sk) =>
       current.get(p) match {

@@ -239,10 +239,13 @@ object Validator {
                     var j = 0
                     var taken = 0
                     while (j < profArr.length && taken < config.maxBaseline) {
-                      // the "<unknown>" catch-all is scored but never a
+                      // the null-key catch-all is scored but never a
                       // PEER: its mixed profile is not an entity's
-                      // distribution (same exclusion as the saved models)
-                      if (profArr(j)._1 != p &&
+                      // distribution (same exclusion as the saved models).
+                      // The null spelling cannot occur here (validate
+                      // normalizes keys at entry) — guarded anyway so the
+                      // rule holds even if a caller feeds raw profiles.
+                      if (profArr(j)._1 != p && profArr(j)._1 != null &&
                           profArr(j)._1 != UnknownPartition &&
                           (j % stride == 0)) {
                         b += profArr(j)._2; taken += 1

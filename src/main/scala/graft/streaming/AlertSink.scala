@@ -101,12 +101,18 @@ object AlertSink {
         * sit in it awaiting manual redelivery.
         */
       quarantineBacklog: Long = 0L,
-      /** Unmarked batch dirs SKIPPED this drain because they are younger
-        * than [[HttpConf.spoolWriteGraceMs]] (likely a concurrent spool()
-        * mid-write, possibly a fresh crashed write — indistinguishable
-        * until the grace passes). They are not deliverable yet, so a
-        * "green means clean" caller must NOT read an exit-worthy clean
-        * state while one exists: counted into [[unfinished]].
+      /** Unmarked batch dirs SKIPPED this drain because their newest
+        * content stamp is younger than [[HttpConf.spoolWriteGraceMs]] OR
+        * they hold files but no readable age at all (a store that reports
+        * no mtimes): likely a concurrent spool() mid-write, possibly a
+        * fresh crashed write — indistinguishable until positive age
+        * evidence appears, so an age-unknown dir WITH content stays
+        * in-flight indefinitely rather than for at most one grace period.
+        * Not deliverable yet, so a "green means clean" caller must NOT
+        * read an exit-worthy clean state while one exists: counted into
+        * [[unfinished]]. Empty dirs with no files anywhere and no time
+        * signal are NOT counted (they hold no rows — see the inert-shell
+        * branch in drainSpool).
         */
       inFlightBatches: Long = 0L) {
 
@@ -453,7 +459,13 @@ object AlertSink {
     // would misread a slow write's frozen upper dirs as "aged" and destroy
     // it. Returns (newest stamp seen, file count seen); stamp 0 = age
     // UNKNOWN, and unknown is never "aged" — a dir is parked only on
-    // positive evidence its write stopped long ago.
+    // positive evidence its write stopped long ago. The walk stops as soon
+    // as one fresh stamp is found: the verdict is then in-flight no matter
+    // what the rest of the subtree holds (the file count only ever decides
+    // the zero-stamp inert-shell case), so finishing the listing would be
+    // pure wasted remote I/O on the per-tick hot path.
+    val writeGraceCutoff =
+      System.currentTimeMillis() - math.max(0L, conf.spoolWriteGraceMs)
     def probe(p: org.apache.hadoop.fs.Path, depth: Int): (Long, Long) = {
       val kids =
         try fs.listStatus(p)
@@ -463,17 +475,20 @@ object AlertSink {
         }
       var m = kids.map(_.getModificationTime).maxOption.getOrElse(0L)
       var files = kids.count(!_.isDirectory).toLong
-      if (depth > 1) kids.filter(_.isDirectory).foreach { k =>
-        val (dm, df) = probe(k.getPath, depth - 1)
-        m = math.max(m, dm); files += df
+      if (depth > 1) {
+        val dirs = kids.filter(_.isDirectory).iterator
+        while (dirs.hasNext && m < writeGraceCutoff) {
+          val (dm, df) = probe(dirs.next().getPath, depth - 1)
+          m = math.max(m, dm); files += df
+        }
       }
       (m, files)
     }
-    val writeGraceCutoff =
-      System.currentTimeMillis() - math.max(0L, conf.spoolWriteGraceMs)
     var inFlightN = 0L
     partialStats.foreach { s =>
-      val (kidStamp, files) = probe(s.getPath, 6)
+      val (kidStamp, files) =
+        if (s.getModificationTime >= writeGraceCutoff) (0L, 1L) // fresh dir
+        else probe(s.getPath, 6)
       val m = math.max(s.getModificationTime, kidStamp)
       if (m > 0L && m < writeGraceCutoff)
         quarantine(s.getPath,
@@ -494,7 +509,11 @@ object AlertSink {
         // just-mkdir'd live write on a store without dir mtimes). It holds
         // NO rows, so skipping parks nothing — logged but NOT counted into
         // unfinished, otherwise drain-alerts would exit 1 forever on a
-        // harmless marker with no remediation path.
+        // harmless marker with no remediation path. Consequence: a clean
+        // result means "no rows known to be pending AT LISTING TIME", never
+        // "safe to delete the spool dir while a stream is live" — a spool()
+        // can mkdirs right after ANY listing, markers or not, so spool
+        // removal is only safe once the writing stream is stopped.
         System.err.println(s"[alert-sink] spool batch ${s.getPath.getName} " +
           "is an empty unmarked shell with no age signal — ignoring (holds " +
           "no rows; remove manually if it persists)")

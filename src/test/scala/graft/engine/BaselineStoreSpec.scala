@@ -182,4 +182,36 @@ class BaselineStoreSpec extends SparkSpec {
     assert(BaselineStore.loadRows(spark, dir).map(_._1) ==
       Seq("2025-07-07", "2025-07-08", "2025-07-09"))
   }
+
+  test("the null-key catch-all never enters or leaves the model, in either spelling") {
+    val dir = store()
+    // a legacy flat snapshot polluted BEFORE the exclusion existed: both a
+    // "<unknown>" sentinel row and a literal-null row (library caller that
+    // skipped the coalesce) sit in the store
+    Seq(legacyRow("2025-07-01", 0.1),
+        legacyRow(Validator.UnknownPartition, 0.9),
+        legacyRow(null, 0.8))
+      .toDF("partition", "lang_profile", "len_profile")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // read side: neither spelling is ever served as a baseline
+    assert(BaselineStore.loadRows(spark, dir).map(_._1) == Seq("2025-07-01"))
+    // fold side: catch-all input rows are dropped, real rows fold, and the
+    // pre-existing pollution washes out of the committed version
+    val v = BaselineStore.merge(spark, dir,
+      Seq(mrow("2025-07-02", 0.3), mrow(Validator.UnknownPartition, 0.7),
+        mrow(null, 0.6)))
+    assert(v == 0L)
+    assert(BaselineStore.loadRows(spark, dir).map(_._1) ==
+      Seq("2025-07-01", "2025-07-02"))
+    // a batch with ONLY catch-all rows commits nothing and records no
+    // dedup key — a later real batch under the same key must still fold
+    val none = BaselineStore.merge(spark, dir,
+      Seq(mrow(Validator.UnknownPartition, 0.5)), dedupKey = Some("L/7"))
+    assert(none == -1L)
+    val later = BaselineStore.merge(spark, dir,
+      Seq(mrow("2025-07-03", 0.2)), dedupKey = Some("L/7"))
+    assert(later == 1L, s"key must not have been burned by the no-op: $later")
+    assert(BaselineStore.loadRows(spark, dir).map(_._1) ==
+      Seq("2025-07-01", "2025-07-02", "2025-07-03"))
+  }
 }
