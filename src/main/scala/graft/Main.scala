@@ -314,6 +314,31 @@ object Main {
         spark.stop()
         sys.exit(code)
 
+      // Streaming-output maintenance: roll old per-micro-batch partition
+      // dirs into one large-file roll-up per lineage (ST8 explicit stage).
+      // Crash-safe and idempotent — re-run after any interruption; see
+      // StreamCompact's commit protocol. Single maintenance writer.
+      case "compact-stream" =>
+        val Seq(outDir) = requirePositionals(positional, 1)
+        val keepRaw = opts.getOrElse("keep-batches", "2")
+        val keep = keepRaw.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"invalid --keep-batches: '$keepRaw' " +
+            s"(expected an integer >= 1 — the newest batch may be replayed " +
+            s"by a restarted stream and must never be moved)\n$usage")
+          sys.exit(64); throw new IllegalStateException
+        }
+        val mbRaw = opts.getOrElse("target-file-mb", "128")
+        val targetBytes = mbRaw.toLongOption.filter(_ >= 1).map(_ * 1024 * 1024)
+          .getOrElse {
+            System.err.println(
+              s"invalid --target-file-mb: '$mbRaw' (expected MB >= 1)\n$usage")
+            sys.exit(64); throw new IllegalStateException
+          }
+        val results = graft.streaming.StreamCompact.compactAll(
+          spark, outDir, keep, targetBytes)
+        results.foreach(r => println(s"[sodspark] compact ${r.summary}"))
+        spark.stop()
+
       // Manifest-table maintenance: reclaim snapshot dirs superseded by
       // later commits (run after in-flight readers drain — Iceberg's
       // expire_snapshots contract). No-op on rename-mode tables.
@@ -359,6 +384,7 @@ object Main {
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"),
+    "compact-stream" -> Set("keep-batches", "target-file-mb"),
     "drain-alerts" -> Set("alert-endpoint"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
@@ -414,6 +440,11 @@ object Main {
       |                                  the reference's allowAppendOutlier dial)
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
+      |  graft.Main compact-stream <outDir> [--keep-batches <k>] [--target-file-mb <mb>]
+      |      (roll old per-micro-batch dirs of pages/violations/verdicts into
+      |       one large-file roll-up per lineage; the newest k batch dirs per
+      |       lineage are never touched — k >= 1 keeps stream replay safe.
+      |       Crash-safe: re-run after any interruption to converge)
       |  graft.Main drain-alerts <outDir> --alert-endpoint <url>
       |      (push the spooled alert backlog now; exit 0 = no rows known
       |       pending at listing time — NOT a license to delete the spool

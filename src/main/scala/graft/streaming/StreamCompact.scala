@@ -1,0 +1,233 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file roll-up compaction for the streaming sink's output trees
+  * (ST8 — maintenance as an explicit schedulable stage, like the
+  * reference's tickered sweeps re-expressed as `Retention`/`vacuum`).
+  *
+  * WHY: [[StreamingValidate.writeValidatedBatch]] commits every micro-batch
+  * into its own `lineage=<qid>/ingest_batch=<id>` partition dir — the shape
+  * that buys replay idempotence (dynamic partition overwrite) and
+  * checkpoint-recreation safety. The cost is one directory and a handful of
+  * small files PER TRIGGER: a year of 1-minute ticks is ~525k dirs per
+  * tree, and at that point file listing — not data — dominates every
+  * downstream scan (the cross-batch reconciliation join pays it once per
+  * tick). Compaction rewrites old batch dirs into one large-file roll-up
+  * dir per lineage, bounding the tree at (1 roll-up + `keepBatches` live
+  * dirs) × lineages without changing the layout readers and the
+  * reconciliation exclusion already understand.
+  *
+  * SAFETY ARGUMENT, piece by piece:
+  *  - Only batch ids STRICTLY OLDER than the newest `keepBatches` (≥ 1)
+  *    positive ids per lineage are touched. Structured Streaming replays at
+  *    most the single newest uncommitted batch, so a replay's dynamic
+  *    overwrite always targets a dir compaction never moved.
+  *  - Roll-up dirs use NEGATIVE `ingest_batch` ids (-1, -2, …): engine
+  *    batch ids start at 0, so a roll-up can never collide with a live
+  *    write, and [[StreamingValidate.withSeenPriorFlag]]'s
+  *    current-(lineage,batch) exclusion — always a non-negative id — keeps
+  *    treating roll-up rows as PRIOR history. Per-row original batch ids
+  *    collapse to the roll-up id (dir-name partition values); the absorbed
+  *    dir names are preserved in the roll-up's `_compacted_sources` record,
+  *    so dir-level provenance survives as metadata.
+  *  - Commit protocol (single maintenance writer, same contract as
+  *    TableIO): stage the roll-up under a dot-hidden dir (invisible to
+  *    Spark's partition discovery and to [[StreamingValidate]]'s layout
+  *    guard), record the absorbed source dirs INSIDE it, then one atomic
+  *    rename into place, then delete the recorded sources. A crash before
+  *    the rename leaves only an orphan staging dir (swept next run); a
+  *    crash after it leaves rows visible TWICE — never lost — until the
+  *    next run's recovery sweep finishes the recorded deletions. The
+  *    duplicate window cannot false-flag the reconciliation check (its
+  *    prior side is `.distinct()`); direct reads over-count until recovery,
+  *    which is why compaction is documented as re-run-on-crash.
+  *
+  * Scale: all decisions are driver-side metadata over O(#dirs) listings;
+  * the data move is one executor-parallel read+write of the absorbed rows,
+  * sized to `targetFileBytes` output files and sorted by the event-day
+  * `partition` column so parquet row-group min/max pruning keeps working
+  * for day-scoped scans of the compacted history.
+  */
+object StreamCompact {
+
+  /** The streaming sink's three output trees. The alert spool is NOT here:
+    * its dirs are transient delivery state owned by [[AlertSink]].
+    */
+  val Tables: Seq[String] = Seq("pages", "violations", "verdicts")
+
+  private val SourcesFile = "_compacted_sources"
+  private val StagingPrefix = ".compact-staging-"
+
+  final case class TableResult(
+      table: String,
+      /** lineages that got a new roll-up this run */
+      compactedLineages: Int,
+      /** batch dirs absorbed (incl. prior roll-ups re-absorbed) */
+      absorbedDirs: Int,
+      /** data files inside those dirs before compaction */
+      absorbedFiles: Long,
+      /** source dirs deleted by the recovery sweep (crashed prior run) */
+      recoveredDeletes: Int,
+      /** orphan staging dirs swept (crashed before their commit rename) */
+      sweptStagings: Int) {
+    def summary: String =
+      s"table=$table compacted_lineages=$compactedLineages " +
+        s"absorbed_dirs=$absorbedDirs absorbed_files=$absorbedFiles " +
+        s"recovered_deletes=$recoveredDeletes swept_stagings=$sweptStagings"
+  }
+
+  /** Compact every standard tree under a streaming-sink `outDir`. */
+  def compactAll(spark: SparkSession, outDir: String, keepBatches: Int = 2,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[TableResult] =
+    Tables.map(t => compactTable(spark, s"$outDir/$t", t, keepBatches,
+      targetFileBytes))
+
+  /** Compact one `lineage=…/ingest_batch=…` tree. Idempotent and
+    * crash-recovering: re-running after any interruption converges to the
+    * compacted state with no row loss (see the object scaladoc for the
+    * protocol).
+    */
+  def compactTable(spark: SparkSession, tablePath: String, tableName: String,
+      keepBatches: Int, targetFileBytes: Long): TableResult = {
+    require(keepBatches >= 1,
+      "keepBatches must be >= 1: the newest batch per lineage may be " +
+        "replayed by a restarted stream and must never be moved")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return TableResult(tableName, 0, 0, 0L, 0, 0)
+
+    // 1) sweep orphan stagings from a run that crashed BEFORE its commit
+    // rename — never made visible, so deletion loses nothing
+    var swept = 0
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(StagingPrefix)).foreach { s =>
+      if (fs.delete(s.getPath, true)) swept += 1
+    }
+
+    val lineageDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("lineage="))
+    var compacted = 0
+    var absorbedDirs = 0
+    var absorbedFiles = 0L
+    var recovered = 0
+
+    lineageDirs.foreach { ld =>
+      // 2) recovery sweep: a roll-up IN PLACE is committed (the rename was
+      // its commit point); any source it recorded that still exists is a
+      // leftover of a crash between rename and deletion — finish the job
+      val entries = fs.listStatus(ld.getPath).filter(_.isDirectory)
+      val byName = entries.map(e => e.getPath.getName -> e).toMap
+      entries.filter(e => batchIdOf(e).exists(_ < 0)).foreach { ru =>
+        recordedSources(fs, ru.getPath).foreach { name =>
+          byName.get(name).foreach { src =>
+            if (fs.delete(src.getPath, true)) recovered += 1
+          }
+        }
+      }
+
+      // 3) plan this lineage from the RECOVERED listing
+      val live = fs.listStatus(ld.getPath).filter(_.isDirectory)
+        .flatMap(e => batchIdOf(e).map(id => (id, e)))
+      val positive = live.filter(_._1 >= 0).sortBy(_._1)
+      val rollups = live.filter(_._1 < 0)
+      val oldPositive = positive.dropRight(keepBatches)
+      // nothing new to absorb → the lineage is already compact; skipping
+      // (not re-rolling the roll-up alone) keeps repeated runs churn-free
+      if (oldPositive.nonEmpty) {
+        // one listing per candidate dir: readability, byte and file counts
+        // all come off it (the planning loop is serial driver-side RPCs —
+        // at 10^5 dirs, re-listing per question would triple the tick)
+        val listed = (oldPositive ++ rollups).map { case (_, c) =>
+          c -> fs.listStatus(c.getPath)
+            .filter(f => !f.isDirectory && visible(f.getPath.getName))
+        }
+        // a dir with no visible data files has committed nothing readable
+        // (e.g. only a _temporary of a crashed write): leave it alone —
+        // if it is a replay target the stream will overwrite it in place
+        val (readableL, shells) = listed.partition(_._2.nonEmpty)
+        shells.foreach { case (sh, _) => System.err.println(
+          s"[stream-compact] $tableName/${ld.getPath.getName}/" +
+            s"${sh.getPath.getName} has no committed data files — skipped") }
+        val readable = readableL.map(_._1)
+        if (readable.nonEmpty) {
+          val srcBytes = readableL.map(_._2.map(_.getLen).sum).sum
+          val srcFiles = readableL.map(_._2.length.toLong).sum
+          // never REUSE a roll-up id: an absorbed roll-up's name stays
+          // recorded in its absorber's sources forever, and the recovery
+          // sweep deletes recorded names on sight — a reused id would make
+          // a future committed roll-up the sweep's victim. Reserve every
+          // negative id visible either as a dir or inside any record.
+          val reserved = rollups.map(_._1) ++
+            rollups.flatMap(r => recordedSources(fs, r._2.getPath)
+              .flatMap(n => Option(n).filter(_.startsWith("ingest_batch="))
+                .flatMap(_.stripPrefix("ingest_batch=").toLongOption))
+              .filter(_ < 0))
+          val nextId = reserved.minOption.getOrElse(0L) - 1L
+          val staging = new Path(root,
+        StagingPrefix + java.util.UUID.randomUUID().toString)
+          val nOut = math.max(1L,
+            (srcBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val df = spark.read.parquet(readable.map(_.getPath.toString): _*)
+          val sized = df.repartition(nOut)
+          val sorted =
+            if (df.columns.contains("partition"))
+              sized.sortWithinPartitions("partition")
+            else sized
+          sorted.write.parquet(staging.toString)
+          // the absorbed dir names ride inside the roll-up: recovery input
+          // AND durable dir-level provenance. Names are self-generated
+          // `ingest_batch=<long>` — a plain newline list is unambiguous.
+          val out = fs.create(new Path(staging, SourcesFile), false)
+          try out.write(readable.map(_.getPath.getName)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          val target = new Path(ld.getPath, s"ingest_batch=$nextId")
+          require(!fs.exists(target),
+            s"roll-up target $target already exists — concurrent compaction?" +
+              " compact-stream is a single-writer maintenance command")
+          require(fs.rename(staging, target), // THE commit point
+            s"rename $staging -> $target failed; staging left for the " +
+              "next run's sweep, sources untouched")
+          readable.foreach(c => fs.delete(c.getPath, true))
+          compacted += 1
+          absorbedDirs += readable.length
+          absorbedFiles += srcFiles
+        }
+      }
+    }
+    TableResult(tableName, compacted, absorbedDirs, absorbedFiles,
+      recovered, swept)
+  }
+
+  /** `ingest_batch=<long>` → id; None for anything else (incl. stagings). */
+  private def batchIdOf(s: FileStatus): Option[Long] = {
+    val n = s.getPath.getName
+    if (n.startsWith("ingest_batch=")) n.stripPrefix("ingest_batch=").toLongOption
+    else None
+  }
+
+  private def visible(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Source names recorded in a committed roll-up. Unreadable/absent record
+    * → empty (an old-format or foreign dir: nothing to recover).
+    */
+  private def recordedSources(fs: FileSystem, rollup: Path): Seq[String] = {
+    val p = new Path(rollup, SourcesFile)
+    try {
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    } catch {
+      case _: java.io.IOException => Seq.empty
+    }
+  }
+}
