@@ -328,7 +328,11 @@ object Main {
           sys.exit(64); throw new IllegalStateException
         }
         val mbRaw = opts.getOrElse("target-file-mb", "128")
-        val targetBytes = mbRaw.toLongOption.filter(_ >= 1).map(_ * 1024 * 1024)
+        // upper bound keeps the byte conversion from overflowing Long into
+        // a negative value that would skip this usage check and die later
+        val targetBytes = mbRaw.toLongOption
+          .filter(mb => mb >= 1 && mb <= Long.MaxValue / (1024L * 1024))
+          .map(_ * 1024 * 1024)
           .getOrElse {
             System.err.println(
               s"invalid --target-file-mb: '$mbRaw' (expected MB >= 1)\n$usage")

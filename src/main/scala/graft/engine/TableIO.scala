@@ -38,8 +38,11 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   */
 object TableIO {
 
-  /** URI schemes whose rename is copy+delete, not an atomic metadata op. */
-  private val ObjectStoreSchemes =
+  /** URI schemes whose rename is copy+delete, not an atomic metadata op.
+    * private[graft]: StreamCompact's staged-rename commit shares the same
+    * atomicity precondition and must refuse the same schemes.
+    */
+  private[graft] val ObjectStoreSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
 
   private def requireRenameAtomicFs(p: Path): Unit = {

@@ -43,6 +43,15 @@ import org.apache.spark.sql.SparkSession
   *    duplicate window cannot false-flag the reconciliation check (its
   *    prior side is `.distinct()`); direct reads over-count until recovery,
   *    which is why compaction is documented as re-run-on-crash.
+  *  - CONCURRENT READERS: the post-commit source deletions race any read
+  *    planned against the pre-delete listing. The engine's own per-tick
+  *    reconciliation read sets `ignoreMissingFiles` so a live stream
+  *    survives the race (worst case: that one tick under-flags duplicates
+  *    from the absorbed dirs — self-healing next tick); external direct
+  *    readers should do the same, or compaction should run in a
+  *    maintenance window like `vacuum`. Object-store schemes are refused
+  *    outright: their copy+delete "rename" would void the commit-point
+  *    atomicity every guarantee above rests on.
   *
   * Scale: all decisions are driver-side metadata over O(#dirs) listings;
   * the data move is one executor-parallel read+write of the absorbed rows,
@@ -96,6 +105,17 @@ object StreamCompact {
         "replayed by a restarted stream and must never be moved")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(tablePath)
+    // the commit point is ONE atomic dir rename — on object stores rename
+    // is copy+delete, so a crash mid-"rename" could leave a partial
+    // roll-up that LOOKS committed (negative id) while missing files
+    // and/or its sources record, breaking every recovery guarantee the
+    // protocol makes. Same precondition as TableIO's rename-swap mode;
+    // refuse rather than corrupt.
+    val scheme = Option(root.toUri.getScheme).getOrElse("file").toLowerCase
+    require(!graft.engine.TableIO.ObjectStoreSchemes.contains(scheme),
+      s"compact-stream's staged-rename commit is not atomic on '$scheme://' " +
+        "object stores — run compaction against an HDFS/POSIX replica, or " +
+        "deploy the stream output as an Iceberg table and use its rewrite")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
       return TableResult(tableName, 0, 0, 0L, 0, 0)
@@ -121,8 +141,14 @@ object StreamCompact {
       // leftover of a crash between rename and deletion — finish the job
       val entries = fs.listStatus(ld.getPath).filter(_.isDirectory)
       val byName = entries.map(e => e.getPath.getName -> e).toMap
-      entries.filter(e => batchIdOf(e).exists(_ < 0)).foreach { ru =>
-        recordedSources(fs, ru.getPath).foreach { name =>
+      // one read per sources record per run: the sweep and the
+      // id-reservation scan below share it (each read is a remote round
+      // trip on the stores where dir count hurts most)
+      val sourcesOf: Map[String, Seq[String]] =
+        entries.filter(e => batchIdOf(e).exists(_ < 0))
+          .map(e => e.getPath.getName -> recordedSources(fs, e.getPath)).toMap
+      sourcesOf.foreach { case (_, names) =>
+        names.foreach { name =>
           byName.get(name).foreach { src =>
             if (fs.delete(src.getPath, true)) recovered += 1
           }
@@ -162,21 +188,28 @@ object StreamCompact {
           // a future committed roll-up the sweep's victim. Reserve every
           // negative id visible either as a dir or inside any record.
           val reserved = rollups.map(_._1) ++
-            rollups.flatMap(r => recordedSources(fs, r._2.getPath)
-              .flatMap(n => Option(n).filter(_.startsWith("ingest_batch="))
-                .flatMap(_.stripPrefix("ingest_batch=").toLongOption))
-              .filter(_ < 0))
+            rollups.flatMap(r =>
+              sourcesOf.getOrElse(r._2.getPath.getName, Seq.empty)
+                .flatMap(n => Option(n).filter(_.startsWith("ingest_batch="))
+                  .flatMap(_.stripPrefix("ingest_batch=").toLongOption))
+                .filter(_ < 0))
           val nextId = reserved.minOption.getOrElse(0L) - 1L
           val staging = new Path(root,
         StagingPrefix + java.util.UUID.randomUUID().toString)
           val nOut = math.max(1L,
             (srcBytes + targetFileBytes - 1) / targetFileBytes).toInt
           val df = spark.read.parquet(readable.map(_.getPath.toString): _*)
-          val sized = df.repartition(nOut)
+          // RANGE-partition by the event day so each output file covers a
+          // contiguous day span: a day-scoped scan of compacted history
+          // then prunes whole FILES on footer min/max, not just row
+          // groups — hash repartition would scatter every day across all
+          // files and cap pruning at the row-group level
           val sorted =
             if (df.columns.contains("partition"))
-              sized.sortWithinPartitions("partition")
-            else sized
+              df.repartitionByRange(nOut,
+                  org.apache.spark.sql.functions.col("partition"))
+                .sortWithinPartitions("partition")
+            else df.repartition(nOut)
           sorted.write.parquet(staging.toString)
           // the absorbed dir names ride inside the roll-up: recovery input
           // AND durable dir-level provenance. Names are self-generated

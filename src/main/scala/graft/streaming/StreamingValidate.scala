@@ -91,7 +91,16 @@ object StreamingValidate {
     val fs = pagesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(pagesPath)) df.withColumn(seenFlag, lit(false))
     else {
-      val prior = spark.read.parquet(pagesPath.toString)
+      // ignoreMissingFiles: a concurrent `compact-stream` deletes absorbed
+      // batch dirs AFTER its roll-up commit; a task that planned against
+      // the pre-delete listing must not kill the STREAM over a file whose
+      // rows either are also visible in the roll-up (listing saw both) or
+      // will be back in scope next tick (listing saw only the sources).
+      // Worst case is one tick under-flagging duplicates from the absorbed
+      // dirs — bounded, self-healing; prefer scheduling compaction in a
+      // maintenance window anyway.
+      val prior = spark.read.option("ignoreMissingFiles", "true")
+        .parquet(pagesPath.toString)
         .where(!(col("lineage") === lineage && col("ingest_batch") === batchId))
         .select(col("url"))
         .distinct() // ≤1 match per url keeps the left join row-preserving

@@ -132,6 +132,14 @@ class StreamCompactSpec extends SparkSpec {
       "roll-up rows must still count as prior batches for reconciliation")
   }
 
+  test("object-store schemes are refused before any mutation (rename is not atomic there)") {
+    val e = intercept[IllegalArgumentException] {
+      StreamCompact.compactTable(spark, "s3a://bucket/out/pages", "pages",
+        keepBatches = 2, targetFileBytes = 1L << 27)
+    }
+    assert(e.getMessage.contains("not atomic"), e.getMessage)
+  }
+
   test("a missing or empty tree is a zero no-op, not an error") {
     val out = Files.createTempDirectory("compact_empty").toString
     val res = StreamCompact.compactAll(spark, out)
