@@ -120,7 +120,22 @@ object ScaleBench {
 
   /** One full validation pass over the given input; counts outputs. */
   private def pass(s: SparkSession, dir: String): Unit = {
-    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")) {
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("cluster")) {
+      // full dedup RESOLUTION path at row scale: MinHash+LSH pairs over the
+      // realistic-vocabulary fixture, then connected components + canonical
+      // survivor count — the end-to-end "drop the near-dups from the
+      // corpus" job a training pipeline runs (pairs alone are not a
+      // dedup; the components are).
+      val docs = s.read.parquet(dir)
+      import org.apache.spark.sql.functions.col
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(docs, col("url"), col("text"), threshold = 0.8)
+        .localCheckpoint(true) // the loop iterates on the pair graph only
+      graft.operators.Dedup
+        .dropNearDupLosers(docs, pairs, col("url"), col("id_a"), col("id_b"))
+        .count()
+      ()
+    } else if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")) {
       // MinHash+LSH near-dup pass over realistic-vocabulary text: signature
       // UDF (64 hashes), banded candidate shuffle (ids only), capped buckets,
       // exact-Jaccard verify — the LLM-pipeline dedup path at row scale.
@@ -152,7 +167,9 @@ object ScaleBench {
 
   /** Timed pass over the fixture; returns wall seconds. */
   private def run(cores: Int): Double = {
-    val dedup = sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")
+    // cluster mode resolves the same text fixture's pair graph
+    val dedup = sys.env.get("SPARK_GRAFT_SCALE_MODE")
+      .exists(m => m.contains("dedup") || m.contains("cluster"))
     val (warm, main) =
       if (dedup) (dedupFixtureDir + ".warm", dedupFixtureDir)
       else (warmDir, FixtureDir)
@@ -166,7 +183,9 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")) ensureDedupFixture()
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE")
+        .exists(m => m.contains("dedup") || m.contains("cluster")))
+      ensureDedupFixture()
     else ensureFixture()
     // Single-measurement mode: `runMain graft.ScaleBench <cores> [reps]`
     // prints one JSON line. Meant to run under an OS-level core budget

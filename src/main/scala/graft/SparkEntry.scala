@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Retention, Similarity}
+import graft.operators.{Dedup, Multimodal, Retention, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
@@ -360,6 +360,45 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: pair resolution — connected components ------------------
+    // (min-label propagation over the pair graph; oracle = recursive
+    // transitive closure in DuckDB over the same pairs)
+    "d_dup_clusters" -> ((s, dir) => {
+      val docs = Derive.docsWithDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5)
+      Dedup.dupClusters(pairs, col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: keep ONE doc per near-dup component ---------------------
+    "d_dedup_survivors" -> ((s, dir) => {
+      val docs = Derive.docsWithDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5)
+      Dedup.dropNearDupLosers(docs, pairs, col("doc_id"),
+          col("id_a"), col("id_b"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- sampling: deterministic hash-fraction (stateless filter) -------
+    "d_sample_frac" -> ((s, dir) =>
+      Sampling.hashFraction(
+          s.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), fraction = 0.25, salt = "s1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ---- sampling: exact-N per stratum (balanced training mix) ----------
+    "d_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedExact(
+          s.read.parquet(s"$dir/documents.parquet"),
+          col("lang"), col("doc_id"), n = 5, salt = "s2")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     // ---- text analysis: language ID --------------------------------------
     "d_langid" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -516,6 +555,53 @@ object SparkEntry {
         .orderBy(col("part"))
     })
   )
+
+  /** Shared CTE chain for the n-gram near-dup family: dup-planted corpus →
+    * shingles → shared-shingle candidates → exact-Jaccard pair frame `j`.
+    * Whitespace semantics mirror the Scala side exactly: String.trim strips
+    * chars <= 0x20 (not just spaces, as SQL TRIM would), and java's \s is
+    * [ \t\n\x0b\f\r] (RE2's \s lacks \x0b). bucketCap is a no-op at this
+    * SF (largest shared-shingle bucket ≪ 1000) so the uncapped oracle is
+    * equivalent. Tails select pairs (d_ngram_pairs), connected components
+    * (d_dup_clusters), or the canonical survivors (d_dedup_survivors).
+    */
+  private val NgramJaccardCtes: String =
+    Derive.DocsWithDupsSql.stripSuffix("\n") + """,
+      |t0 AS (SELECT doc_id,
+      |         regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS tt
+      |       FROM docs2),
+      |t AS (SELECT doc_id, CASE WHEN tt IS NULL OR LENGTH(tt) = 0 THEN CAST([] AS VARCHAR[])
+      |                          ELSE string_split_regex(tt, '[ \t\n\x0b\f\r]+') END AS ws FROM t0),
+      |shg AS (SELECT doc_id,
+      |         CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+      |              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |              ELSE list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+      |       FROM t),
+      |tok AS (SELECT doc_id, UNNEST(list_distinct(sh)) AS s FROM shg),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM tok a JOIN tok b USING (s) WHERE a.doc_id < b.doc_id),
+      |j AS (SELECT id_a, id_b,
+      |        CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+      |          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      |      FROM cand JOIN shg sa ON sa.doc_id = cand.id_a JOIN shg sb ON sb.doc_id = cand.id_b)
+      |""".stripMargin
+
+  /** Components over the `j` pairs: symmetrize, take the recursive
+    * transitive closure (RECURSIVE keyword patched onto the WITH by the
+    * callers below — it governs the whole CTE list), min reachable id =
+    * cluster. Small-scale oracle only: the closure is quadratic per
+    * component, fine for the planted-dup fixture, which is exactly why the
+    * Spark side uses min-label propagation instead.
+    */
+  private val NgramClustersCtes: String =
+    (NgramJaccardCtes + """,pe AS (SELECT id_a AS a, id_b AS b FROM j WHERE jaccard >= 0.5
+      |      UNION SELECT id_b, id_a FROM j WHERE jaccard >= 0.5),
+      |rec AS (SELECT a AS id, a AS r FROM pe
+      |        UNION
+      |        SELECT pe.b AS id, rec.r FROM rec JOIN pe ON pe.a = rec.id),
+      |clu AS (SELECT id, CAST(MIN(r) AS BIGINT) AS cluster FROM rec GROUP BY id)
+      |""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   def oracleSql: Map[String, String] = {
     val wp = Derive.WpSql
@@ -687,34 +773,41 @@ object SparkEntry {
           | COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
           |FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin),
 
-      // Exact twin of Dedup.ngramJaccardPairs: same shingling (trim, split
-      // \s+, <3 words → one all-words shingle), shared-shingle candidates,
-      // distinct-set Jaccard ≥ 0.5. bucketCap is a no-op at this SF (largest
-      // shared-shingle bucket ≪ 1000), so the uncapped oracle is equivalent.
+      // Exact twin of Dedup.ngramJaccardPairs — shared CTE chain in
+      // NgramJaccardCtes (semantics documented there)
       "d_ngram_pairs" ->
-        // whitespace semantics mirror the Scala side exactly: String.trim
-        // strips chars <= 0x20 (not just spaces, as SQL TRIM would), and
-        // java's \s is [ \t\n\x0b\f\r] (RE2's \s lacks \x0b)
-        (Derive.DocsWithDupsSql.stripSuffix("\n") + """,
-          |t0 AS (SELECT doc_id,
-          |         regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS tt
-          |       FROM docs2),
-          |t AS (SELECT doc_id, CASE WHEN tt IS NULL OR LENGTH(tt) = 0 THEN CAST([] AS VARCHAR[])
-          |                          ELSE string_split_regex(tt, '[ \t\n\x0b\f\r]+') END AS ws FROM t0),
-          |shg AS (SELECT doc_id,
-          |         CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
-          |              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-          |              ELSE list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')) END AS sh
-          |       FROM t),
-          |tok AS (SELECT doc_id, UNNEST(list_distinct(sh)) AS s FROM shg),
-          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |         FROM tok a JOIN tok b USING (s) WHERE a.doc_id < b.doc_id),
-          |j AS (SELECT id_a, id_b,
-          |        CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
-          |          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-          |      FROM cand JOIN shg sa ON sa.doc_id = cand.id_a JOIN shg sb ON sb.doc_id = cand.id_b)
-          |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+        (NgramJaccardCtes + """SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
           |FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+
+      // Connected components over the same pair frame: recursive transitive
+      // closure, min reachable id per node (NgramClustersCtes)
+      "d_dup_clusters" ->
+        (NgramClustersCtes +
+          "SELECT id AS doc_id, cluster FROM clu ORDER BY doc_id"),
+
+      // One survivor per component: every doc whose id is not its
+      // component's canonical minimum is dropped; docs in no pair survive
+      "d_dedup_survivors" ->
+        (NgramClustersCtes + """SELECT d.doc_id, d.lang, d.source FROM docs2 d
+          |WHERE d.doc_id NOT IN (SELECT id FROM clu WHERE id <> cluster)
+          |ORDER BY d.doc_id""".stripMargin),
+
+      // Deterministic hash-fraction sample: md5 renders identical lowercase
+      // hex in both engines, so the survivor SET matches exactly
+      // (thresholdHex(0.25) = floor(0.25 * 16^8) = '40000000')
+      "d_sample_frac" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+          |ORDER BY doc_id""".stripMargin,
+
+      // Exact-N per stratum by deterministic hash rank (key string breaks
+      // md5 ties, mirroring Sampling.stratifiedExact's window order)
+      "d_sample_stratified" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (
+          |    PARTITION BY lang
+          |    ORDER BY md5('s2' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS r
+          |  FROM documents) WHERE r <= 5 ORDER BY lang, doc_id""".stripMargin,
 
       // Brute all-pairs twin of the LSH-bucketed embeddingNearDups verify
       // stage: the planted twins' cosine (≈1) is far above the 0.99 gate and

@@ -389,4 +389,81 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Connected components over a near-dup pair frame → one `(id, cluster)`
+    * row per doc that appears in ANY pair, `cluster` = the minimum id
+    * reachable through the pair graph. This is the resolution step every
+    * pair emitter above feeds: pairs say "these two are near-dups", the
+    * component says "these K docs are all the same content", and
+    * [[dropNearDupLosers]] keeps exactly one per component.
+    *
+    * Algorithm: iterative min-label propagation over the SYMMETRIZED edge
+    * set — each round every node takes the min of its own label and its
+    * neighbors' labels; converged when a round changes nothing. Rounds
+    * needed = graph diameter, and near-dup components are stars/cliques
+    * around shared content (diameter ~2-3 in practice), so the loop
+    * terminates in a handful of rounds; `maxIterations` bounds the
+    * pathological chain case and FAILS LOUDLY rather than returning a
+    * half-merged clustering (for adversarial diameters, the
+    * alternating large-star/small-star formulation converges in O(log n)
+    * rounds — the documented upgrade path, not needed for dedup graphs).
+    *
+    * Scale: every frame in the loop carries ONLY (id, label) — O(docs that
+    * have at least one near-dup), never payloads — and each round is one
+    * join + groupBy on those ids. `localCheckpoint` truncates the
+    * per-round lineage (the frame is ids-only and bounded, unlike the
+    * corpus-scale arrays this codebase deliberately never checkpoints).
+    */
+  def dupClusters(pairs: DataFrame, idA: Column, idB: Column,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(idA.as("a"), idB.as("b"))
+    val sym = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    // seed: every node's label is itself (symmetry puts every endpoint in `a`)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged) {
+      require(it < maxIterations,
+        s"dupClusters did not converge in $maxIterations rounds — the pair " +
+          "graph has a path longer than the bound (not a near-dup shape); " +
+          "raise maxIterations or use an alternating-star implementation")
+      // min label among each node's neighbors, one hop
+      val viaNeighbors = sym
+        .join(labels.select(col("id").as("b"), col("cluster").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.select(col("id"), col("cluster").as("c2"))
+        .join(labels, Seq("id"))
+        .where(col("c2") =!= col("cluster")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
+  /** Keep ONE doc per near-dup component: drops every doc whose id is not
+    * its component's canonical (minimum) id. Docs in no pair pass through
+    * untouched. The loser set is O(near-dup docs) — typically a small
+    * fraction of the corpus — joined anti against the full frame on the id
+    * alone, so the corpus traversal stays a single scan.
+    */
+  def dropNearDupLosers(docs: DataFrame, pairs: DataFrame, id: Column,
+      idA: Column, idB: Column): DataFrame = {
+    val losers = dupClusters(pairs, idA, idB)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser_id"))
+    docs.join(losers, id === col("__loser_id"), "left_anti")
+  }
 }

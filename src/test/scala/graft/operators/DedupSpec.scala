@@ -104,4 +104,34 @@ class DedupSpec extends SparkSpec {
     val dropIds = g.as[Long].collect().toSet
     assert(dropIds == Set(2L))
   }
+
+  test("dupClusters: components resolve to min reachable id, incl. chains") {
+    // components: {1,2,3} via 2-1, 1-3 (node 2 reaches 3 only through 1 —
+    // needs a propagation round, not just direct neighbors), {7,9}, and a
+    // 5-node CHAIN 10-11-12-13-14 (diameter 4 — label must walk the path)
+    val pairs = Seq((2L, 1L), (1L, 3L), (7L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("id_a", "id_b")
+    val c = Dedup.dupClusters(pairs, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L), c.toString)
+  }
+
+  test("dupClusters fails loudly when the iteration bound is hit, never half-merged") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, col("a"), col("b"), maxIterations = 2)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
+  test("dropNearDupLosers keeps one doc per component; unpaired docs untouched") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+    val kept = Dedup.dropNearDupLosers(docs, pairs, col("doc_id"),
+      col("id_a"), col("id_b")).select("doc_id").as[Long].collect().toSet
+    // {1,2,3,6} are one near-dup component (canonical 1); 4 and 5 unpaired
+    assert(kept == Set(1L, 4L, 5L), kept.toString)
+  }
 }

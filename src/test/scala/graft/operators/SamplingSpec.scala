@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling: reproducibility, fraction accuracy, stratum
+  * bounds, salt independence, and the zero-shuffle plan contract.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = spark.range(0L, 10000L)
+    .select(col("id").as("doc_id"),
+      concat(lit("lang"), (col("id") % 7).cast("string")).as("lang"))
+
+  test("hashFraction: deterministic, salt-sensitive, fraction-accurate") {
+    val a = Sampling.hashFraction(corpus, col("doc_id"), 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashFraction(corpus, col("doc_id"), 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same key+salt must select the same rows")
+    // uniform md5 prefix → binomial(10000, 0.25): ±4σ ≈ ±173
+    assert(math.abs(a.size - 2500) < 180, s"fraction off: ${a.size}/10000")
+    val c = Sampling.hashFraction(corpus, col("doc_id"), 0.25, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != a, "a different salt must draw a different subset")
+    assert(Sampling.hashFraction(corpus, col("doc_id"), 0.0).isEmpty)
+    assert(Sampling.hashFraction(corpus, col("doc_id"), 1.0).count() == 10000L)
+  }
+
+  test("hashFraction is a pure filter: no exchange in the plan") {
+    val plan = Sampling.hashFraction(corpus, col("doc_id"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sampling must not shuffle:\n$plan")
+  }
+
+  test("stratifiedExact: exactly min(n, |stratum|) per stratum, deterministic") {
+    val s1 = Sampling.stratifiedExact(corpus, col("lang"), col("doc_id"), 5, "s2")
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.size == 7 && byLang.values.forall(_ == 5L), byLang.toString)
+    val again = Sampling.stratifiedExact(corpus, col("lang"), col("doc_id"), 5, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == s1.select("doc_id").as[Long].collect().toSet)
+    // a stratum smaller than n yields the whole stratum
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "lang")
+    val t = Sampling.stratifiedExact(tiny, col("lang"), col("doc_id"), 5)
+    assert(t.count() == 3L)
+  }
+
+  test("thresholdHex edges: 0 keeps nothing, 1 keeps everything, 0.25 is 40000000") {
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(1.0) == "g")
+    intercept[IllegalArgumentException](Sampling.thresholdHex(1.5))
+  }
+}
