@@ -130,7 +130,9 @@ object ScaleBench {
       import org.apache.spark.sql.functions.col
       val pairs = graft.operators.Dedup
         .minhashLshPairs(docs, col("url"), col("text"), threshold = 0.8)
-        .localCheckpoint(true) // the loop iterates on the pair graph only
+      // no caller-side checkpoint needed: dupClusters evaluates the pair
+      // plan once (explode symmetrization) and iterates on its own
+      // checkpointed ids-only graph
       graft.operators.Dedup
         .dropNearDupLosers(docs, pairs, col("url"), col("id_a"), col("id_b"))
         .count()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Retention, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Retention, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
@@ -398,6 +398,27 @@ object SparkEntry {
           col("lang"), col("doc_id"), n = 5, salt = "s2")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("lang"), col("doc_id"))),
+
+    // ---- text pipeline: PII redaction (planted emails/IPs/digit runs) ----
+    "d_redact_pii" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          TextFunctions.redactPii(concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex-mail.com or 10.0."),
+            (col("doc_id") % 200).cast("string"),
+            lit(".77 card 4111111111111111"))).as("clean"))
+        .orderBy(col("doc_id"))),
+
+    // ---- text pipeline: token-budget shard packing ----------------------
+    "d_pack_bins" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Packing.packByTokenBudget(d, col("lang"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long"), budget = 500L)
+        .select(col("doc_id"), col("lang"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- text analysis: language ID --------------------------------------
     "d_langid" -> ((s, dir) =>
@@ -794,10 +815,12 @@ object SparkEntry {
 
       // Deterministic hash-fraction sample: md5 renders identical lowercase
       // hex in both engines, so the survivor SET matches exactly
-      // (thresholdHex(0.25) = floor(0.25 * 16^8) = '40000000')
+      // (thresholdHex(0.25) = floor(0.25 * 16^8) = '40000000'; the COALESCE
+      // mirrors Sampling.keyStr's null-key sentinel — a no-op on this
+      // fixture's non-null doc_id, kept so the twins stay expression-exact)
       "d_sample_frac" ->
         """SELECT doc_id, lang FROM documents
-          |WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+          |WHERE substr(md5('s1' || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL')), 1, 8) < '40000000'
           |ORDER BY doc_id""".stripMargin,
 
       // Exact-N per stratum by deterministic hash rank (key string breaks
@@ -806,7 +829,8 @@ object SparkEntry {
         """SELECT doc_id, lang FROM (
           |  SELECT doc_id, lang, row_number() OVER (
           |    PARTITION BY lang
-          |    ORDER BY md5('s2' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS r
+          |    ORDER BY md5('s2' || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL')),
+          |             COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL')) AS r
           |  FROM documents) WHERE r <= 5 ORDER BY lang, doc_id""".stripMargin,
 
       // Brute all-pairs twin of the LSH-bucketed embeddingNearDups verify
@@ -864,6 +888,31 @@ object SparkEntry {
           |  FROM documents)
           |SELECT lang, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n_docs
           |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // Same regex chain as TextFunctions.redactPii — the pattern subset is
+      // chosen so Java regex (Spark) and RE2 (DuckDB) agree exactly; the
+      // 'g' flag matches Spark's replace-all default
+      "d_redact_pii" ->
+        """SELECT doc_id,
+          | regexp_replace(regexp_replace(regexp_replace(
+          |   text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-mail.com or 10.0.'
+          |        || CAST(doc_id % 200 AS VARCHAR) || '.77 card 4111111111111111',
+          |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+          |   '[0-9]{8,}', '<NUM>', 'g') AS clean
+          |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+
+      // Packing.packByTokenBudget's exact twin: exclusive running token sum
+      // per lang in doc_id order, bin = floor(before / budget). Both
+      // engines divide as double here; FLOOR result cast to BIGINT to match
+      // Spark's floor(LongType)
+      "d_pack_bins" ->
+        """SELECT doc_id, lang, CAST(FLOOR(COALESCE(SUM(
+          |    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(TRIM(text), '\s+')) END
+          |  ) OVER (PARTITION BY lang ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "d_tokens" ->
         """SELECT source,

@@ -98,4 +98,28 @@ object TextFunctions {
     val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
     aggregate(codes, lit(0L), (acc, c) => acc * 31L + c)
   }
+
+  /** PII redaction patterns — a conservative subset on which Java regex and
+    * RE2 (DuckDB/Go/Rust engines) agree exactly: character classes,
+    * bounded/unbounded repetition, no lookaround, no backreferences. Order
+    * of application matters and is fixed in [[redactPii]]: emails first
+    * (their local part can contain digit runs), then IPv4 (its octets are
+    * short digit runs), then bare digit runs of 8+ (phone/card/account-ish;
+    * 8 avoids years, zip codes, and ordinary quantities).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val DigitRunPattern = "[0-9]{8,}"
+
+  /** Replace email addresses, IPv4 literals, and 8+-digit runs with typed
+    * placeholder tokens. Pure codegen'd `regexp_replace` chain — scales as
+    * a row-local projection; null-safe (null in → null out, like the
+    * engine's other string functions).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      DigitRunPattern, "<NUM>")
 }

@@ -416,9 +416,14 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: Column, idB: Column,
       maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(idA.as("a"), idB.as("b"))
-    val sym = edges
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize with ONE evaluation of the caller's pair plan (explode of
+    // both orientations per row) — a self-union would execute the pair
+    // mining subtree twice inside the checkpoint job
+    val sym = pairs
+      .select(explode(array(
+        struct(idA.as("a"), idB.as("b")),
+        struct(idB.as("a"), idA.as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .localCheckpoint(true)
     // seed: every node's label is itself (symmetry puts every endpoint in `a`)
@@ -444,12 +449,14 @@ object Dedup {
       val changed = next.select(col("id"), col("cluster").as("c2"))
         .join(labels, Seq("id"))
         .where(col("c2") =!= col("cluster")).count()
-      labels.unpersist(false)
+      // no explicit unpersist: localCheckpoint blocks are not CacheManager
+      // entries (Dataset.unpersist would be a no-op on them) — the
+      // ContextCleaner frees each round's blocks once the driver GCs the
+      // superseded Dataset, and the frames are ids-only and bounded
       labels = next
       converged = changed == 0L
       it += 1
     }
-    sym.unpersist(false)
     labels
   }
 

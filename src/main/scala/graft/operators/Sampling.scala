@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-mix curation: which rows survive is
@@ -21,9 +20,21 @@ object Sampling {
     * independent samples independent (two different salts draw two
     * different subsets) and guards against the corpus key distribution
     * correlating with any downstream hash use of the same key.
+    *
+    * NULL keys hash as one NUL-prefixed sentinel (the `chr(0)||'NULL'`
+    * convention the exact-dedup oracle uses, unreachable from real text
+    * keys in practice) so they are sampled all-or-none like any other
+    * single key instead of being silently DROPPED — an unguarded
+    * `md5(null) < threshold` is null and a filter on it would exclude
+    * every null-key row even at fraction 1.0, and a null rank key would
+    * sort differently across engines (Spark NULLS FIRST, DuckDB NULLS
+    * LAST).
     */
+  private def keyStr(key: Column): Column =
+    coalesce(key.cast("string"), lit("\u0000NULL"))
+
   private def hashCol(key: Column, salt: String): Column =
-    md5(concat(lit(salt), key.cast("string")))
+    md5(concat(lit(salt), keyStr(key)))
 
   /** Threshold hex literal for a fraction: first 8 hex chars of the hash
     * compared lexicographically against `floor(f * 16^8)` zero-padded —
@@ -61,10 +72,9 @@ object Sampling {
   def stratifiedExact(df: DataFrame, stratum: Column, key: Column, n: Int,
       salt: String = ""): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val w = Window.partitionBy(stratum)
-      .orderBy(hashCol(key, salt), key.cast("string"))
-    df.withColumn("__sample_rank", row_number().over(w))
-      .where(col("__sample_rank") <= n)
-      .drop("__sample_rank")
+    // the W4 rank-n idiom, one home: hash is the priority, the key string
+    // breaks md5 ties (both non-null via keyStr, so no cross-engine
+    // null-ordering divergence can enter the rank)
+    Retention.topKPerGroup(df, stratum, hashCol(key, salt), keyStr(key), n)
   }
 }

@@ -74,4 +74,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sh(1) == Seq("a b"))
     assert(sh(2) == Seq.empty)
   }
+
+  test("redactPii: emails, IPv4, 8+-digit runs → typed placeholders; short digits survive") {
+    val in = Seq(
+      "mail bob.smith+x@ex-mail.co.uk now",
+      "server at 192.168.0.1 port 8080",
+      "card 4111111111111111 zip 90210 year 2024",
+      "a1@b.io and 10.0.0.77 and 123456789",
+      "clean text with no pii at all").toDF("t")
+    val out = in.select(TextFunctions.redactPii(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(out(0) == "mail <EMAIL> now", out(0))
+    assert(out(1) == "server at <IP> port 8080", out(1))
+    // 16-digit card redacted; 5-digit zip and 4-digit year kept
+    assert(out(2) == "card <NUM> zip 90210 year 2024", out(2))
+    assert(out(3) == "<EMAIL> and <IP> and <NUM>", out(3))
+    assert(out(4) == "clean text with no pii at all", out(4))
+    // null-safe: null in → null out
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r")).collect().head
+    assert(n.isNullAt(0))
+  }
 }

@@ -50,6 +50,21 @@ class SamplingSpec extends SparkSpec {
     assert(t.count() == 3L)
   }
 
+  test("null keys are sampled as one sentinel key, never silently dropped") {
+    val withNulls = Seq((Some("k1"), "x"), (None, "x"), (None, "y"))
+      .toDF("key", "lang")
+    // fraction 1.0 must be the identity — null keys included
+    assert(Sampling.hashFraction(withNulls, col("key"), 1.0).count() == 3L)
+    // all-or-none: both null-key rows share one hash verdict at any fraction
+    val kept = Sampling.hashFraction(withNulls, col("key"), 0.5, "z")
+      .where(col("key").isNull).count()
+    assert(kept == 0L || kept == 2L, s"null keys split: $kept")
+    // stratifiedExact ranks null keys via the sentinel (no engine-specific
+    // null ordering in the window), and never errors on them
+    val t = Sampling.stratifiedExact(withNulls, col("lang"), col("key"), 1)
+    assert(t.count() == 2L) // one per stratum
+  }
+
   test("thresholdHex edges: 0 keeps nothing, 1 keeps everything, 0.25 is 40000000") {
     assert(Sampling.thresholdHex(0.25) == "40000000")
     assert(Sampling.thresholdHex(0.0) == "00000000")
