@@ -41,6 +41,21 @@ class PackingSpec extends SparkSpec {
     assert(a == b, "bin assignment must not depend on input partitioning")
   }
 
+  test("duplicate orderKeys with a tieBreak stay deterministic across partitionings") {
+    // two docs share k=7; the tieBreak (unique id) completes the total
+    // order, so bin assignment cannot follow physical row order
+    val rows = Seq(("a", 7L, 1L, 600L), ("a", 7L, 2L, 10L), ("a", 9L, 3L, 10L))
+    val df1 = rows.toDF("shard", "k", "id", "tok")
+    val df2 = rows.reverse.toDF("shard", "k", "id", "tok").repartition(4)
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Packing.packByTokenBudget(df, col("shard"), col("k"), col("tok"),
+          budget = 500L, tieBreak = col("id"))
+        .select("id", "bin").as[(Long, Long)].collect().toSet
+    val expected = Set((1L, 0L), (2L, 1L), (3L, 1L)) // order (k,id): 600,10,10
+    assert(pack(df1) == expected && pack(df2) == expected,
+      s"${pack(df1)} vs ${pack(df2)}")
+  }
+
   test("budget must be positive") {
     val df = Seq(("a", 1L, 1L)).toDF("shard", "k", "tok")
     intercept[IllegalArgumentException] {
