@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Retention, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Retention, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
@@ -418,6 +418,20 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long"), budget = 500L)
         .select(col("doc_id"), col("lang"), col("bin"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- text pipeline: benchmark decontamination -----------------------
+    // (eval set = first 12 words of every 13th doc; a pair is contaminated
+    // when corpus and benchmark share >= 3 distinct 5-gram shingles)
+    "d_contaminated" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.where(col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ",
+            slice(TextFunctions.words(col("text")), 1, 12)).as("btext"))
+      Decontaminate.contaminatedPairs(docs, col("doc_id"), col("text"),
+          bench, col("bench_id"), col("btext"), shingleN = 5, minShared = 3)
+        .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
     // ---- text analysis: language ID --------------------------------------
@@ -913,6 +927,38 @@ object SparkEntry {
           |  ) OVER (PARTITION BY lang ORDER BY doc_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Decontaminate.contaminatedPairs twin: same word split (TRIM +
+      // '\s+' — the fixture-safe pair the d_tokens gate already validates),
+      // same shingle CASE as TextFunctions.shingles (0 words → none,
+      // < n words → one all-words shingle), distinct per side, shared
+      // count >= 3 at n = 5
+      "d_contaminated" ->
+        """WITH bench AS (
+          |  SELECT doc_id AS bench_id,
+          |    array_to_string((CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+          |      THEN CAST([] AS VARCHAR[])
+          |      ELSE string_split_regex(TRIM(text), '\s+') END)[1:12], ' ') AS btext
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |cw AS (SELECT doc_id AS corpus_id,
+          |         CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+          |              ELSE string_split_regex(TRIM(text), '\s+') END AS w FROM documents),
+          |cs AS (SELECT corpus_id, UNNEST(list_distinct(
+          |         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+          |              WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+          |              ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')) END)) AS s
+          |       FROM cw),
+          |bw AS (SELECT bench_id,
+          |         CASE WHEN btext IS NULL OR LENGTH(TRIM(btext)) = 0 THEN CAST([] AS VARCHAR[])
+          |              ELSE string_split_regex(TRIM(btext), '\s+') END AS w FROM bench),
+          |bs AS (SELECT bench_id, UNNEST(list_distinct(
+          |         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+          |              WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+          |              ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' ')) END)) AS s
+          |       FROM bw)
+          |SELECT corpus_id, bench_id, CAST(COUNT(*) AS BIGINT) AS shared_shingles
+          |FROM cs JOIN bs USING (s) GROUP BY 1, 2 HAVING COUNT(*) >= 3
+          |ORDER BY corpus_id, bench_id""".stripMargin,
 
       "d_tokens" ->
         """SELECT source,
