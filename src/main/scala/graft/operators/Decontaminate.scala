@@ -57,9 +57,15 @@ object Decontaminate {
       corpus: DataFrame, corpusId: Column, corpusText: Column,
       bench: DataFrame, benchId: Column, benchText: Column,
       shingleN: Int = 5, minShared: Int = 3): DataFrame = {
+    // flagged is bounded by |benchmark| × contamination rate — the same
+    // smallness argument as the probe side — so BROADCAST the anti join
+    // too: without the hint the post-aggregation frame has no size stats
+    // and the planner would shuffle the whole corpus by id through a
+    // SortMergeJoin. No distinct: left_anti ignores duplicate keys.
     val flagged = contaminatedPairs(corpus, corpusId, corpusText,
         bench, benchId, benchText, shingleN, minShared)
-      .select(col("corpus_id").as("__contaminated_id")).distinct()
-    corpus.join(flagged, corpusId === col("__contaminated_id"), "left_anti")
+      .select(col("corpus_id").as("__contaminated_id"))
+    corpus.join(broadcast(flagged),
+      corpusId === col("__contaminated_id"), "left_anti")
   }
 }
