@@ -19,6 +19,14 @@ import graft.fixtures.WebGen
   */
 object ScaleBench {
 
+  /** ONE exact-match mode read shared by fixture selection and the pass
+    * dispatch — a substring match in one place and equality in another
+    * would let a sloppy env value (e.g. "cluster-mode") build the text
+    * fixture and then run the WRONG pass over it.
+    */
+  private def scaleMode: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "validate").trim
+
   private val Rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
   private val FixtureDir = s"target/fixtures/bench_wp_v2_$Rows"
 
@@ -120,7 +128,7 @@ object ScaleBench {
 
   /** One full validation pass over the given input; counts outputs. */
   private def pass(s: SparkSession, dir: String): Unit = {
-    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("cluster")) {
+    if (scaleMode == "cluster") {
       // full dedup RESOLUTION path at row scale: MinHash+LSH pairs over the
       // realistic-vocabulary fixture, then connected components + canonical
       // survivor count — the end-to-end "drop the near-dups from the
@@ -137,7 +145,7 @@ object ScaleBench {
         .dropNearDupLosers(docs, pairs, col("url"), col("id_a"), col("id_b"))
         .count()
       ()
-    } else if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dedup")) {
+    } else if (scaleMode == "dedup") {
       // MinHash+LSH near-dup pass over realistic-vocabulary text: signature
       // UDF (64 hashes), banded candidate shuffle (ids only), capped buckets,
       // exact-Jaccard verify — the LLM-pipeline dedup path at row scale.
@@ -148,7 +156,7 @@ object ScaleBench {
         .minhashLshPairs(docs, col("url"), col("text"), threshold = 0.8)
         .count()
       ()
-    } else if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("scan")) {
+    } else if (scaleMode == "scan") {
       // perfectly-parallel control: single stage, no shuffle, no driver work
       // (regex-extract + compare over every row) — measures the machine's
       // scaling ceiling for the engine's string-heavy workload class
@@ -170,8 +178,7 @@ object ScaleBench {
   /** Timed pass over the fixture; returns wall seconds. */
   private def run(cores: Int): Double = {
     // cluster mode resolves the same text fixture's pair graph
-    val dedup = sys.env.get("SPARK_GRAFT_SCALE_MODE")
-      .exists(m => m.contains("dedup") || m.contains("cluster"))
+    val dedup = scaleMode == "dedup" || scaleMode == "cluster"
     val (warm, main) =
       if (dedup) (dedupFixtureDir + ".warm", dedupFixtureDir)
       else (warmDir, FixtureDir)
@@ -185,9 +192,7 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (sys.env.get("SPARK_GRAFT_SCALE_MODE")
-        .exists(m => m.contains("dedup") || m.contains("cluster")))
-      ensureDedupFixture()
+    if (scaleMode == "dedup" || scaleMode == "cluster") ensureDedupFixture()
     else ensureFixture()
     // Single-measurement mode: `runMain graft.ScaleBench <cores> [reps]`
     // prints one JSON line. Meant to run under an OS-level core budget

@@ -138,7 +138,14 @@ object StreamCompact {
     lineageDirs.foreach { ld =>
       // 2) recovery sweep: a roll-up IN PLACE is committed (the rename was
       // its commit point); any source it recorded that still exists is a
-      // leftover of a crash between rename and deletion — finish the job
+      // leftover of a crash between rename and deletion — finish the job.
+      // Name-match deletion is safe because batch ids within ONE lineage
+      // dir are monotone for the table's lifetime: the lineage IS the
+      // streaming query id ([[StreamingValidate.lineageOf]] — stable per
+      // checkpoint, fresh for a recreated one), so a recorded
+      // `ingest_batch=<n>` name can never be re-committed by a live
+      // stream (a recreated checkpoint restarts ids under a NEW lineage
+      // dir with its own roll-ups and records).
       val entries = fs.listStatus(ld.getPath).filter(_.isDirectory)
       val byName = entries.map(e => e.getPath.getName -> e).toMap
       // one read per sources record per run: the sweep and the
