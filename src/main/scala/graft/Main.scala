@@ -338,9 +338,17 @@ object Main {
               s"invalid --target-file-mb: '$mbRaw' (expected MB >= 1)\n$usage")
             sys.exit(64); throw new IllegalStateException
           }
+        val dryRun = opts.getOrElse("dry-run", "off") match {
+          case "on"  => true
+          case "off" => false
+          case other =>
+            System.err.println(s"invalid --dry-run: '$other' (on|off)\n$usage")
+            sys.exit(64); throw new IllegalStateException
+        }
         val results = graft.streaming.StreamCompact.compactAll(
-          spark, outDir, keep, targetBytes)
-        results.foreach(r => println(s"[sodspark] compact ${r.summary}"))
+          spark, outDir, keep, targetBytes, dryRun)
+        val tag = if (dryRun) "compact DRY-RUN (nothing changed)" else "compact"
+        results.foreach(r => println(s"[sodspark] $tag ${r.summary}"))
         spark.stop()
 
       // Manifest-table maintenance: reclaim snapshot dirs superseded by
@@ -388,7 +396,7 @@ object Main {
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"),
-    "compact-stream" -> Set("keep-batches", "target-file-mb"),
+    "compact-stream" -> Set("keep-batches", "target-file-mb", "dry-run"),
     "drain-alerts" -> Set("alert-endpoint"))
 
   /** Left-to-right argument parse: positionals kept in order, each `--flag`
@@ -444,7 +452,7 @@ object Main {
       |                                  the reference's allowAppendOutlier dial)
       |  graft.Main vacuum <table> [--grace-hours <h>]
       |      (reclaim superseded manifest-mode snapshots older than the grace)
-      |  graft.Main compact-stream <outDir> [--keep-batches <k>] [--target-file-mb <mb>]
+      |  graft.Main compact-stream <outDir> [--keep-batches <k>] [--target-file-mb <mb>] [--dry-run on]
       |      (roll old per-micro-batch dirs of pages/violations/verdicts into
       |       one large-file roll-up per lineage; the newest k batch dirs per
       |       lineage are never touched — k >= 1 keeps stream replay safe.

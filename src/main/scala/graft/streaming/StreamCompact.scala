@@ -89,9 +89,10 @@ object StreamCompact {
 
   /** Compact every standard tree under a streaming-sink `outDir`. */
   def compactAll(spark: SparkSession, outDir: String, keepBatches: Int = 2,
-      targetFileBytes: Long = 128L * 1024 * 1024): Seq[TableResult] =
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      dryRun: Boolean = false): Seq[TableResult] =
     Tables.map(t => compactTable(spark, s"$outDir/$t", t, keepBatches,
-      targetFileBytes))
+      targetFileBytes, dryRun))
 
   /** Compact one `lineage=…/ingest_batch=…` tree. Idempotent and
     * crash-recovering: re-running after any interruption converges to the
@@ -99,7 +100,13 @@ object StreamCompact {
     * protocol).
     */
   def compactTable(spark: SparkSession, tablePath: String, tableName: String,
-      keepBatches: Int, targetFileBytes: Long): TableResult = {
+      keepBatches: Int, targetFileBytes: Long,
+      /** Report what this run WOULD do — orphan stagings swept, leftover
+        * sources recovered, dirs/files absorbed per lineage — without
+        * touching the filesystem. The counts use the same planning code as
+        * the real run, so `--dry-run` output is the real run's contract.
+        */
+      dryRun: Boolean = false): TableResult = {
     require(keepBatches >= 1,
       "keepBatches must be >= 1: the newest batch per lineage may be " +
         "replayed by a restarted stream and must never be moved")
@@ -125,7 +132,8 @@ object StreamCompact {
     var swept = 0
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(StagingPrefix)).foreach { s =>
-      if (fs.delete(s.getPath, true)) swept += 1
+      if (dryRun) swept += 1
+      else if (fs.delete(s.getPath, true)) swept += 1
     }
 
     val lineageDirs = fs.listStatus(root)
@@ -157,13 +165,19 @@ object StreamCompact {
       sourcesOf.foreach { case (_, names) =>
         names.foreach { name =>
           byName.get(name).foreach { src =>
-            if (fs.delete(src.getPath, true)) recovered += 1
+            if (dryRun) recovered += 1
+            else if (fs.delete(src.getPath, true)) recovered += 1
           }
         }
       }
+      // a dry run plans from the UNRECOVERED listing minus what the sweep
+      // would delete — mirror that subtraction without touching anything
+      val recoveredNames: Set[String] =
+        if (dryRun) sourcesOf.values.flatten.toSet else Set.empty
 
       // 3) plan this lineage from the RECOVERED listing
       val live = fs.listStatus(ld.getPath).filter(_.isDirectory)
+        .filterNot(e => recoveredNames.contains(e.getPath.getName))
         .flatMap(e => batchIdOf(e).map(id => (id, e)))
       val positive = live.filter(_._1 >= 0).sortBy(_._1)
       val rollups = live.filter(_._1 < 0)
@@ -186,7 +200,12 @@ object StreamCompact {
           s"[stream-compact] $tableName/${ld.getPath.getName}/" +
             s"${sh.getPath.getName} has no committed data files — skipped") }
         val readable = readableL.map(_._1)
-        if (readable.nonEmpty) {
+        if (readable.nonEmpty && dryRun) {
+          // planning numbers only — no read, no staging, no rename
+          compacted += 1
+          absorbedDirs += readable.length
+          absorbedFiles += readableL.map(_._2.length.toLong).sum
+        } else if (readable.nonEmpty) {
           val srcBytes = readableL.map(_._2.map(_.getLen).sum).sum
           val srcFiles = readableL.map(_._2.length.toLong).sum
           // never REUSE a roll-up id: an absorbed roll-up's name stays

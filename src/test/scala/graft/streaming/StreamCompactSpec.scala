@@ -140,6 +140,29 @@ class StreamCompactSpec extends SparkSpec {
     assert(e.getMessage.contains("not atomic"), e.getMessage)
   }
 
+  test("dry run mutates nothing and predicts the real run's counts") {
+    val out = Files.createTempDirectory("compact_dry").toString
+    (0L to 4L).foreach(b => seed(out, "q1", b, Seq(page(b.toInt))))
+    val orphan = Paths.get(s"$out/pages/.compact-staging-dead")
+    Files.createDirectories(orphan)
+    val before = batchDirs(s"$out/pages")
+    val dry = StreamCompact.compactAll(spark, out, keepBatches = 1,
+      dryRun = true)
+    val dp = dry.find(_.table == "pages").get
+    assert(dp.compactedLineages == 1 && dp.absorbedDirs == 4 &&
+      dp.sweptStagings == 1, dp.summary)
+    // NOTHING changed: same dirs, orphan staging still present
+    assert(batchDirs(s"$out/pages") == before && Files.exists(orphan))
+    // the real run delivers exactly the dry run's absorb counts
+    val real = StreamCompact.compactAll(spark, out, keepBatches = 1)
+    val rp = real.find(_.table == "pages").get
+    assert(rp.compactedLineages == dp.compactedLineages &&
+      rp.absorbedDirs == dp.absorbedDirs &&
+      rp.absorbedFiles == dp.absorbedFiles,
+      s"dry=${dp.summary} real=${rp.summary}")
+    assert(batchDirs(s"$out/pages") == Seq("ingest_batch=-1", "ingest_batch=4"))
+  }
+
   test("a missing or empty tree is a zero no-op, not an error") {
     val out = Files.createTempDirectory("compact_empty").toString
     val res = StreamCompact.compactAll(spark, out)
