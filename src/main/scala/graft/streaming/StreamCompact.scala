@@ -104,7 +104,10 @@ object StreamCompact {
       /** Report what this run WOULD do — orphan stagings swept, leftover
         * sources recovered, dirs/files absorbed per lineage — without
         * touching the filesystem. The counts use the same planning code as
-        * the real run, so `--dry-run` output is the real run's contract.
+        * the real run, so `--dry-run` output is the real run's contract —
+        * with one caveat: sweep/recovery counts assume the deletions will
+        * succeed (the real run counts only successful `fs.delete`s, so an
+        * undeletable dir makes the real numbers LOWER, never higher).
         */
       dryRun: Boolean = false): TableResult = {
     require(keepBatches >= 1,
@@ -175,8 +178,11 @@ object StreamCompact {
       val recoveredNames: Set[String] =
         if (dryRun) sourcesOf.values.flatten.toSet else Set.empty
 
-      // 3) plan this lineage from the RECOVERED listing
-      val live = fs.listStatus(ld.getPath).filter(_.isDirectory)
+      // 3) plan this lineage from the RECOVERED listing (a dry run deleted
+      // nothing, so its step-2 listing is still current — re-listing would
+      // double the per-lineage RPCs for no new information)
+      val live = (if (dryRun) entries
+        else fs.listStatus(ld.getPath).filter(_.isDirectory))
         .filterNot(e => recoveredNames.contains(e.getPath.getName))
         .flatMap(e => batchIdOf(e).map(id => (id, e)))
       val positive = live.filter(_._1 >= 0).sortBy(_._1)

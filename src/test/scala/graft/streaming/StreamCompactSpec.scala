@@ -95,9 +95,19 @@ class StreamCompactSpec extends SparkSpec {
     copyTree(stash, src)
     assert(spark.read.parquet(s"$out/pages")
       .where($"url" === "https://e.org/0").count() == 2)
+    // a DRY run over the crash state must count the recovery, EXCLUDE the
+    // leftover source from its absorb plan (the recoveredNames mirror of
+    // the real sweep), and change nothing on disk
+    val dry = StreamCompact.compactAll(spark, out, keepBatches = 1,
+      dryRun = true).find(_.table == "pages").get
+    assert(dry.recoveredDeletes == 1, dry.summary)
+    assert(Files.exists(src), "dry run must not delete the leftover source")
     val res = StreamCompact.compactAll(spark, out, keepBatches = 1)
-    assert(res.find(_.table == "pages").get.recoveredDeletes == 1,
-      res.map(_.summary).toString)
+    val rp = res.find(_.table == "pages").get
+    assert(rp.recoveredDeletes == 1, res.map(_.summary).toString)
+    assert(rp.compactedLineages == dry.compactedLineages &&
+      rp.absorbedDirs == dry.absorbedDirs,
+      s"dry=${dry.summary} real=${rp.summary}")
     assert(spark.read.parquet(s"$out/pages").select("url").as[String]
       .collect().sorted.toSeq == (0 to 2).map(i => s"https://e.org/$i"),
       "recovery must delete the leftover source exactly once")
