@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine._
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Retention, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
@@ -419,6 +419,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bin"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- crawl hygiene: domain-blocklist URL filter ---------------------
+    // (suffix semantics: d7.example.org blocks that subtree only; counts
+    // per partition after filtering prove exactly the right rows dropped)
+    "d_url_filter" -> ((s, dir) =>
+      UrlFilter.dropBlockedDomains(wp(s, dir), col("url"),
+          Seq("d7.example.org", "d13.example.org", "blocked.test"))
+        .groupBy(col("part")).agg(count(lit(1)).as("kept_cnt"))
+        .orderBy(col("part"))),
 
     // ---- text pipeline: benchmark decontamination -----------------------
     // (eval set = first 12 words of every 13th doc; a pair is contaminated
@@ -927,6 +936,26 @@ object SparkEntry {
           |  ) OVER (PARTITION BY lang ORDER BY doc_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // UrlFilter twin: same host regex (both engines' regex dialects agree
+      // on this subset), same >= 2-label dot-suffix candidate set, same
+      // suffix-overlap rule against the literal blocklist
+      "d_url_filter" ->
+        (Derive.WpSql + """,
+          |hosts AS (SELECT part,
+          |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS h
+          |  FROM wp),
+          |cand AS (SELECT part, h,
+          |    CASE WHEN h IS NULL OR h = '' THEN CAST([] AS VARCHAR[])
+          |         WHEN len(string_split(h, '.')) <= 1 THEN [h]
+          |         ELSE list_transform(
+          |           generate_series(1, len(string_split(h, '.')) - 1),
+          |           i -> array_to_string(string_split(h, '.')[i:len(string_split(h, '.'))], '.'))
+          |    END AS sfx
+          |  FROM hosts)
+          |SELECT part, COUNT(*) AS kept_cnt FROM cand
+          |WHERE NOT list_has_any(sfx, ['d7.example.org', 'd13.example.org', 'blocked.test'])
+          |GROUP BY part ORDER BY part""".stripMargin),
 
       // Decontaminate.contaminatedPairs twin: same word split (TRIM +
       // '\s+' — the fixture-safe pair the d_tokens gate already validates),

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Domain-blocklist URL filtering: suffix semantics, malformed-URL
+  * tolerance, case handling, and the no-shuffle plan contract.
+  */
+class UrlFilterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, "https://example.org/a"),            // apex of a blocked domain
+    (2L, "https://a.example.org/b"),          // subdomain of blocked domain
+    (3L, "https://b.a.example.org/c"),        // deeper subdomain
+    (4L, "https://notexample.org/d"),         // suffix of the STRING, not the domain
+    (5L, "https://d7.allowed.net/e"),         // exact-host blocklist entry elsewhere
+    (6L, "https://sub.d7.allowed.net/f"),     // under the exact-host entry
+    (7L, "HTTPS://EXAMPLE.ORG/G"),            // case-insensitive host
+    (8L, "ftp://files.example.org/h"),        // any scheme
+    (9L, "not a url at all"),                 // hostless → kept
+    (10L, null.asInstanceOf[String]),         // null → kept
+    (11L, "https://localhost/i")              // single-label host
+  ).toDF("id", "url")
+
+  test("suffix semantics: a domain entry blocks its subtree and nothing else") {
+    val kept = UrlFilter.dropBlockedDomains(rows, col("url"),
+        Seq("example.org", "d7.allowed.net"))
+      .select("id").as[Long].collect().toSet
+    // 1,2,3,7,8 under example.org; 5,6 under d7.allowed.net; 4 is a
+    // string-suffix but NOT a dot-suffix; 9/10 hostless; 11 single-label
+    assert(kept == Set(4L, 9L, 10L, 11L), kept.toString)
+  }
+
+  test("single-label hosts and empty blocklists behave exactly") {
+    val kept = UrlFilter.dropBlockedDomains(rows, col("url"), Seq("localhost"))
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(11L) && kept.size == rows.count() - 1, kept.toString)
+    assert(UrlFilter.dropBlockedDomains(rows, col("url"), Seq.empty)
+      .count() == rows.count())
+    // entries are trimmed + lowercased
+    val norm = UrlFilter.dropBlockedDomains(rows, col("url"),
+      Seq("  EXAMPLE.ORG  ")).select("id").as[Long].collect().toSet
+    assert(!norm.contains(1L) && !norm.contains(2L), norm.toString)
+  }
+
+  test("the filter is row-local: no exchange in the plan") {
+    val plan = UrlFilter.dropBlockedDomains(rows, col("url"),
+        Seq("example.org")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist filter must not shuffle:\n$plan")
+  }
+}
