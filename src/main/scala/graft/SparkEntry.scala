@@ -420,6 +420,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- text quality: intra-doc repetition ratio (Gopher-style) --------
+    "d_repetition" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          round(TextFunctions.repetitionRatio(col("text"), 3), 6).as("rep"))
+        .orderBy(col("doc_id"))),
+
     // ---- crawl hygiene: domain-blocklist URL filter ---------------------
     // (suffix semantics: d7.example.org blocks that subtree only; counts
     // per partition after filtering prove exactly the right rows dropped)
@@ -936,6 +943,25 @@ object SparkEntry {
           |  ) OVER (PARTITION BY lang ORDER BY doc_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // repetitionRatio twin: same TRIM + '\s+' word split as the d_tokens
+      // gate, same shingle CASE as TextFunctions.shingles at n=3, one
+      // IEEE division per doc (no aggregation — float summation order
+      // cannot enter), rounded 6 dp both sides
+      "d_repetition" ->
+        """WITH w AS (SELECT doc_id,
+          |    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(TRIM(text), '\s+') END AS ws
+          |  FROM documents),
+          |sh AS (SELECT doc_id,
+          |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+          |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+          |         ELSE list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+          |  FROM w)
+          |SELECT doc_id,
+          |  ROUND(CASE WHEN len(sh) = 0 THEN 0.0
+          |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END, 6) AS rep
+          |FROM sh ORDER BY doc_id""".stripMargin,
 
       // UrlFilter twin: same host regex (both engines' regex dialects agree
       // on this subset), same >= 2-label dot-suffix candidate set, same

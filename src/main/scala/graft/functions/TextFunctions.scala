@@ -122,4 +122,20 @@ object TextFunctions {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       DigitRunPattern, "<NUM>")
+
+  /** Intra-document repetition ratio — the Gopher/RefinedWeb-style
+    * boilerplate signal: the fraction of word n-gram occurrences that are
+    * REPEATS of an n-gram already seen in the same document,
+    * `1 - distinct(shingles)/total(shingles)`. 0 = no repeated n-gram,
+    * → 1 for a document that loops one phrase. Texts too short to carry n
+    * words score 0 (a single all-words shingle cannot repeat), as do
+    * null/blank texts. Pure row-local arithmetic over [[shingles]] — no
+    * shuffle, exactly replicable in SQL.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
 }

@@ -75,6 +75,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sh(2) == Seq.empty)
   }
 
+  test("repetitionRatio: exact fractions; short/blank/null texts score 0") {
+    val r = Seq(
+      "a b c a b c a b c",   // 7 shingles, 3 distinct → 4/7 repeated
+      "w x y z",             // 2 shingles, both distinct → 0
+      "one two",             // < 3 words → single shingle → 0
+      "",                    // blank → 0
+      null.asInstanceOf[String])
+      .toDF("t").select(TextFunctions.repetitionRatio(col("t"), 3).as("r"))
+      .as[Double].collect().toSeq
+    assert(math.abs(r(0) - 4.0 / 7) < 1e-12, r(0).toString)
+    assert(r(1) == 0.0 && r(2) == 0.0 && r(3) == 0.0 && r(4) == 0.0, r.toString)
+  }
+
   test("redactPii: emails, IPv4, 8+-digit runs → typed placeholders; short digits survive") {
     val in = Seq(
       "mail bob.smith+x@ex-mail.co.uk now",
