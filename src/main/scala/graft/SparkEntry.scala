@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine._
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
+import graft.operators.{Boilerplate, Decontaminate, Dedup, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
@@ -425,6 +425,33 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           round(TextFunctions.repetitionRatio(col("text"), 3), 6).as("rep"))
+        .orderBy(col("doc_id"))),
+
+    // ---- boilerplate: cross-doc frequent-line stripping ------------------
+    // (testdata text is single-line, so the query plants a universal nav
+    // header plus a footer on even docs — identical derivation in the
+    // oracle; the odd docs' "ref <id>" footer is unique and must survive)
+    "d_strip_lines" -> ((s, dir) => {
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat_ws("\n",
+          lit("HOME | ABOUT | CONTACT"),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("(c) 2026 Example Corp"))
+            .otherwise(concat(lit("ref "), col("doc_id").cast("string"))))
+          .as("text"))
+      Boilerplate.stripFrequentLines(planted, "doc_id", "text", minDocs = 30L)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- boilerplate: within-doc duplicate-line removal ------------------
+    "d_line_dedup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          TextFunctions.dedupLinesInDoc(concat_ws("\n",
+            col("text"), lit("dup"), lit("dup"), lit(""), lit("dup"),
+            col("text"))).as("clean"))
         .orderBy(col("doc_id"))),
 
     // ---- crawl hygiene: domain-blocklist URL filter ---------------------
@@ -962,6 +989,41 @@ object SparkEntry {
           |  ROUND(CASE WHEN len(sh) = 0 THEN 0.0
           |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END, 6) AS rep
           |FROM sh ORDER BY doc_id""".stripMargin,
+
+      // stripFrequentLines twin: same planted header/footer, same blank-line
+      // immunity, same >= 30-distinct-doc threshold; zipped unnests give the
+      // line ordinality, string_agg(ORDER BY pos) mirrors the array_sort
+      // rebuild; docs stripped to nothing come back as '' via the left join
+      "d_strip_lines" ->
+        """WITH base AS (SELECT doc_id,
+          |    'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10) ||
+          |    CASE WHEN doc_id % 2 = 0 THEN '(c) 2026 Example Corp'
+          |         ELSE 'ref ' || CAST(doc_id AS VARCHAR) END AS text
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |    unnest(string_split(text, chr(10))) AS line,
+          |    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+          |  FROM base),
+          |freq AS (SELECT line FROM l WHERE length(trim(line)) > 0
+          |  GROUP BY line HAVING count(DISTINCT doc_id) >= 30),
+          |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+          |  FROM l WHERE line NOT IN (SELECT line FROM freq) GROUP BY doc_id)
+          |SELECT b.doc_id, COALESCE(r.text, '') AS text
+          |FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
+
+      // dedupLinesInDoc twin: DuckDB lambda indexes are 1-based where
+      // Spark's filter() index is 0-based — list_position(ls,x)=i here IS
+      // array_position(ls,x)=i+1 there; blank lines pass both filters
+      "d_line_dedup" ->
+        """SELECT doc_id,
+          |  array_to_string(list_filter(ls, (x, i) ->
+          |    length(trim(x)) = 0 OR list_position(ls, x) = i), chr(10)) AS clean
+          |FROM (SELECT doc_id, string_split(
+          |    text || chr(10) || 'dup' || chr(10) || 'dup' || chr(10) ||
+          |    chr(10) || 'dup' || chr(10) || text, chr(10)) AS ls
+          |  FROM documents WHERE doc_id % 7 = 0)
+          |ORDER BY doc_id""".stripMargin,
 
       // UrlFilter twin: same host regex (both engines' regex dialects agree
       // on this subset), same >= 2-label dot-suffix candidate set, same

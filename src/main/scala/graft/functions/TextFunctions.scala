@@ -138,4 +138,22 @@ object TextFunctions {
       .otherwise(lit(1.0) -
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
+
+  /** Within-document duplicate-line removal — the RefinedWeb-style cleanup
+    * that keeps only the FIRST occurrence of each exact line. Blank
+    * (trimmed-empty) lines are structure, not content, and are always kept;
+    * every later repeat of a non-blank line is dropped. Pure row-local
+    * higher-order-function work (split → indexed filter → join), no
+    * shuffle, null in → null out. For cross-document boilerplate (the same
+    * footer in thousands of pages) see
+    * `graft.operators.Boilerplate.stripFrequentLines` — frequency across
+    * docs is a corpus property this row-local function cannot see.
+    */
+  def dedupLinesInDoc(text: Column): Column = {
+    val ls = split(text, "\n", -1)
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n",
+        filter(ls, (x, i) =>
+          length(trim(x)) === 0 || array_position(ls, x) === (i + 1).cast("long"))))
+  }
 }

@@ -88,6 +88,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(1) == 0.0 && r(2) == 0.0 && r(3) == 0.0 && r(4) == 0.0, r.toString)
   }
 
+  test("dedupLinesInDoc: first occurrence kept, blanks immune, null in → null out") {
+    val r = Seq(
+      "t\ndup\ndup\n\ndup\nt",   // later repeats drop; blank stays
+      "a\n\n\nb",                // repeated BLANK lines all stay
+      "solo",
+      null.asInstanceOf[String])
+      .toDF("t").select(TextFunctions.dedupLinesInDoc(col("t")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("t\ndup\n", "a\n\n\nb", "solo", null), r.map(Option(_)).toString)
+  }
+
   test("redactPii: emails, IPv4, 8+-digit runs → typed placeholders; short digits survive") {
     val in = Seq(
       "mail bob.smith+x@ex-mail.co.uk now",
