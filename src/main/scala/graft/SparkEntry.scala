@@ -432,10 +432,13 @@ object SparkEntry {
     // header plus a footer on even docs — identical derivation in the
     // oracle; the odd docs' "ref <id>" footer is unique and must survive)
     "d_strip_lines" -> ((s, dir) => {
+      // coalesce on BOTH sides: Spark's concat_ws SKIPS null while
+      // DuckDB's || PROPAGATES it — '' keeps the twins identical even if
+      // the fixture ever grows null-text rows
       val planted = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), concat_ws("\n",
           lit("HOME | ABOUT | CONTACT"),
-          col("text"),
+          coalesce(col("text"), lit("")),
           when(col("doc_id") % 2 === 0, lit("(c) 2026 Example Corp"))
             .otherwise(concat(lit("ref "), col("doc_id").cast("string"))))
           .as("text"))
@@ -450,8 +453,9 @@ object SparkEntry {
         .where(col("doc_id") % 7 === 0)
         .select(col("doc_id"),
           TextFunctions.dedupLinesInDoc(concat_ws("\n",
-            col("text"), lit("dup"), lit("dup"), lit(""), lit("dup"),
-            col("text"))).as("clean"))
+            coalesce(col("text"), lit("")), lit("dup"), lit("dup"),
+            lit(""), lit("dup"),
+            coalesce(col("text"), lit("")))).as("clean"))
         .orderBy(col("doc_id"))),
 
     // ---- crawl hygiene: domain-blocklist URL filter ---------------------
@@ -996,7 +1000,7 @@ object SparkEntry {
       // rebuild; docs stripped to nothing come back as '' via the left join
       "d_strip_lines" ->
         """WITH base AS (SELECT doc_id,
-          |    'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10) ||
+          |    'HOME | ABOUT | CONTACT' || chr(10) || COALESCE(text, '') || chr(10) ||
           |    CASE WHEN doc_id % 2 = 0 THEN '(c) 2026 Example Corp'
           |         ELSE 'ref ' || CAST(doc_id AS VARCHAR) END AS text
           |  FROM documents),
@@ -1004,7 +1008,8 @@ object SparkEntry {
           |    unnest(string_split(text, chr(10))) AS line,
           |    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
           |  FROM base),
-          |freq AS (SELECT line FROM l WHERE length(trim(line)) > 0
+          |freq AS (SELECT line FROM l
+          |  WHERE length(trim(line, ' ' || chr(9) || chr(13))) > 0
           |  GROUP BY line HAVING count(DISTINCT doc_id) >= 30),
           |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
           |  FROM l WHERE line NOT IN (SELECT line FROM freq) GROUP BY doc_id)
@@ -1018,10 +1023,12 @@ object SparkEntry {
       "d_line_dedup" ->
         """SELECT doc_id,
           |  array_to_string(list_filter(ls, (x, i) ->
-          |    length(trim(x)) = 0 OR list_position(ls, x) = i), chr(10)) AS clean
+          |    length(trim(x, ' ' || chr(9) || chr(13))) = 0
+          |    OR list_position(ls, x) = i), chr(10)) AS clean
           |FROM (SELECT doc_id, string_split(
-          |    text || chr(10) || 'dup' || chr(10) || 'dup' || chr(10) ||
-          |    chr(10) || 'dup' || chr(10) || text, chr(10)) AS ls
+          |    COALESCE(text, '') || chr(10) || 'dup' || chr(10) || 'dup' ||
+          |    chr(10) || chr(10) || 'dup' || chr(10) || COALESCE(text, ''),
+          |    chr(10)) AS ls
           |  FROM documents WHERE doc_id % 7 = 0)
           |ORDER BY doc_id""".stripMargin,
 

@@ -140,20 +140,28 @@ object TextFunctions {
   }
 
   /** Within-document duplicate-line removal — the RefinedWeb-style cleanup
-    * that keeps only the FIRST occurrence of each exact line. Blank
-    * (trimmed-empty) lines are structure, not content, and are always kept;
-    * every later repeat of a non-blank line is dropped. Pure row-local
-    * higher-order-function work (split → indexed filter → join), no
-    * shuffle, null in → null out. For cross-document boilerplate (the same
-    * footer in thousands of pages) see
-    * `graft.operators.Boilerplate.stripFrequentLines` — frequency across
-    * docs is a corpus property this row-local function cannot see.
+    * that keeps only the FIRST occurrence of each exact line. Blank lines
+    * (empty after trimming spaces/tabs/CR, so CRLF separator lines count)
+    * are structure, not content, and are always kept; every later repeat
+    * of a non-blank line is dropped. Pure row-local higher-order-function
+    * work (split → indexed filter → join), no shuffle, null in → null out.
+    *
+    * Cost is O(L²) in the doc's LINE count (`array_position` rescans from
+    * the front for each element) — nothing for prose documents (10²–10³
+    * lines), but a pathological 10⁵-line log-like payload burns minutes in
+    * one task; route such corpora through the
+    * `graft.operators.Boilerplate.stripFrequentLines` explode→groupBy
+    * shape (per-line rows, one shuffle) instead. Cross-document
+    * boilerplate (the same footer in thousands of pages) also belongs
+    * there — frequency across docs is a corpus property this row-local
+    * function cannot see.
     */
   def dedupLinesInDoc(text: Column): Column = {
     val ls = split(text, "\n", -1)
     when(text.isNull, lit(null).cast("string"))
       .otherwise(concat_ws("\n",
         filter(ls, (x, i) =>
-          length(trim(x)) === 0 || array_position(ls, x) === (i + 1).cast("long"))))
+          length(trim(x, " \t\r")) === 0 ||
+            array_position(ls, x) === (i + 1).cast("long"))))
   }
 }

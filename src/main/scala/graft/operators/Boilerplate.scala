@@ -1,16 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-document boilerplate-line removal — the CCNet/RefinedWeb cleanup
   * stage: a line that recurs (byte-identical) in at least `minDocs`
   * DISTINCT documents is template chrome (nav bars, cookie banners,
   * copyright footers), not content, and is stripped from every document
-  * where it appears. Line order is preserved; blank (trimmed-empty) lines
-  * are never counted and never stripped; a document whose every line is
-  * boilerplate survives with empty text (dropping empties is the quality
-  * filter's decision, not this operator's).
+  * where it appears. Line order is preserved; blank lines (empty after
+  * trimming spaces, tabs and carriage returns — so CRLF separator lines
+  * count as blank too) are never counted and never stripped; a document
+  * whose every line is boilerplate survives with empty text (dropping
+  * empties is the quality filter's decision, not this operator's).
   *
   * Scale shape, in pass order:
   *  1. one explode scan (`posexplode(split)`) — linear, no shuffle;
@@ -18,10 +19,12 @@ import org.apache.spark.sql.functions._
   *     `countDistinct(doc)`) — the only row-scale shuffle, with map-side
   *     partial aggregation so a hot line (the whole point: boilerplate IS
   *     hot) leaves each map task once per doc-partial, not once per row;
-  *  3. the frequent set is broadcast for the anti join — it is tiny BY
-  *     CONSTRUCTION (only lines crossing the `minDocs` threshold survive
-  *     the HAVING), the same built-small-then-broadcast idiom as
-  *     [[Decontaminate]]'s probe side;
+  *  3. an anti join against the frequent set. `minDocs` bounds each
+  *     line's FREQUENCY, not the set's CARDINALITY: a web-scale crawl can
+  *     clear the threshold with tens of millions of distinct template
+  *     lines, so the default broadcast hint is an explicit dial —
+  *     `broadcastFrequent = false` falls back to a shuffled anti join
+  *     when the frequent set may not fit a broadcast;
   *  4. one `groupBy(doc)` rebuild shuffle over surviving lines
   *     (`collect_list(struct(pos, line))` + `array_sort` — per-doc state
   *     is one document's lines, never a global sort).
@@ -35,24 +38,46 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
+  /** Blank under the operator's rule: empty after trimming spaces, tabs
+    * and carriage returns (tolerates CRLF input split on `\n`, where every
+    * separator line is `"\r"` — content, and near-universal, under a
+    * space-only trim).
+    */
+  private[operators] def isBlankLine(x: Column): Column =
+    length(trim(x, " \t\r")) === 0
+
   /** Strip every line occurring in >= `minDocs` distinct documents.
     * Returns the input frame with `textCol` rebuilt (column moves to the
     * end); all other columns ride through. Null text is treated as empty
     * (rebuilt as `""`).
+    *
+    * PRECONDITION: `idCol` must be unique and non-null — it is the rebuild
+    * key. Rows sharing an id would have their lines interleaved into one
+    * merged text on every such row; null ids would rebuild as `""`. This
+    * is the same per-document contract as every dedup/sampling operator
+    * here; run the uniqueness check first if the corpus can't promise it.
+    *
+    * @param broadcastFrequent hint the frequent-line set broadcast-sized
+    *   (default). TRUE is right when boilerplate is a curated/expected
+    *   small set; at open-web scale the frequent set itself can be tens
+    *   of millions of lines — pass FALSE there and the anti join shuffles
+    *   on the line key instead of forcing a driver-side collect.
     */
   def stripFrequentLines(docs: DataFrame, idCol: String, textCol: String,
-                         minDocs: Long): DataFrame = {
+                         minDocs: Long,
+                         broadcastFrequent: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = docs.select(col(idCol).as("__bp_id"),
       posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
         .as(Seq("__bp_pos", "__bp_line")))
     val frequent = lines
-      .where(length(trim(col("__bp_line"))) > 0)
+      .where(!isBlankLine(col("__bp_line")))
       .groupBy(col("__bp_line"))
       .agg(countDistinct(col("__bp_id")).as("__bp_ndocs"))
       .where(col("__bp_ndocs") >= minDocs)
       .select(col("__bp_line"))
-    val kept = lines.join(broadcast(frequent), Seq("__bp_line"), "left_anti")
+    val probe = if (broadcastFrequent) broadcast(frequent) else frequent
+    val kept = lines.join(probe, Seq("__bp_line"), "left_anti")
     val rebuilt = kept
       .groupBy(col("__bp_id"))
       .agg(concat_ws("\n",

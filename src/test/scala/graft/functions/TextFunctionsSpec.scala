@@ -92,11 +92,13 @@ class TextFunctionsSpec extends SparkSpec {
     val r = Seq(
       "t\ndup\ndup\n\ndup\nt",   // later repeats drop; blank stays
       "a\n\n\nb",                // repeated BLANK lines all stay
+      "a\r\n\r\na\r",            // CRLF: "\r" separator lines are blank
       "solo",
       null.asInstanceOf[String])
       .toDF("t").select(TextFunctions.dedupLinesInDoc(col("t")).as("c"))
       .collect().map(_.getString(0)).toSeq
-    assert(r == Seq("t\ndup\n", "a\n\n\nb", "solo", null), r.map(Option(_)).toString)
+    assert(r == Seq("t\ndup\n", "a\n\n\nb", "a\r\n\r", "solo", null),
+      r.map(Option(_)).toString)
   }
 
   test("redactPii: emails, IPv4, 8+-digit runs → typed placeholders; short digits survive") {

@@ -57,6 +57,42 @@ class BoilerplateSpec extends SparkSpec {
     assert(out == Seq("a\n\nx", "b\n\ny", "c\n\nz"), out.toString)
   }
 
+  test("CRLF input: '\\r' separator lines are blank — kept, never counted") {
+    // split on \n leaves \r on every line; the separator line IS "\r".
+    // Under a space-only trim it would be near-universal "content" and
+    // every paragraph break would be stripped corpus-wide.
+    val d = Seq(
+      (1L, "body 1\r\n\r\nFOOT\r"),
+      (2L, "body 2\r\n\r\nFOOT\r"),
+      (3L, "body 3\r\n\r\nFOOT\r")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripFrequentLines(d, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").select($"text").as[String].collect().toSeq
+    assert(out == Seq("body 1\r\n\r", "body 2\r\n\r", "body 3\r\n\r"), out.toString)
+  }
+
+  test("broadcastFrequent=false: the planner is free NOT to broadcast the anti join") {
+    // At toy scale Catalyst auto-broadcasts anyway; the dial's contract is
+    // the absence of the FORCED hint. Disable auto-broadcast to stand in
+    // for the planner's at-scale "too big" decision and prove the plan
+    // degrades to a shuffled anti join instead of an OOM-bound broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = Boilerplate
+        .stripFrequentLines(docs, "doc_id", "text", 3L, broadcastFrequent = false)
+        .queryExecution.executedPlan.toString
+      val antiLines = plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(antiLines.nonEmpty && antiLines.forall(!_.contains("Broadcast")), plan)
+      // and the hinted default still broadcasts even under the same conf
+      val hinted = Boilerplate.stripFrequentLines(docs, "doc_id", "text", 3L)
+        .queryExecution.executedPlan.toString
+      assert(hinted.linesIterator.exists(l =>
+        l.contains("LeftAnti") && l.contains("Broadcast")), hinted)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("plan: the frequent-line anti join broadcasts the small side") {
     val plan = Boilerplate.stripFrequentLines(docs, "doc_id", "text", 3L)
       .queryExecution.executedPlan.toString
