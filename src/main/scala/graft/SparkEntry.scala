@@ -427,6 +427,28 @@ object SparkEntry {
           round(TextFunctions.repetitionRatio(col("text"), 3), 6).as("rep"))
         .orderBy(col("doc_id"))),
 
+    // ---- text quality: Gopher rule metrics -------------------------------
+    // (the fixture's word soup carries only "the" from the stop set, so
+    // every doc would fail on stop_hits alone; planting the stop tail on a
+    // quarter of the docs — identically in the oracle — makes the keep
+    // conjunction actually flip on the data)
+    "d_gopher" -> ((s, dir) => {
+      val enriched = when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" be to of and that have with")))
+        .otherwise(col("text"))
+      val m = TextFunctions.gopherMetrics(enriched)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          m.getField("n_words").as("n_words"),
+          round(m.getField("mean_word_len"), 4).as("mean_word_len"),
+          round(m.getField("alpha_frac"), 4).as("alpha_frac"),
+          round(m.getField("bullet_frac"), 4).as("bullet_frac"),
+          round(m.getField("ellipsis_frac"), 4).as("ellipsis_frac"),
+          m.getField("stop_hits").as("stop_hits"),
+          m.getField("keep").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- boilerplate: cross-doc frequent-line stripping ------------------
     // (testdata text is single-line, so the query plants a universal nav
     // header plus a footer on even docs — identical derivation in the
@@ -993,6 +1015,43 @@ object SparkEntry {
           |  ROUND(CASE WHEN len(sh) = 0 THEN 0.0
           |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END, 6) AS rep
           |FROM sh ORDER BY doc_id""".stripMargin,
+
+      // gopherMetrics twin: same word split as the d_tokens gate, same
+      // trimmed-line set, one IEEE division per metric, raw (un-rounded)
+      // values inside the keep conjunction on both sides
+      "d_gopher" ->
+        """WITH e AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 4 = 0 THEN text || ' be to of and that have with'
+          |         ELSE text END AS text
+          |  FROM documents),
+          |w AS (SELECT doc_id,
+          |    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(TRIM(text), '\s+') END AS ws,
+          |    list_transform(string_split(COALESCE(text, ''), chr(10)),
+          |                   l -> trim(l, ' ' || chr(9) || chr(13))) AS tl
+          |  FROM e),
+          |m AS (SELECT doc_id,
+          |    len(ws) AS n_words,
+          |    CASE WHEN len(ws) = 0 THEN 0.0
+          |         ELSE CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE) / len(ws) END AS mean_word_len,
+          |    CASE WHEN len(ws) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS alpha_frac,
+          |    CAST(len(list_filter(tl, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE) / len(tl) AS bullet_frac,
+          |    CAST(len(list_filter(tl, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(tl) AS ellipsis_frac,
+          |    len(list_intersect(list_transform(ws, x -> lower(x)),
+          |        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+          |  FROM w)
+          |SELECT doc_id, n_words,
+          |  ROUND(mean_word_len, 4) AS mean_word_len,
+          |  ROUND(alpha_frac, 4) AS alpha_frac,
+          |  ROUND(bullet_frac, 4) AS bullet_frac,
+          |  ROUND(ellipsis_frac, 4) AS ellipsis_frac,
+          |  stop_hits,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |   AND alpha_frac >= 0.8 AND bullet_frac <= 0.9
+          |   AND ellipsis_frac <= 0.3 AND stop_hits >= 2) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin,
 
       // stripFrequentLines twin: same planted header/footer, same blank-line
       // immunity, same >= 30-distinct-doc threshold; zipped unnests give the

@@ -156,6 +156,65 @@ object TextFunctions {
     * there — frequency across docs is a corpus property this row-local
     * function cannot see.
     */
+  /** Gopher stop-word set (Rae et al. 2021, "Scaling Language Models"):
+    * a kept document must contain at least two of these.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality metrics — the standard web-text repetition/format
+    * filters, exactly specified for SQL-oracle parity. Returns a struct of
+    *  - `n_words`      whitespace words ([[words]] semantics),
+    *  - `mean_word_len` sum(len(word))/n_words (one IEEE division; 0 when
+    *                    the doc is empty),
+    *  - `alpha_frac`   fraction of words containing an ASCII letter,
+    *  - `bullet_frac`  fraction of lines whose trimmed form starts with
+    *                   `-`, `*` or `•` (lines split on `\n`, trimmed of
+    *                   spaces/tabs/CR so CRLF input behaves),
+    *  - `ellipsis_frac` fraction of lines whose trimmed form ends with
+    *                   `...` or `…`,
+    *  - `stop_hits`    DISTINCT [[GopherStopWords]] present (lowercased),
+    *  - `keep`         the Gopher conjunction: 50 <= n_words <= 100000,
+    *                   3 <= mean_word_len <= 10, alpha_frac >= 0.8,
+    *                   bullet_frac <= 0.9, ellipsis_frac <= 0.3,
+    *                   stop_hits >= 2 (raw, un-rounded values).
+    * Pure row-local codegen'd HOF/regex work — no shuffle, no UDF; null
+    * text behaves as empty (n_words 0, keep false).
+    */
+  def gopherMetrics(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val lines = split(coalesce(text, lit("")), "\n", -1)
+    val trimmedLines = transform(lines, l => trim(l, " \t\r"))
+    val nLines = size(lines)
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(aggregate(ws, lit(0L), (a, w) => a + length(w))
+        .cast("double") / nWords)
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(size(filter(ws, w => w.rlike("[A-Za-z]")))
+        .cast("double") / nWords)
+    val bulletFrac = size(filter(trimmedLines, l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(trimmedLines, l =>
+        l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines
+    val stopHits = size(array_intersect(
+      transform(ws, w => lower(w)),
+      array(GopherStopWords.map(lit): _*)))
+    val keep = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      alphaFrac >= 0.8 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      stopHits >= 2
+    struct(
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      keep.as("keep"))
+  }
+
   def dedupLinesInDoc(text: Column): Column = {
     val ls = split(text, "\n", -1)
     when(text.isNull, lit(null).cast("string"))

@@ -88,6 +88,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(1) == 0.0 && r(2) == 0.0 && r(3) == 0.0 && r(4) == 0.0, r.toString)
   }
 
+  test("gopherMetrics: each rule exact; the keep conjunction flips per rule") {
+    val pass = "the be to of and that have with " + ("alpha " * 52).trim
+    val rows = Seq(
+      pass,                         // 60 words, all rules pass
+      "- a\n- b\n- c\nplain d",     // 3/4 bullet lines, 7 words
+      "x...\ny…\nz",                // 2/3 ellipsis lines
+      "the to " + ("ok " * 58).trim, // 60 words but mean_word_len 2.2 → fail
+      "",                           // blank
+      null.asInstanceOf[String])
+      .toDF("t")
+      .select(TextFunctions.gopherMetrics(col("t")).as("m"))
+      .select(col("m.n_words"), col("m.mean_word_len"), col("m.alpha_frac"),
+        col("m.bullet_frac"), col("m.ellipsis_frac"), col("m.stop_hits"),
+        col("m.keep"))
+      .collect()
+    val p = rows(0)
+    assert(p.getLong(0) == 60L && p.getLong(5) == 8L && p.getBoolean(6), p.toString)
+    assert(math.abs(p.getDouble(1) - (24 + 52 * 5) / 60.0) < 1e-12, p.toString)
+    assert(p.getDouble(2) == 1.0 && p.getDouble(3) == 0.0, p.toString)
+    val b = rows(1)
+    assert(b.getDouble(3) == 0.75 && !b.getBoolean(6), b.toString)
+    val e = rows(2)
+    assert(math.abs(e.getDouble(4) - 2.0 / 3) < 1e-12 && !e.getBoolean(6), e.toString)
+    val short = rows(3)
+    assert(short.getLong(0) == 60L && short.getDouble(1) < 3.0 && !short.getBoolean(6),
+      short.toString)
+    assert(rows(4).getLong(0) == 0L && !rows(4).getBoolean(6), rows(4).toString)
+    assert(rows(5).getLong(0) == 0L && !rows(5).getBoolean(6), rows(5).toString)
+  }
+
   test("dedupLinesInDoc: first occurrence kept, blanks immune, null in → null out") {
     val r = Seq(
       "t\ndup\ndup\n\ndup\nt",   // later repeats drop; blank stays
