@@ -427,6 +427,26 @@ object SparkEntry {
           round(TextFunctions.repetitionRatio(col("text"), 3), 6).as("rep"))
         .orderBy(col("doc_id"))),
 
+    // ---- crawl hygiene: URL canonicalization -----------------------------
+    // (messy variants planted per orderkey — ports, case, utm params,
+    // fragments — in a fixed composition order mirrored by the oracle)
+    "d_url_canon" -> ((s, dir) => {
+      val key = col("o_orderkey")
+      val base = concat(lit("https://d"), (key % 100).cast("string"),
+        lit(".example.org/p/"), key.cast("string"))
+      val u1 = when(key % 7 === 0,
+          replace(base, lit(".example.org/"), lit(".example.org:443/")))
+        .otherwise(base)
+      val u2 = when(key % 5 === 0, upper(u1)).otherwise(u1)
+      val u3 = when(key % 2 === 0, concat(u2, lit("?utm_source=news&b=2&a=1")))
+        .otherwise(u2)
+      val u4 = when(key % 3 === 0, concat(u3, lit("#frag"))).otherwise(u3)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(key.as("k"), u4.as("url_in"),
+          UrlFilter.canonicalizeUrl(u4).as("url_canon"))
+        .orderBy(col("k"))
+    }),
+
     // ---- text quality: Gopher rule metrics -------------------------------
     // (the fixture's word soup carries only "the" from the stop set, so
     // every doc would fail on stop_hits alone; planting the stop tail on a
@@ -1015,6 +1035,42 @@ object SparkEntry {
           |  ROUND(CASE WHEN len(sh) = 0 THEN 0.0
           |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END, 6) AS rep
           |FROM sh ORDER BY doc_id""".stripMargin,
+
+      // canonicalizeUrl twin: same planted composition order, same regex
+      // pieces (a dialect subset both engines parse identically), same
+      // bytewise param sort; path case preserved, only scheme/auth lowered
+      "d_url_canon" ->
+        """WITH b AS (SELECT o_orderkey AS k,
+          |    'https://d' || CAST(o_orderkey % 100 AS VARCHAR) ||
+          |    '.example.org/p/' || CAST(o_orderkey AS VARCHAR) AS u
+          |  FROM orders),
+          |s1 AS (SELECT k, CASE WHEN k % 7 = 0
+          |    THEN replace(u, '.example.org/', '.example.org:443/') ELSE u END AS u FROM b),
+          |s2 AS (SELECT k, CASE WHEN k % 5 = 0 THEN upper(u) ELSE u END AS u FROM s1),
+          |s3 AS (SELECT k, CASE WHEN k % 2 = 0
+          |    THEN u || '?utm_source=news&b=2&a=1' ELSE u END AS u FROM s2),
+          |s4 AS (SELECT k, CASE WHEN k % 3 = 0 THEN u || '#frag' ELSE u END AS u FROM s3),
+          |p AS (SELECT k, u,
+          |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+          |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+          |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS qry
+          |  FROM s4),
+          |q AS (SELECT k, u, scheme, pth,
+          |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+          |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+          |         ELSE auth END AS auth2,
+          |    list_sort(list_filter(string_split(qry, '&'),
+          |      x -> length(x) > 0 AND NOT starts_with(lower(x), 'utm_'))) AS params
+          |  FROM p)
+          |SELECT k, u AS url_in,
+          |  CASE WHEN u IS NULL THEN NULL
+          |       WHEN NOT regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN u
+          |       ELSE scheme || '://' || auth2 || pth ||
+          |            CASE WHEN len(params) > 0
+          |                 THEN '?' || array_to_string(params, '&') ELSE '' END
+          |  END AS url_canon
+          |FROM q ORDER BY k""".stripMargin,
 
       // gopherMetrics twin: same word split as the d_tokens gate, same
       // trimmed-line set, one IEEE division per metric, raw (un-rounded)

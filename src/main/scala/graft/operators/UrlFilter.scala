@@ -61,4 +61,38 @@ object UrlFilter {
   def dropBlockedDomains(df: DataFrame, url: Column,
       blockedDomains: Seq[String]): DataFrame =
     df.where(!blockedBy(url, blockedDomains))
+
+  /** URL canonicalization — the pre-dedup normalization step: two crawls
+    * of the same page should collapse to one key before the uniqueness /
+    * dedup passes see them. Exactly-specified rules (each replicable in
+    * SQL; applied only to scheme-prefixed URLs — anything else, including
+    * null, passes through unchanged):
+    *  - scheme and authority lowercased; path/query case PRESERVED,
+    *  - default port stripped (`:80` for http, `:443` for https — only
+    *    those exact scheme/port pairs),
+    *  - fragment (`#...`) dropped,
+    *  - query rebuilt: split on `&`, drop empty params and tracking params
+    *    starting with `utm_` (case-insensitive), sort the rest
+    *    lexicographically (bytewise), rejoin; a query left empty loses its
+    *    `?`.
+    * Pure row-local codegen'd regex/HOF work — no shuffle, pushes like any
+    * projection.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*"
+    val scheme = lower(regexp_extract(url, s"($schemeRe)://", 1))
+    val auth = lower(regexp_extract(url, s"$schemeRe://([^/?#]*)", 1))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_extract(url, s"$schemeRe://[^/?#]*([^?#]*)", 1)
+    val qry = regexp_extract(url, s"$schemeRe://[^?#]*\\?([^#]*)", 1)
+    val params = array_sort(filter(split(qry, "&"),
+      p => length(p) > 0 && !lower(p).startsWith("utm_")))
+    val qpart = when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+      .otherwise(lit(""))
+    when(url.isNull, lit(null).cast("string"))
+      .when(!url.rlike(s"$schemeRe://"), url)
+      .otherwise(concat(scheme, lit("://"), authNoPort, path, qpart))
+  }
 }

@@ -51,4 +51,36 @@ class UrlFilterSpec extends SparkSpec {
         Seq("example.org")).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"blocklist filter must not shuffle:\n$plan")
   }
+
+  test("canonicalizeUrl: each rule exact; malformed and null pass through") {
+    val io = Seq(
+      // case: scheme+host lowered, path case preserved
+      "HTTPS://D3.Example.ORG/P/9" -> "https://d3.example.org/P/9",
+      // default ports stripped only for the matching scheme
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:80/x" -> "https://a.com:80/x",
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // fragment dropped
+      "https://a.com/x#sec-2" -> "https://a.com/x",
+      // query: utm_* dropped (case-insensitive), rest sorted, empties gone
+      "https://a.com/x?utm_source=n&b=2&a=1" -> "https://a.com/x?a=1&b=2",
+      "https://a.com/x?UTM_CAMPAIGN=z&z=9" -> "https://a.com/x?z=9",
+      "https://a.com/x?utm_source=n" -> "https://a.com/x",
+      "https://a.com/x?&&a=1" -> "https://a.com/x?a=1",
+      "https://a.com/x?" -> "https://a.com/x",
+      // everything at once
+      "HTTP://A.COM:80/Y?utm_x=1&B=2&a=9#f" -> "http://a.com/Y?B=2&a=9",
+      // no scheme → untouched
+      "not a url" -> "not a url",
+      "/relative/path?utm_source=x" -> "/relative/path?utm_source=x"
+    )
+    val got = io.map(_._1).toDF("u")
+      .select(UrlFilter.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    io.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"$g != $want") }
+    val n = Seq(null.asInstanceOf[String]).toDF("u")
+      .select(UrlFilter.canonicalizeUrl(col("u"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
