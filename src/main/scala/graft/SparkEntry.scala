@@ -974,21 +974,25 @@ object SparkEntry {
           |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
 
       "d_quality" ->
-        """WITH scored AS (
+        """WITH tt AS (
+          |  SELECT lang, text,
+          |    regexp_replace(COALESCE(text, ''), '^\s+|\s+$', '', 'g') AS t2
+          |  FROM documents),
+          |scored AS (
           |  SELECT lang,
           |    ROUND(
           |      0.4 * LEAST(1.0, LENGTH(COALESCE(text,'')) / 200.0) +
           |      0.4 * (CASE WHEN LENGTH(COALESCE(text,'')) = 0 THEN 0.0
           |             ELSE CAST(LENGTH(regexp_replace(LOWER(COALESCE(text,'')), '[^a-z ]', '', 'g')) AS DOUBLE)
           |                  / LENGTH(COALESCE(text,'')) END) +
-          |      0.2 * (CASE WHEN (CASE WHEN LENGTH(TRIM(COALESCE(text,''))) = 0 THEN 0
-          |                        ELSE len(string_split_regex(TRIM(COALESCE(text,'')), '\s+')) END) = 0 THEN 0.5
+          |      0.2 * (CASE WHEN (CASE WHEN LENGTH(t2) = 0 THEN 0
+          |                        ELSE len(string_split_regex(t2, '\s+')) END) = 0 THEN 0.5
           |                  WHEN (CAST(LENGTH(COALESCE(text,'')) AS DOUBLE)
-          |                        - (len(string_split_regex(TRIM(COALESCE(text,'')), '\s+')) - 1.0))
-          |                       / len(string_split_regex(TRIM(COALESCE(text,'')), '\s+'))
+          |                        - (len(string_split_regex(t2, '\s+')) - 1.0))
+          |                       / len(string_split_regex(t2, '\s+'))
           |                       BETWEEN 3.0 AND 12.0 THEN 1.0
           |                  ELSE 0.5 END), 6) AS q
-          |  FROM documents)
+          |  FROM tt)
           |SELECT lang, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n_docs
           |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -1023,8 +1027,11 @@ object SparkEntry {
       // cannot enter), rounded 6 dp both sides
       "d_repetition" ->
         """WITH w AS (SELECT doc_id,
-          |    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
-          |         ELSE string_split_regex(TRIM(text), '\s+') END AS ws
+          |    CASE WHEN text IS NULL
+          |           OR LENGTH(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+          |         THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(
+          |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws
           |  FROM documents),
           |sh AS (SELECT doc_id,
           |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
@@ -1052,21 +1059,24 @@ object SparkEntry {
           |s4 AS (SELECT k, CASE WHEN k % 3 = 0 THEN u || '#frag' ELSE u END AS u FROM s3),
           |p AS (SELECT k, u,
           |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-          |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+          |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth_raw,
           |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
           |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS qry
           |  FROM s4),
           |q AS (SELECT k, u, scheme, pth,
-          |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
-          |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-          |         ELSE auth END AS auth2,
+          |    regexp_extract(auth_raw, '^(.*@)', 1) AS ui,
+          |    CASE WHEN scheme = 'http'
+          |           THEN regexp_replace(lower(regexp_replace(auth_raw, '^.*@', '')), ':80$', '')
+          |         WHEN scheme = 'https'
+          |           THEN regexp_replace(lower(regexp_replace(auth_raw, '^.*@', '')), ':443$', '')
+          |         ELSE lower(regexp_replace(auth_raw, '^.*@', '')) END AS hp,
           |    list_sort(list_filter(string_split(qry, '&'),
           |      x -> length(x) > 0 AND NOT starts_with(lower(x), 'utm_'))) AS params
           |  FROM p)
           |SELECT k, u AS url_in,
           |  CASE WHEN u IS NULL THEN NULL
           |       WHEN NOT regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN u
-          |       ELSE scheme || '://' || auth2 || pth ||
+          |       ELSE scheme || '://' || ui || hp || pth ||
           |            CASE WHEN len(params) > 0
           |                 THEN '?' || array_to_string(params, '&') ELSE '' END
           |  END AS url_canon
@@ -1081,10 +1091,14 @@ object SparkEntry {
           |         ELSE text END AS text
           |  FROM documents),
           |w AS (SELECT doc_id,
-          |    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
-          |         ELSE string_split_regex(TRIM(text), '\s+') END AS ws,
-          |    list_transform(string_split(COALESCE(text, ''), chr(10)),
-          |                   l -> trim(l, ' ' || chr(9) || chr(13))) AS tl
+          |    CASE WHEN text IS NULL
+          |           OR LENGTH(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+          |         THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(
+          |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws,
+          |    list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+          |                  l -> trim(l, ' ' || chr(9) || chr(13))),
+          |                x -> x <> '') AS tl
           |  FROM e),
           |m AS (SELECT doc_id,
           |    len(ws) AS n_words,
@@ -1092,8 +1106,10 @@ object SparkEntry {
           |         ELSE CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE) / len(ws) END AS mean_word_len,
           |    CASE WHEN len(ws) = 0 THEN 0.0
           |         ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS alpha_frac,
-          |    CAST(len(list_filter(tl, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE) / len(tl) AS bullet_frac,
-          |    CAST(len(list_filter(tl, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(tl) AS ellipsis_frac,
+          |    CASE WHEN len(tl) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(tl, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE) / len(tl) END AS bullet_frac,
+          |    CASE WHEN len(tl) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(tl, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(tl) END AS ellipsis_frac,
           |    len(list_intersect(list_transform(ws, x -> lower(x)),
           |        ['the','be','to','of','and','that','have','with'])) AS stop_hits
           |  FROM w)
@@ -1173,15 +1189,18 @@ object SparkEntry {
       // < n words → one all-words shingle), distinct per side, shared
       // count >= 3 at n = 5
       "d_contaminated" ->
-        """WITH bench AS (
+        """WITH dt AS (SELECT doc_id, text,
+          |    regexp_replace(COALESCE(text, ''), '^\s+|\s+$', '', 'g') AS t2
+          |  FROM documents),
+          |bench AS (
           |  SELECT doc_id AS bench_id,
-          |    array_to_string((CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+          |    array_to_string((CASE WHEN LENGTH(t2) = 0
           |      THEN CAST([] AS VARCHAR[])
-          |      ELSE string_split_regex(TRIM(text), '\s+') END)[1:12], ' ') AS btext
-          |  FROM documents WHERE doc_id % 13 = 0),
+          |      ELSE string_split_regex(t2, '\s+') END)[1:12], ' ') AS btext
+          |  FROM dt WHERE doc_id % 13 = 0),
           |cw AS (SELECT doc_id AS corpus_id,
-          |         CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
-          |              ELSE string_split_regex(TRIM(text), '\s+') END AS w FROM documents),
+          |         CASE WHEN LENGTH(t2) = 0 THEN CAST([] AS VARCHAR[])
+          |              ELSE string_split_regex(t2, '\s+') END AS w FROM dt),
           |cs AS (SELECT corpus_id, UNNEST(list_distinct(
           |         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
           |              WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
@@ -1199,13 +1218,19 @@ object SparkEntry {
           |FROM cs JOIN bs USING (s) GROUP BY 1, 2 HAVING COUNT(*) >= 3
           |ORDER BY corpus_id, bench_id""".stripMargin,
 
+      // tt strips the boundary with the same \s class as the split (SQL
+      // TRIM is space-only and would leave a phantom token after a final
+      // newline) — mirrors TextFunctions.words
       "d_tokens" ->
-        """SELECT source,
-          | CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-          |   ELSE len(string_split_regex(TRIM(text), '\s+')) END) AS BIGINT) AS total_tokens,
-          | ROUND(AVG(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-          |   ELSE len(string_split_regex(TRIM(text), '\s+')) END), 4) AS avg_tokens
-          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        """WITH t AS (SELECT source,
+          |    regexp_replace(COALESCE(text, ''), '^\s+|\s+$', '', 'g') AS tt
+          |  FROM documents)
+          |SELECT source,
+          | CAST(SUM(CASE WHEN LENGTH(tt) = 0 THEN 0
+          |   ELSE len(string_split_regex(tt, '\s+')) END) AS BIGINT) AS total_tokens,
+          | ROUND(AVG(CASE WHEN LENGTH(tt) = 0 THEN 0
+          |   ELSE len(string_split_regex(tt, '\s+')) END), 4) AS avg_tokens
+          |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
       "d_fingerprint" ->
         """SELECT doc_id,

@@ -12,10 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace-token count. Empty/blank → 0. */
-  def tokenCount(text: Column): Column =
-    when(text.isNull || length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** Whitespace-token count ([[words]] semantics). Empty/blank → 0. */
+  def tokenCount(text: Column): Column = size(words(text))
 
   /** BPE-style pre-tokenizer count: letter runs, single digits, and single
     * punctuation marks — the classic GPT-2-ish pre-tokenization shape,
@@ -28,10 +26,16 @@ object TextFunctions {
     when(text.isNull, lit(0))
       .otherwise(size(regexp_extract_all(text, lit(BpePattern), lit(0))))
 
-  /** Word array (whitespace split of trimmed text). */
-  def words(text: Column): Column =
-    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  /** Word array: whitespace split with the boundary stripped by the SAME
+    * `\s` class as the split — SQL TRIM strips only spaces, so a doc ending
+    * in a newline (ubiquitous in web text) used to sprout a phantom empty
+    * token that inflated every word-derived metric. Null/blank → empty.
+    */
+  def words(text: Column): Column = {
+    val tt = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(text.isNull || tt === "", array().cast("array<string>"))
+      .otherwise(split(tt, "\\s+"))
+  }
 
   /** Word n-gram shingles as strings ("w1 w2 ... wn"). Rows with fewer than n
     * words yield a single shingle of all words (never empty for non-blank
@@ -168,11 +172,14 @@ object TextFunctions {
     *  - `mean_word_len` sum(len(word))/n_words (one IEEE division; 0 when
     *                    the doc is empty),
     *  - `alpha_frac`   fraction of words containing an ASCII letter,
-    *  - `bullet_frac`  fraction of lines whose trimmed form starts with
-    *                   `-`, `*` or `•` (lines split on `\n`, trimmed of
-    *                   spaces/tabs/CR so CRLF input behaves),
-    *  - `ellipsis_frac` fraction of lines whose trimmed form ends with
-    *                   `...` or `…`,
+    *  - `bullet_frac`  fraction of NON-BLANK lines whose trimmed form
+    *                   starts with `-`, `*` or `•` (lines split on `\n`,
+    *                   trimmed of spaces/tabs/CR so CRLF input behaves;
+    *                   blank lines — including the phantom after a final
+    *                   newline — are excluded from both sides of the
+    *                   fraction; 0 when no non-blank line exists),
+    *  - `ellipsis_frac` fraction of NON-BLANK lines whose trimmed form
+    *                   ends with `...` or `…`,
     *  - `stop_hits`    DISTINCT [[GopherStopWords]] present (lowercased),
     *  - `keep`         the Gopher conjunction: 50 <= n_words <= 100000,
     *                   3 <= mean_word_len <= 10, alpha_frac >= 0.8,
@@ -184,8 +191,10 @@ object TextFunctions {
   def gopherMetrics(text: Column): Column = {
     val ws = words(text)
     val nWords = size(ws)
-    val lines = split(coalesce(text, lit("")), "\n", -1)
-    val trimmedLines = transform(lines, l => trim(l, " \t\r"))
+    val lines = filter(
+      transform(split(coalesce(text, lit("")), "\n", -1),
+        l => regexp_replace(l, "^[ \\t\\r]+|[ \\t\\r]+$", "")),
+      l => l =!= "")
     val nLines = size(lines)
     val meanLen = when(nWords === 0, lit(0.0))
       .otherwise(aggregate(ws, lit(0L), (a, w) => a + length(w))
@@ -193,11 +202,13 @@ object TextFunctions {
     val alphaFrac = when(nWords === 0, lit(0.0))
       .otherwise(size(filter(ws, w => w.rlike("[A-Za-z]")))
         .cast("double") / nWords)
-    val bulletFrac = size(filter(trimmedLines, l =>
-        l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
-      .cast("double") / nLines
-    val ellipsisFrac = size(filter(trimmedLines, l =>
-        l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines
+    val bulletFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+        .cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l =>
+          l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines)
     val stopHits = size(array_intersect(
       transform(ws, w => lower(w)),
       array(GopherStopWords.map(lit): _*)))
@@ -220,7 +231,7 @@ object TextFunctions {
     when(text.isNull, lit(null).cast("string"))
       .otherwise(concat_ws("\n",
         filter(ls, (x, i) =>
-          length(trim(x, " \t\r")) === 0 ||
+          x.rlike("^[ \\t\\r]*$") ||
             array_position(ls, x) === (i + 1).cast("long"))))
   }
 }

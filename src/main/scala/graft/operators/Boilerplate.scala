@@ -44,7 +44,7 @@ object Boilerplate {
     * space-only trim).
     */
   private[operators] def isBlankLine(x: Column): Column =
-    length(trim(x, " \t\r")) === 0
+    x.rlike("^[ \\t\\r]*$")
 
   /** Strip every line occurring in >= `minDocs` distinct documents.
     * Returns the input frame with `textCol` rebuilt (column moves to the

@@ -33,8 +33,14 @@ object UrlFilter {
   /** Lowercased host of a scheme-prefixed URL; empty string when the URL
     * has no recognizable scheme://host prefix, null for null input.
     */
+  /** RFC-3986 scheme shape, shared by [[hostOf]] and [[canonicalizeUrl]]
+    * so "is this a scheme-prefixed URL" cannot drift between the blocklist
+    * filter and the canonicalizer.
+    */
+  private[operators] val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*"
+
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    lower(regexp_extract(url, s"$SchemeRe://([^/:?#]+)", 1))
 
   /** The host's blocklist-candidate set: all dot-suffixes with >= 2 labels
     * plus the full host. Null/hostless URLs → empty set (always kept).
@@ -67,7 +73,9 @@ object UrlFilter {
     * dedup passes see them. Exactly-specified rules (each replicable in
     * SQL; applied only to scheme-prefixed URLs — anything else, including
     * null, passes through unchanged):
-    *  - scheme and authority lowercased; path/query case PRESERVED,
+    *  - scheme and host:port lowercased; path/query case PRESERVED, and so
+    *    is any userinfo before the last `@` (RFC 3986 makes only scheme
+    *    and host case-insensitive — credentials are not),
     *  - default port stripped (`:80` for http, `:443` for https — only
     *    those exact scheme/port pairs),
     *  - fragment (`#...`) dropped,
@@ -79,20 +87,21 @@ object UrlFilter {
     * projection.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*"
-    val scheme = lower(regexp_extract(url, s"($schemeRe)://", 1))
-    val auth = lower(regexp_extract(url, s"$schemeRe://([^/?#]*)", 1))
-    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
-      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
-      .otherwise(auth)
-    val path = regexp_extract(url, s"$schemeRe://[^/?#]*([^?#]*)", 1)
-    val qry = regexp_extract(url, s"$schemeRe://[^?#]*\\?([^#]*)", 1)
+    val scheme = lower(regexp_extract(url, s"($SchemeRe)://", 1))
+    val authRaw = regexp_extract(url, s"$SchemeRe://([^/?#]*)", 1)
+    val userinfo = regexp_extract(authRaw, "^(.*@)", 1) // greedy: up to LAST @
+    val hostPort = lower(regexp_replace(authRaw, "^.*@", ""))
+    val hostNoPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(url, s"$SchemeRe://[^/?#]*([^?#]*)", 1)
+    val qry = regexp_extract(url, s"$SchemeRe://[^?#]*\\?([^#]*)", 1)
     val params = array_sort(filter(split(qry, "&"),
       p => length(p) > 0 && !lower(p).startsWith("utm_")))
     val qpart = when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
       .otherwise(lit(""))
     when(url.isNull, lit(null).cast("string"))
-      .when(!url.rlike(s"$schemeRe://"), url)
-      .otherwise(concat(scheme, lit("://"), authNoPort, path, qpart))
+      .when(!url.rlike(s"$SchemeRe://"), url)
+      .otherwise(concat(scheme, lit("://"), userinfo, hostNoPort, path, qpart))
   }
 }

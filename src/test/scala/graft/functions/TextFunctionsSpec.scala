@@ -118,6 +118,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(5).getLong(0) == 0L && !rows(5).getBoolean(6), rows(5).toString)
   }
 
+  test("no phantom tokens: boundary non-space whitespace adds no words or lines") {
+    // SQL TRIM strips only spaces; a trailing newline used to add an empty
+    // word (inflating n_words past Gopher's >=50 floor) and an empty line
+    // (deflating bullet_frac below its threshold).
+    val r = Seq("a b\n", "\t\t", "- a\n- b\n")
+      .toDF("t")
+      .select(TextFunctions.tokenCount(col("t")).as("n"),
+        TextFunctions.gopherMetrics(col("t")).getField("bullet_frac").as("bf"))
+      .collect()
+    assert(r(0).getInt(0) == 2, r(0).toString)
+    assert(r(1).getInt(0) == 0, r(1).toString)
+    assert(r(2).getInt(0) == 4 && r(2).getDouble(1) == 1.0, r(2).toString)
+  }
+
   test("dedupLinesInDoc: first occurrence kept, blanks immune, null in → null out") {
     val r = Seq(
       "t\ndup\ndup\n\ndup\nt",   // later repeats drop; blank stays
