@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine._
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, UnicodeNorm}
 import graft.operators.{Boilerplate, Decontaminate, Dedup, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -499,6 +499,24 @@ object SparkEntry {
             lit(""), lit("dup"),
             coalesce(col("text"), lit("")))).as("clean"))
         .orderBy(col("doc_id"))),
+
+    // ---- text pipeline: Unicode NFC normalization (native expression) ---
+    // (messy forms planted per doc_id: fully decomposed suffix on 0 mod 3
+    // (e/o + combining acute/grave), mixed composed+combining on 1 mod 3,
+    // untouched ASCII otherwise — the oracle derives the identical bytes
+    // via chr() and runs DuckDB's nfc_normalize)
+    "d_unicode_nfc" -> ((s, dir) => {
+      val k = col("doc_id")
+      val messy = when(k % 3 === 0,
+          concat(col("text"), lit(" café vòila")))
+        .when(k % 3 === 1,
+          concat(col("text"), lit(" café déjà")))
+        .otherwise(col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(k.as("doc_id"),
+          UnicodeNorm.unicodeNormalize(messy, "NFC").as("text_nfc"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- crawl hygiene: domain-blocklist URL filter ---------------------
     // (suffix semantics: d7.example.org blocks that subtree only; counts
@@ -1162,6 +1180,20 @@ object SparkEntry {
           |    chr(10)) AS ls
           |  FROM documents WHERE doc_id % 7 = 0)
           |ORDER BY doc_id""".stripMargin,
+
+      // UnicodeNorm twin: the planted mess is rebuilt byte-for-byte with
+      // chr() (769 = U+0301 combining acute, 768 = U+0300 combining grave,
+      // 233 = precomposed é) so both engines normalize identical input;
+      // NULL text stays NULL through both concat and nfc_normalize
+      "d_unicode_nfc" ->
+        """SELECT doc_id,
+          |  nfc_normalize(
+          |    CASE WHEN doc_id % 3 = 0
+          |           THEN text || ' cafe' || chr(769) || ' vo' || chr(768) || 'ila'
+          |         WHEN doc_id % 3 = 1
+          |           THEN text || ' caf' || chr(233) || ' de' || chr(769) || 'ja' || chr(768)
+          |         ELSE text END) AS text_nfc
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       // UrlFilter twin: same host regex (both engines' regex dialects agree
       // on this subset), same >= 2-label dot-suffix candidate set, same
