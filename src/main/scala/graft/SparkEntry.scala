@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine._
 import graft.functions.{TextFunctions, UnicodeNorm}
-import graft.operators.{Boilerplate, Decontaminate, Dedup, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
+import graft.operators.{Boilerplate, Decontaminate, Dedup, HtmlMeta, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
@@ -499,6 +499,33 @@ object SparkEntry {
             lit(""), lit("dup"),
             coalesce(col("text"), lit("")))).as("clean"))
         .orderBy(col("doc_id"))),
+
+    // ---- crawl hygiene: HTML metadata extraction -------------------------
+    // (title/robots/canonical/charset parsed from a synthesized html binary
+    // — robots noindex planted on 0 mod 4, canonical on even ids; the
+    // oracle builds the identical page string and runs the same regexes)
+    "d_html_meta" -> ((s, dir) => {
+      val k = col("doc_id")
+      val html = encode(concat(
+        lit("<html><head><meta charset=\"utf-8\"><title>Doc "),
+        k.cast("string"), lit("</title>"),
+        when(k % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(lit("")),
+        when(k % 2 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://ex.org/c/"),
+          k.cast("string"), lit("\">"))).otherwise(lit("")),
+        lit("</head><body><p>"), coalesce(col("text"), lit("")),
+        lit("</p></body></html>")), "UTF-8")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(k.as("doc_id"),
+          HtmlMeta.title(html).as("title"),
+          HtmlMeta.robotsDirectives(html).as("robots"),
+          HtmlMeta.hasNoindex(html).as("noindex"),
+          HtmlMeta.canonicalUrl(html).as("canonical"),
+          HtmlMeta.charset(html).as("charset"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- text pipeline: Unicode NFC normalization (native expression) ---
     // (messy forms planted per doc_id: fully decomposed suffix on 0 mod 3
@@ -1180,6 +1207,31 @@ object SparkEntry {
           |    chr(10)) AS ls
           |  FROM documents WHERE doc_id % 7 = 0)
           |ORDER BY doc_id""".stripMargin,
+
+      // HtmlMeta twin: the page string is rebuilt with identical '||'
+      // composition and the same (?is) regexes (Java regex and RE2 agree
+      // on this subset: char classes, \s, lazy .*?); '' on no-match in
+      // both engines; noindex token test split/trim/lower identically
+      "d_html_meta" ->
+        """WITH h AS (SELECT doc_id,
+          |    '<html><head><meta charset="utf-8"><title>Doc ' || doc_id || '</title>' ||
+          |    CASE WHEN doc_id % 4 = 0
+          |         THEN '<meta name="robots" content="noindex, nofollow">' ELSE '' END ||
+          |    CASE WHEN doc_id % 2 = 0
+          |         THEN '<link rel="canonical" href="https://ex.org/c/' || doc_id || '">' ELSE '' END ||
+          |    '</head><body><p>' || COALESCE(text, '') || '</p></body></html>' AS pg
+          |  FROM documents),
+          |x AS (SELECT doc_id,
+          |    regexp_extract(pg, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+          |    regexp_extract(pg, '(?is)<meta\s+name=["'']robots["'']\s+content=["'']([^"'']*)["'']', 1) AS robots,
+          |    regexp_extract(pg, '(?is)<link\s+rel=["'']canonical["'']\s+href=["'']([^"'']*)["'']', 1) AS canonical,
+          |    lower(regexp_extract(pg, '(?is)<meta\s+charset=["'']?([A-Za-z0-9_.:-]+)', 1)) AS charset
+          |  FROM h)
+          |SELECT doc_id, title, robots,
+          |  list_contains(list_transform(string_split(lower(robots), ','),
+          |    t -> trim(t)), 'noindex') AS noindex,
+          |  canonical, charset
+          |FROM x ORDER BY doc_id""".stripMargin,
 
       // UnicodeNorm twin: the planted mess is rebuilt byte-for-byte with
       // chr() (769 = U+0301 combining acute, 768 = U+0300 combining grave,
