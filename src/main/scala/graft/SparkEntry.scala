@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine._
 import graft.functions.{TextFunctions, UnicodeNorm}
-import graft.operators.{Boilerplate, Decontaminate, Dedup, HtmlMeta, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
+import graft.operators.{Boilerplate, CorpusStats, Decontaminate, Dedup, HtmlMeta, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
@@ -499,6 +499,13 @@ object SparkEntry {
             lit(""), lit("dup"),
             coalesce(col("text"), lit("")))).as("clean"))
         .orderBy(col("doc_id"))),
+
+    // ---- corpus stats: top-k n-gram heavy hitters ------------------------
+    // (exact trigram frequencies with a min-support prune; tie-break on
+    // the ngram string gives a total order both engines share)
+    "d_ngram_topk" -> ((s, dir) =>
+      CorpusStats.topNgrams(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), n = 3, k = 25, minCount = 2L)),
 
     // ---- crawl hygiene: HTML metadata extraction -------------------------
     // (title/robots/canonical/charset parsed from a synthesized html binary
@@ -1207,6 +1214,27 @@ object SparkEntry {
           |    chr(10)) AS ls
           |  FROM documents WHERE doc_id % 7 = 0)
           |ORDER BY doc_id""".stripMargin,
+
+      // CorpusStats twin: same shingle construction as d_repetition's sh
+      // CTE (short docs → one all-words shingle), occurrence counts NOT
+      // per-doc-distinct, same (cnt DESC, ngram ASC) total order
+      "d_ngram_topk" ->
+        """WITH w AS (SELECT
+          |    CASE WHEN text IS NULL
+          |           OR LENGTH(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+          |         THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(
+          |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws
+          |  FROM documents),
+          |sh AS (SELECT UNNEST(
+          |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+          |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+          |         ELSE list_transform(generate_series(1, len(ws) - 2),
+          |                i -> array_to_string(ws[i:i+2], ' ')) END) AS ngram
+          |  FROM w)
+          |SELECT ngram, count(*) AS cnt FROM sh GROUP BY ngram
+          |HAVING count(*) >= 2
+          |ORDER BY cnt DESC, ngram LIMIT 25""".stripMargin,
 
       // HtmlMeta twin: the page string is rebuilt with identical '||'
       // composition and the same (?is) regexes (Java regex and RE2 agree

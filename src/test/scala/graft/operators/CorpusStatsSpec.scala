@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topNgrams: exact counts, ties break on the ngram string") {
+    val docs = Seq(
+      "a b c a b c",   // "a b": 2? bigrams: a b, b c, c a, a b, b c
+      "a b",           // short doc → its single all-words shingle "a b"
+      "",              // nothing
+      null             // nothing
+    ).toDF("text")
+    val r = CorpusStats.topNgrams(docs, col("text"), n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // counts: "a b" -> 3 (2 + short doc), "b c" -> 2, "c a" -> 1
+    assert(r == Seq(("a b", 3L), ("b c", 2L), ("c a", 1L)), r.toString)
+  }
+
+  test("minCount prunes below-threshold ngrams before the limit") {
+    val docs = Seq("x y x y", "z w").toDF("text")
+    val r = CorpusStats.topNgrams(docs, col("text"), 2, 10, minCount = 2L)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("x y", 2L)), r.toString)
+  }
+
+  test("plan: global top-k is TakeOrderedAndProject, not a full sort") {
+    val docs = Seq("a b c").toDF("text")
+    val plan = CorpusStats.topNgrams(docs, col("text"), 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+}
