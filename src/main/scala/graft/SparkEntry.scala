@@ -1028,7 +1028,7 @@ object SparkEntry {
       "d_quality" ->
         """WITH tt AS (
           |  SELECT lang, text,
-          |    regexp_replace(COALESCE(text, ''), '^\s+|\s+$', '', 'g') AS t2
+          |    regexp_replace(COALESCE(text, ''), '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g') AS t2
           |  FROM documents),
           |scored AS (
           |  SELECT lang,
@@ -1038,10 +1038,10 @@ object SparkEntry {
           |             ELSE CAST(LENGTH(regexp_replace(LOWER(COALESCE(text,'')), '[^a-z ]', '', 'g')) AS DOUBLE)
           |                  / LENGTH(COALESCE(text,'')) END) +
           |      0.2 * (CASE WHEN (CASE WHEN LENGTH(t2) = 0 THEN 0
-          |                        ELSE len(string_split_regex(t2, '\s+')) END) = 0 THEN 0.5
+          |                        ELSE len(string_split_regex(t2, '[ \t\n\x0b\f\r]+')) END) = 0 THEN 0.5
           |                  WHEN (CAST(LENGTH(COALESCE(text,'')) AS DOUBLE)
-          |                        - (len(string_split_regex(t2, '\s+')) - 1.0))
-          |                       / len(string_split_regex(t2, '\s+'))
+          |                        - (len(string_split_regex(t2, '[ \t\n\x0b\f\r]+')) - 1.0))
+          |                       / len(string_split_regex(t2, '[ \t\n\x0b\f\r]+'))
           |                       BETWEEN 3.0 AND 12.0 THEN 1.0
           |                  ELSE 0.5 END), 6) AS q
           |  FROM tt)
@@ -1064,26 +1064,31 @@ object SparkEntry {
       // Packing.packByTokenBudget's exact twin: exclusive running token sum
       // per lang in doc_id order, bin = floor(before / budget). Both
       // engines divide as double here; FLOOR result cast to BIGINT to match
-      // Spark's floor(LongType)
+      // Spark's floor(LongType); token count = the words() twin (explicit
+      // ws class, \A..\z boundary strip)
       "d_pack_bins" ->
-        """SELECT doc_id, lang, CAST(FLOOR(COALESCE(SUM(
-          |    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 0
-          |         ELSE len(string_split_regex(TRIM(text), '\s+')) END
+        """WITH t AS (SELECT doc_id, lang,
+          |    regexp_replace(COALESCE(text, ''),
+          |      '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g') AS tt
+          |  FROM documents)
+          |SELECT doc_id, lang, CAST(FLOOR(COALESCE(SUM(
+          |    CASE WHEN LENGTH(tt) = 0 THEN 0
+          |         ELSE len(string_split_regex(tt, '[ \t\n\x0b\f\r]+')) END
           |  ) OVER (PARTITION BY lang ORDER BY doc_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |FROM t ORDER BY doc_id""".stripMargin,
 
-      // repetitionRatio twin: same TRIM + '\s+' word split as the d_tokens
-      // gate, same shingle CASE as TextFunctions.shingles at n=3, one
+      // repetitionRatio twin: same explicit-class word split as the
+      // d_tokens gate, same shingle CASE as TextFunctions.shingles at n=3, one
       // IEEE division per doc (no aggregation — float summation order
       // cannot enter), rounded 6 dp both sides
       "d_repetition" ->
         """WITH w AS (SELECT doc_id,
           |    CASE WHEN text IS NULL
-          |           OR LENGTH(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+          |           OR LENGTH(regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g')) = 0
           |         THEN CAST([] AS VARCHAR[])
           |         ELSE string_split_regex(
-          |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws
+          |           regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g'), '[ \t\n\x0b\f\r]+') END AS ws
           |  FROM documents),
           |sh AS (SELECT doc_id,
           |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
@@ -1144,10 +1149,10 @@ object SparkEntry {
           |  FROM documents),
           |w AS (SELECT doc_id,
           |    CASE WHEN text IS NULL
-          |           OR LENGTH(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+          |           OR LENGTH(regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g')) = 0
           |         THEN CAST([] AS VARCHAR[])
           |         ELSE string_split_regex(
-          |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws,
+          |           regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g'), '[ \t\n\x0b\f\r]+') END AS ws,
           |    list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
           |                  l -> trim(l, ' ' || chr(9) || chr(13))),
           |                x -> x <> '') AS tl
@@ -1221,10 +1226,10 @@ object SparkEntry {
       "d_ngram_topk" ->
         """WITH w AS (SELECT
           |    CASE WHEN text IS NULL
-          |           OR LENGTH(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+          |           OR LENGTH(regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g')) = 0
           |         THEN CAST([] AS VARCHAR[])
           |         ELSE string_split_regex(
-          |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ws
+          |           regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g'), '[ \t\n\x0b\f\r]+') END AS ws
           |  FROM documents),
           |sh AS (SELECT UNNEST(
           |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
@@ -1295,24 +1300,24 @@ object SparkEntry {
           |WHERE NOT list_has_any(sfx, ['d7.example.org', 'd13.example.org', 'blocked.test'])
           |GROUP BY part ORDER BY part""".stripMargin),
 
-      // Decontaminate.contaminatedPairs twin: same word split (TRIM +
-      // '\s+' — the fixture-safe pair the d_tokens gate already validates),
+      // Decontaminate.contaminatedPairs twin: same explicit-class word
+      // split as the d_tokens gate,
       // same shingle CASE as TextFunctions.shingles (0 words → none,
       // < n words → one all-words shingle), distinct per side, shared
       // count >= 3 at n = 5
       "d_contaminated" ->
         """WITH dt AS (SELECT doc_id, text,
-          |    regexp_replace(COALESCE(text, ''), '^\s+|\s+$', '', 'g') AS t2
+          |    regexp_replace(COALESCE(text, ''), '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g') AS t2
           |  FROM documents),
           |bench AS (
           |  SELECT doc_id AS bench_id,
           |    array_to_string((CASE WHEN LENGTH(t2) = 0
           |      THEN CAST([] AS VARCHAR[])
-          |      ELSE string_split_regex(t2, '\s+') END)[1:12], ' ') AS btext
+          |      ELSE string_split_regex(t2, '[ \t\n\x0b\f\r]+') END)[1:12], ' ') AS btext
           |  FROM dt WHERE doc_id % 13 = 0),
           |cw AS (SELECT doc_id AS corpus_id,
           |         CASE WHEN LENGTH(t2) = 0 THEN CAST([] AS VARCHAR[])
-          |              ELSE string_split_regex(t2, '\s+') END AS w FROM dt),
+          |              ELSE string_split_regex(t2, '[ \t\n\x0b\f\r]+') END AS w FROM dt),
           |cs AS (SELECT corpus_id, UNNEST(list_distinct(
           |         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
           |              WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
@@ -1320,7 +1325,7 @@ object SparkEntry {
           |       FROM cw),
           |bw AS (SELECT bench_id,
           |         CASE WHEN btext IS NULL OR LENGTH(TRIM(btext)) = 0 THEN CAST([] AS VARCHAR[])
-          |              ELSE string_split_regex(TRIM(btext), '\s+') END AS w FROM bench),
+          |              ELSE string_split_regex(TRIM(btext), '[ \t\n\x0b\f\r]+') END AS w FROM bench),
           |bs AS (SELECT bench_id, UNNEST(list_distinct(
           |         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
           |              WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
@@ -1330,23 +1335,24 @@ object SparkEntry {
           |FROM cs JOIN bs USING (s) GROUP BY 1, 2 HAVING COUNT(*) >= 3
           |ORDER BY corpus_id, bench_id""".stripMargin,
 
-      // tt strips the boundary with the same \s class as the split (SQL
-      // TRIM is space-only and would leave a phantom token after a final
-      // newline) — mirrors TextFunctions.words
+      // tt strips the boundary with the same explicit whitespace class as
+      // the split (SQL TRIM is space-only and would leave a phantom token
+      // after a final newline; RE2's \s lacks \x0B, hence the spelled-out
+      // class and \A..\z anchors) — mirrors TextFunctions.words
       "d_tokens" ->
         """WITH t AS (SELECT source,
-          |    regexp_replace(COALESCE(text, ''), '^\s+|\s+$', '', 'g') AS tt
+          |    regexp_replace(COALESCE(text, ''), '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g') AS tt
           |  FROM documents)
           |SELECT source,
           | CAST(SUM(CASE WHEN LENGTH(tt) = 0 THEN 0
-          |   ELSE len(string_split_regex(tt, '\s+')) END) AS BIGINT) AS total_tokens,
+          |   ELSE len(string_split_regex(tt, '[ \t\n\x0b\f\r]+')) END) AS BIGINT) AS total_tokens,
           | ROUND(AVG(CASE WHEN LENGTH(tt) = 0 THEN 0
-          |   ELSE len(string_split_regex(tt, '\s+')) END), 4) AS avg_tokens
+          |   ELSE len(string_split_regex(tt, '[ \t\n\x0b\f\r]+')) END), 4) AS avg_tokens
           |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
       "d_fingerprint" ->
         """SELECT doc_id,
-          | md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+          | md5(regexp_replace(LOWER(TRIM(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
           |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
 
       "e_ann_brute" ->
@@ -1364,8 +1370,8 @@ object SparkEntry {
 
       "d_tokens_bpe" ->
         """SELECT source,
-          | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
-          | ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 4) AS avg_bpe
+          | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]'))) AS BIGINT) AS total_bpe,
+          | ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]'))), 4) AS avg_bpe
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "m_image_dims" ->

@@ -20,21 +20,31 @@ object TextFunctions {
     * restricted to an ASCII-safe pattern every regex engine agrees on
     * (so an external SQL oracle reproduces it exactly).
     */
-  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   def bpeTokenCount(text: Column): Column =
     when(text.isNull, lit(0))
       .otherwise(size(regexp_extract_all(text, lit(BpePattern), lit(0))))
 
+  /** The ASCII whitespace class spelled out (= Java's `\s` exactly), used
+    * for every word split/strip: RE2-dialect oracles lack `\x0B` in their
+    * `\s`, so the explicit class is the only spelling both engines read
+    * identically (same device as [[Dedup]]'s shingle CTEs).
+    */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Word array: whitespace split with the boundary stripped by the SAME
-    * `\s` class as the split — SQL TRIM strips only spaces, so a doc ending
-    * in a newline (ubiquitous in web text) used to sprout a phantom empty
-    * token that inflated every word-derived metric. Null/blank → empty.
+    * class as the split — SQL TRIM strips only spaces, so a doc ending in a
+    * newline (ubiquitous in web text) used to sprout a phantom empty token
+    * that inflated every word-derived metric. Anchored `\A..\z`, not `^..$`:
+    * Java's `$` matches BEFORE a final U+2028/U+2029/U+0085, which would
+    * strip interior-looking whitespace RE2's end-of-text `$` keeps.
+    * Null/blank → empty.
     */
   def words(text: Column): Column = {
-    val tt = regexp_replace(text, "^\\s+|\\s+$", "")
+    val tt = regexp_replace(text, s"\\A$WsClass+|$WsClass+\\z", "")
     when(text.isNull || tt === "", array().cast("array<string>"))
-      .otherwise(split(tt, "\\s+"))
+      .otherwise(split(tt, s"$WsClass+"))
   }
 
   /** Word n-gram shingles as strings ("w1 w2 ... wn"). Rows with fewer than n
@@ -90,7 +100,7 @@ object TextFunctions {
     * Deterministic and replicable in any SQL engine with md5().
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " "))
+    md5(regexp_replace(lower(trim(coalesce(text, lit("")))), s"$WsClass+", " "))
 
   /** 64-bit rolling polynomial fingerprint (Karp–Rabin flavor) over the
     * normalized text bytes, as a codegen-friendly aggregate over the char
@@ -98,7 +108,7 @@ object TextFunctions {
     * fingerprint beats md5 strings.
     */
   def rollingHash(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " ")
+    val norm = regexp_replace(lower(trim(coalesce(text, lit("")))), s"$WsClass+", " ")
     val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
     aggregate(codes, lit(0L), (acc, c) => acc * 31L + c)
   }
@@ -191,9 +201,12 @@ object TextFunctions {
   def gopherMetrics(text: Column): Column = {
     val ws = words(text)
     val nWords = size(ws)
+    // \A..\z anchors: Java's $ would match before a final U+2028/U+2029,
+    // misclassifying such lines as blank (the SQL twins' char-set trim
+    // never would)
     val lines = filter(
       transform(split(coalesce(text, lit("")), "\n", -1),
-        l => regexp_replace(l, "^[ \\t\\r]+|[ \\t\\r]+$", "")),
+        l => regexp_replace(l, "\\A[ \\t\\r]+|[ \\t\\r]+\\z", "")),
       l => l =!= "")
     val nLines = size(lines)
     val meanLen = when(nWords === 0, lit(0.0))
@@ -231,7 +244,7 @@ object TextFunctions {
     when(text.isNull, lit(null).cast("string"))
       .otherwise(concat_ws("\n",
         filter(ls, (x, i) =>
-          x.rlike("^[ \\t\\r]*$") ||
+          x.rlike("\\A[ \\t\\r]*\\z") ||
             array_position(ls, x) === (i + 1).cast("long"))))
   }
 }

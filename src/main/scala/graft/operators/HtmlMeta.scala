@@ -33,20 +33,25 @@ object HtmlMeta {
   def title(html: Column): Column =
     regexp_extract(page(html), TitleRe, 1)
 
-  /** Content of the first `<meta name="<name>" content="...">`. */
-  def metaContent(html: Column, name: String): Column =
+  /** Content of the first `<meta name="<name>" content="...">`. The name is
+    * regex-quoted, so `og:image` or `a.b` match literally.
+    */
+  def metaContent(html: Column, name: String): Column = {
+    val quoted = java.util.regex.Pattern.quote(name)
     regexp_extract(page(html),
-      s"""(?is)<meta\\s+name=["']$name["']\\s+content=["']([^"']*)["']""", 1)
+      s"""(?is)<meta\\s+name=["']$quoted["']\\s+content=["']([^"']*)["']""", 1)
+  }
 
   /** Raw robots directive list, e.g. "noindex, nofollow". */
   def robotsDirectives(html: Column): Column = metaContent(html, "robots")
 
   /** True when the robots meta carries a `noindex` token (comma-separated,
-    * whitespace-tolerant, case-insensitive). Null html → null.
+    * whitespace-tolerant — spaces/tabs/CR/LF around the token, not just
+    * spaces — case-insensitive). Null html → null.
     */
   def hasNoindex(html: Column): Column =
     exists(split(lower(robotsDirectives(html)), ","),
-      t => trim(t) === "noindex")
+      t => regexp_replace(t, "\\A[ \\t\\r\\n]+|[ \\t\\r\\n]+\\z", "") === "noindex")
 
   def canonicalUrl(html: Column): Column =
     regexp_extract(page(html),

@@ -30,15 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object UrlFilter {
 
-  /** Lowercased host of a scheme-prefixed URL; empty string when the URL
-    * has no recognizable scheme://host prefix, null for null input.
-    */
   /** RFC-3986 scheme shape, shared by [[hostOf]] and [[canonicalizeUrl]]
     * so "is this a scheme-prefixed URL" cannot drift between the blocklist
     * filter and the canonicalizer.
     */
   private[operators] val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*"
 
+  /** Lowercased host of a scheme-prefixed URL; empty string when the URL
+    * has no recognizable scheme://host prefix, null for null input.
+    */
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, s"$SchemeRe://([^/:?#]+)", 1))
 

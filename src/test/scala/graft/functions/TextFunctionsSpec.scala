@@ -132,6 +132,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2).getInt(0) == 4 && r(2).getDouble(1) == 1.0, r(2).toString)
   }
 
+  test("U+2028 lines are content, not blanks (Java $ vs \\z anchor)") {
+    // Java's $ matches BEFORE a final U+2028, so a ^..$ blank test calls a
+    // U+2028-only line blank (dedup-immune) while the SQL twins' char-set
+    // trim does not; \A..\z anchors keep both engines agreeing.
+    val r = Seq("a\n \n \na").toDF("t")
+      .select(TextFunctions.dedupLinesInDoc(col("t")),
+        TextFunctions.words(concat(lit("ab  "), lit(""))))
+      .head()
+    assert(r.getString(0) == "a\n ")            // repeats deduped
+    assert(r.getSeq[String](1) == Seq("ab", " ")) // no boundary strip
+  }
+
   test("dedupLinesInDoc: first occurrence kept, blanks immune, null in → null out") {
     val r = Seq(
       "t\ndup\ndup\n\ndup\nt",   // later repeats drop; blank stays

@@ -31,19 +31,26 @@ class UnicodeNormSpec extends SparkSpec {
     assert(r.getString(1) == "ﬁle ＡＢ " + Composed)
   }
 
-  test("interpreted and generated eval paths agree") {
+  test("interpreted and generated eval paths agree (codegen actually runs)") {
     // U+FB03 ffi ligature, U+2460 circled one, fullwidth ASCII?
-    val in = Seq("école", "x", "ﬃ ①",
-      "ＡＳＣＩＩ？").toDF("t")
-    def run(mode: String) = {
-      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    // repartition(1) defeats ConvertToLocalRelation, which would otherwise
+    // evaluate the Project interpreted at OPTIMIZATION time and make both
+    // legs vacuously identical; codegen.fallback=false turns a broken
+    // doGenCode into a test failure instead of a silent fallback.
+    val in = Seq("e\u0301cole", "x", "\uFB03 \u2460",
+      "\uFF21\uFF33\uFF23\uFF29\uFF29\uFF1F").toDF("t").repartition(1)
+    def run(confs: (String, String)*) = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try in.select(UnicodeNorm.unicodeNormalize(col("t"), "NFKC"))
-        .collect().map(_.getString(0)).toSeq
-      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+        .collect().map(_.getString(0)).sorted.toSeq
+      finally confs.foreach { case (k, _) => spark.conf.unset(k) }
     }
-    val gen = run("CODEGEN_ONLY")
-    assert(gen == run("NO_CODEGEN"))
-    assert(gen == Seq("école", "x", "ffi 1", "ASCII?"))
+    val gen = run("spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.fallback" -> "false")
+    val interp = run("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    assert(gen == interp)
+    assert(gen == Seq("\u00e9cole", "x", "ffi 1", "ASCII?").sorted)
   }
 
   test("the expression stays inside whole-stage codegen") {

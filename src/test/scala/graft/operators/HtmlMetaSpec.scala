@@ -39,7 +39,7 @@ class HtmlMetaSpec extends SparkSpec {
   test("noindex needs the exact token, not a substring") {
     val rows = Seq(
       b("<meta name=\"robots\" content=\"noindexing\">"),   // not a token
-      b("<meta name=\"robots\" content=\"nofollow , noindex\">"),
+      b("<meta name=\"robots\" content=\"nofollow ,\tnoindex\">"), // tab-separated token
       b("<meta name=\"robots\" content=\"all\">"))
       .toDF("html")
       .select(HtmlMeta.hasNoindex(col("html"))).collect()
