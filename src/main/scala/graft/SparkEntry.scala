@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine._
-import graft.functions.{TextFunctions, UnicodeNorm}
+import graft.functions.{C4Rules, TextFunctions, UnicodeNorm}
 import graft.operators.{Boilerplate, CorpusStats, Decontaminate, Dedup, HtmlMeta, Multimodal, Packing, Retention, Sampling, Similarity, UrlFilter}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -560,6 +560,73 @@ object SparkEntry {
           Seq("d7.example.org", "d13.example.org", "blocked.test"))
         .groupBy(col("part")).agg(count(lit(1)).as("kept_cnt"))
         .orderBy(col("part"))),
+
+    // ---- crawl balance: per-host document cap ----------------------------
+    // (deterministic md5-ordered rank per host, capped at 7; counts plus
+    // the min/max surviving url prove exactly the right rows were kept —
+    // plans as WindowGroupLimit, asserted in PlanSpec)
+    "d_host_cap" -> ((s, dir) =>
+      UrlFilter.capPerHost(wp(s, dir), col("url"), maxPerHost = 7)
+        .groupBy(UrlFilter.hostOf(col("url")).as("host"))
+        .agg(count(lit(1)).as("kept_cnt"),
+          min(col("url")).as("first_url"), max(col("url")).as("last_url"))
+        .orderBy(col("host"))),
+
+    // ---- text quality: C4-style line/page cleaning -----------------------
+    // (lines planted per doc_id: a prose sentence always, a javascript
+    // warning on 0 mod 3, a short line on 0 mod 5, a lorem-ipsum sentence
+    // on 0 mod 13, two more sentences on even ids, a '{' poison on
+    // 0 mod 11 — identical derivation in the oracle)
+    "d_c4_filter" -> ((s, dir) => {
+      val k = col("doc_id")
+      val planted = concat(
+        when(k % 11 === 0, concat(coalesce(col("text"), lit("")), lit(" {code}")))
+          .otherwise(coalesce(col("text"), lit(""))),
+        lit("\nThe first proper sentence of this page ends here."),
+        when(k % 3 === 0,
+          lit("\nPlease enable javascript to view this content."))
+          .otherwise(lit("")),
+        when(k % 5 === 0, lit("\nToo short here.")).otherwise(lit("")),
+        when(k % 13 === 0,
+          lit("\nLorem ipsum dolor sit amet consectetur adipiscing."))
+          .otherwise(lit("")),
+        when(k % 2 === 0, lit(
+          "\nAnother complete sentence follows with plenty of words!" +
+          "\nDoes this page have a third real sentence?"))
+          .otherwise(lit("")))
+      val m = C4Rules.c4Metrics(planted)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(k.as("doc_id"),
+          m.getField("clean_text").as("clean"),
+          m.getField("n_lines").as("n_lines"),
+          m.getField("sentences").as("sentences"),
+          m.getField("keep").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: C4-style cross-doc paragraph (span) dedup -----------------
+    // (a shared banner paragraph planted on every doc — twice on 0 mod 3 —
+    // survives only at its global first occurrence; per-doc "ref" paragraphs
+    // are unique and survive; a whitespace-only paragraph on 0 mod 5 is
+    // immune; identical derivation in the oracle)
+    "d_para_dedup" -> ((s, dir) => {
+      val k = col("doc_id")
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(k.as("doc_id"), concat(
+          coalesce(col("text"), lit("")),
+          lit("\n\nShared cookie banner paragraph accepted by the site."),
+          when(k % 3 === 0,
+            lit("\n\nShared cookie banner paragraph accepted by the site."))
+            .otherwise(lit("")),
+          when(k % 2 === 0,
+            concat(lit("\n\nref paragraph "), k.cast("string")))
+            .otherwise(lit("")),
+          when(k % 5 === 0, lit("\n\n  \n\nTail sentence lives here."))
+            .otherwise(lit(""))).as("text"))
+      Dedup.dedupParagraphs(planted, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- text pipeline: benchmark decontamination -----------------------
     // (eval set = first 12 words of every 13th doc; a pair is contaminated
@@ -1299,6 +1366,98 @@ object SparkEntry {
           |SELECT part, COUNT(*) AS kept_cnt FROM cand
           |WHERE NOT list_has_any(sfx, ['d7.example.org', 'd13.example.org', 'blocked.test'])
           |GROUP BY part ORDER BY part""".stripMargin),
+
+      // capPerHost twin: same host extraction as d_url_filter, same
+      // (md5(url), url) pseudo-random total order — identical lowercase
+      // hex both engines — rank capped at 7; url ties are whole-row ties
+      // here (only url-derived columns survive), so the kept multiset is
+      // deterministic
+      "d_host_cap" ->
+        (Derive.WpSql + """SELECT host,
+          |  CAST(COUNT(*) AS BIGINT) AS kept_cnt,
+          |  MIN(url) AS first_url, MAX(url) AS last_url
+          |FROM (SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+          |        url,
+          |        row_number() OVER (
+          |          PARTITION BY lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+          |          ORDER BY md5(url), url) AS rn
+          |      FROM wp)
+          |WHERE rn <= 7 GROUP BY host ORDER BY host""".stripMargin),
+
+      // C4Rules.c4Metrics twin: same planted lines, same [ \t\r] line trim
+      // (char-set trim = the \A..\z regex trim for these chars), same
+      // terminal-mark/word-count/javascript line rules and page poisons
+      "d_c4_filter" ->
+        """WITH e AS (SELECT doc_id,
+          |    (CASE WHEN doc_id % 11 = 0 THEN COALESCE(text, '') || ' {code}'
+          |          ELSE COALESCE(text, '') END)
+          |    || chr(10) || 'The first proper sentence of this page ends here.'
+          |    || CASE WHEN doc_id % 3 = 0
+          |            THEN chr(10) || 'Please enable javascript to view this content.'
+          |            ELSE '' END
+          |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Too short here.' ELSE '' END
+          |    || CASE WHEN doc_id % 13 = 0
+          |            THEN chr(10) || 'Lorem ipsum dolor sit amet consectetur adipiscing.'
+          |            ELSE '' END
+          |    || CASE WHEN doc_id % 2 = 0
+          |            THEN chr(10) || 'Another complete sentence follows with plenty of words!'
+          |                 || chr(10) || 'Does this page have a third real sentence?'
+          |            ELSE '' END AS text
+          |  FROM documents),
+          |k AS (SELECT doc_id, text,
+          |    list_filter(list_transform(string_split(text, chr(10)),
+          |        l -> trim(l, ' ' || chr(9) || chr(13))),
+          |      l -> regexp_matches(l, '[.!?"]\z')
+          |           AND len(string_split_regex(l, '[ \t\n\x0b\f\r]+')) >= 5
+          |           AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+          |  FROM e),
+          |m AS (SELECT doc_id, text,
+          |    array_to_string(kept, chr(10)) AS clean, len(kept) AS n_lines
+          |  FROM k)
+          |SELECT doc_id, clean,
+          |  CAST(n_lines AS BIGINT) AS n_lines,
+          |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS sentences,
+          |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+          |   AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      // dedupParagraphs twin: same planted paragraphs, same trimmed match
+      // key, same blank-singleton window partitions (1-based pos vs Spark's
+      // 0-based is invisible — pos only orders/discriminates within an
+      // engine), string_agg(ORDER BY pos) mirrors the array_sort rebuild
+      "d_para_dedup" ->
+        """WITH e AS (SELECT doc_id,
+          |    COALESCE(text, '')
+          |    || chr(10) || chr(10) || 'Shared cookie banner paragraph accepted by the site.'
+          |    || CASE WHEN doc_id % 3 = 0
+          |            THEN chr(10) || chr(10) || 'Shared cookie banner paragraph accepted by the site.'
+          |            ELSE '' END
+          |    || CASE WHEN doc_id % 2 = 0
+          |            THEN chr(10) || chr(10) || 'ref paragraph ' || CAST(doc_id AS VARCHAR)
+          |            ELSE '' END
+          |    || CASE WHEN doc_id % 5 = 0
+          |            THEN chr(10) || chr(10) || '  ' || chr(10) || chr(10) || 'Tail sentence lives here.'
+          |            ELSE '' END AS text
+          |  FROM documents),
+          |p AS (SELECT doc_id,
+          |    unnest(string_split(text, chr(10) || chr(10))) AS para,
+          |    unnest(generate_series(1, len(string_split(text, chr(10) || chr(10))))) AS pos
+          |  FROM e),
+          |k AS (SELECT doc_id, pos, para,
+          |    regexp_replace(para, '\A[ \t\n\r]+|[ \t\n\r]+\z', '', 'g') AS key
+          |  FROM p),
+          |r AS (SELECT doc_id, pos, para,
+          |    row_number() OVER (
+          |      PARTITION BY (key = ''),
+          |        CASE WHEN key = '' THEN CAST(doc_id AS VARCHAR) ELSE key END,
+          |        CASE WHEN key = '' THEN pos ELSE 0 END
+          |      ORDER BY doc_id, pos) AS rn
+          |  FROM k),
+          |reb AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+          |  FROM r WHERE rn <= 1 GROUP BY doc_id)
+          |SELECT e.doc_id, COALESCE(reb.text, '') AS text
+          |FROM e LEFT JOIN reb ON e.doc_id = reb.doc_id
+          |ORDER BY e.doc_id""".stripMargin,
 
       // Decontaminate.contaminatedPairs twin: same explicit-class word
       // split as the d_tokens gate,

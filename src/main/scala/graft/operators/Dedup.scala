@@ -473,4 +473,61 @@ object Dedup {
       .select(col("id").as("__loser_id"))
     docs.join(losers, id === col("__loser_id"), "left_anti")
   }
+
+  /** C4-style cross-document SPAN dedup at paragraph granularity: of every
+    * distinct paragraph occurring anywhere in the corpus, keep ONLY the
+    * first occurrence in the global `(docId, position)` order — later
+    * copies drop, within the same document or across documents (C4's
+    * "remove all but one of any repeated span"; paragraph = exactly one
+    * `"\n\n"` separator, the split/rejoin round-trip is byte-lossless for
+    * every other newline run). Exactly specified for SQL-oracle parity:
+    *  - match key = the paragraph trimmed of `[ \t\n\r]` at both ends
+    *    (`\A..\z` anchors), so separator artifacts don't defeat matching;
+    *  - whitespace-only paragraphs are IMMUNE (document structure, not
+    *    content) — each ranks inside its own singleton `(docId, pos)`
+    *    window partition rather than colliding on the empty key, which
+    *    keeps the plan a single rank-filter;
+    *  - rebuilt text joins kept paragraphs with `"\n\n"` in original
+    *    position order; null text rebuilds as `""`.
+    *
+    * Same PRECONDITION as [[Boilerplate.stripFrequentLines]]: `idCol`
+    * unique, non-null, and orderable — it is both the rebuild key and the
+    * first-occurrence tie-break.
+    *
+    * Scale: the only row-scale shuffles are the rank exchange on the
+    * paragraph key and the rebuild groupBy on the doc id. The rank filter
+    * `row_number() <= 1` is rewritten by InferWindowGroupLimit into a
+    * partial-before-exchange / final-after pair (PlanSpec-asserted), so the
+    * pathological key — one cookie banner repeated 10^9 times, the exact
+    * case this operator exists for — leaves each map task as ONE row
+    * instead of concentrating on a single reducer.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = docs.select(col(idCol).as("__pg_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n\n", -1))
+        .as(Seq("__pg_pos", "__pg_para")))
+    val key = regexp_replace(col("__pg_para"),
+      "\\A[ \\t\\n\\r]+|[ \\t\\n\\r]+\\z", "")
+    val blank = key === ""
+    // blank paragraphs get a collision-proof singleton partition (flag +
+    // id + pos); content paragraphs partition on (flag, key, 0)
+    val w = Window
+      .partitionBy(blank,
+        when(blank, col("__pg_id").cast("string")).otherwise(key),
+        when(blank, col("__pg_pos")).otherwise(lit(0)))
+      .orderBy(col("__pg_id"), col("__pg_pos"))
+    val kept = paras.withColumn("__pg_rn", row_number().over(w))
+      .where(col("__pg_rn") <= 1)
+    val rebuilt = kept
+      .groupBy(col("__pg_id"))
+      .agg(concat_ws("\n\n",
+        transform(
+          array_sort(collect_list(struct(col("__pg_pos"), col("__pg_para")))),
+          x => x.getField("__pg_para"))).as("__pg_text"))
+      .withColumnRenamed("__pg_id", idCol)
+    docs.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__pg_text"), lit("")))
+      .drop("__pg_text")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL/domain filtering — the crawl-hygiene stage every web-text pipeline
@@ -103,5 +104,35 @@ object UrlFilter {
     when(url.isNull, lit(null).cast("string"))
       .when(!url.rlike(s"$SchemeRe://"), url)
       .otherwise(concat(scheme, lit("://"), userinfo, hostNoPort, path, qpart))
+  }
+
+  /** Per-host document cap — the crawl-balance stage: keep at most
+    * `maxPerHost` documents per host so no domain dominates the corpus
+    * (mega-hosts contribute millions of near-template pages; training-data
+    * pipelines cap them). Selection is DETERMINISTIC: rows are ranked per
+    * host by `(md5(url), url)` — a stable pseudo-random total order any SQL
+    * engine reproduces (identical lowercase hex) — and ranks above the cap
+    * drop. Hostless/malformed URLs group under their empty-string host and
+    * share one cap slot-set; null urls are null-host and likewise capped
+    * (schema-gate concerns stay out of this operator, same contract as
+    * [[dropBlockedDomains]]).
+    *
+    * Scale: `row_number() <= k` is rewritten by Catalyst's
+    * InferWindowGroupLimit into a WindowGroupLimit pair — a PARTIAL
+    * group-limit before the exchange and a final one after — so each map
+    * task forwards at most k rows per host and a Zipfian hot host (the
+    * norm in crawl data) never lands its full row set on one reducer.
+    * Plan-asserted in PlanSpec. Duplicate urls (crawl re-fetches) tie in
+    * the ordering; which physical twin wins rank 1 is undefined, so
+    * url-level output is deterministic but row-level payload columns are
+    * only as deterministic as the url→payload mapping — canonicalize or
+    * dedup first if that matters.
+    */
+  def capPerHost(df: DataFrame, url: Column, maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    val w = Window.partitionBy(hostOf(url)).orderBy(md5(url).asc, url.asc)
+    df.withColumn("__host_rank", row_number().over(w))
+      .where(col("__host_rank") <= maxPerHost)
+      .drop("__host_rank")
   }
 }

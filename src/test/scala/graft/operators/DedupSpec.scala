@@ -134,4 +134,42 @@ class DedupSpec extends SparkSpec {
     // {1,2,3,6} are one near-dup component (canonical 1); 4 and 5 unpaired
     assert(kept == Set(1L, 4L, 5L), kept.toString)
   }
+
+  test("dedupParagraphs: global first occurrence wins, within AND across docs") {
+    val in = Seq(
+      (1L, "unique one here\n\nshared banner\n\nshared banner"),
+      (2L, "shared banner\n\nunique two here"),
+      (3L, " shared banner \n\nunique three here"), // trimmed-key match
+      (4L, "shared banner")                          // all content gone → ""
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(in, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique one here\n\nshared banner") // 2nd in-doc copy drops
+    assert(out(2L) == "unique two here")
+    assert(out(3L) == "unique three here")
+    assert(out(4L) == "")
+  }
+
+  test("dedupParagraphs: whitespace paragraphs immune, newline runs round-trip, null text → ''") {
+    val in = Seq(
+      (1L, "a\n\n  \n\nb\n\n  "),       // whitespace paragraphs stay
+      (2L, "c\n\n\nd"),                 // "\n\n\nd" → ["c", "\nd"]: lossless
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(in, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "a\n\n  \n\nb\n\n  ")
+    assert(out(2L) == "c\n\n\nd")
+    assert(out(3L) == "")
+  }
+
+  test("dedupParagraphs plans as WindowGroupLimit (hot-banner skew safe)") {
+    val in = (1L to 50L).map(i => (i, s"shared banner\n\ndoc $i body text"))
+      .toDF("doc_id", "text")
+    val p = Dedup.dedupParagraphs(in, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      "expected partial + final WindowGroupLimit nodes\n" + p)
+  }
 }

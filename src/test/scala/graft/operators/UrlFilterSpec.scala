@@ -85,4 +85,36 @@ class UrlFilterSpec extends SparkSpec {
       .select(UrlFilter.canonicalizeUrl(col("u"))).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("capPerHost: exact md5-ordered survivors per host; hostless group capped too") {
+    val urls = (1 to 9).map(i => s"https://big.example.org/p/$i") ++
+      Seq("https://small.example.org/only",
+        "relative/one", "relative/two", "relative/three")
+    val capped = UrlFilter.capPerHost(urls.toDF("url"), col("url"), 3)
+      .as[String].collect().toSeq
+    // survivors = the 3 smallest (md5(url), url) keys within each host —
+    // recompute the expectation independently of the engine
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = urls.groupBy { u =>
+      val m = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)".r.unanchored
+      u match { case m(h) => h.toLowerCase; case _ => "" }
+    }.values.flatMap(_.sortBy(u => (md5hex(u), u)).take(3)).toSet
+    assert(capped.toSet == want, capped.sorted.mkString(","))
+    assert(capped.count(_.startsWith("relative")) == 3) // hostless kept under one host
+    assert(capped.count(_.contains("big.")) == 3)
+    assert(capped.count(_.contains("small.")) == 1)
+  }
+
+  test("capPerHost plans as WindowGroupLimit (map-side per-host top-k, hot-host safe)") {
+    val p = UrlFilter.capPerHost(
+        (1 to 100).map(i => s"https://h${i % 3}.org/$i").toDF("url"), col("url"), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    // the PARTIAL group limit must sit below the exchange: Spark prints the
+    // partial operator nested under Exchange hashpartitioning
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      "expected both partial and final WindowGroupLimit nodes\n" + p)
+  }
 }
