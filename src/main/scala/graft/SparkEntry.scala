@@ -516,8 +516,12 @@ object SparkEntry {
       val html = encode(concat(
         lit("<html><head><meta charset=\"utf-8\"><title>Doc "),
         k.cast("string"), lit("</title>"),
-        when(k % 4 === 0,
-          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        // every other robots row separates the noindex token with a TAB —
+        // catches any space-only trim on either engine's token test
+        when(k % 8 === 0,
+          lit("<meta name=\"robots\" content=\"nofollow ,\tnoindex\">"))
+          .when(k % 4 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
           .otherwise(lit("")),
         when(k % 2 === 0, concat(
           lit("<link rel=\"canonical\" href=\"https://ex.org/c/"),
@@ -564,7 +568,7 @@ object SparkEntry {
     // ---- crawl balance: per-host document cap ----------------------------
     // (deterministic md5-ordered rank per host, capped at 7; counts plus
     // the min/max surviving url prove exactly the right rows were kept —
-    // plans as WindowGroupLimit, asserted in PlanSpec)
+    // plans as WindowGroupLimit, asserted in UrlFilterSpec)
     "d_host_cap" -> ((s, dir) =>
       UrlFilter.capPerHost(wp(s, dir), col("url"), maxPerHost = 7)
         .groupBy(UrlFilter.hostOf(col("url")).as("host"))
@@ -1315,7 +1319,9 @@ object SparkEntry {
       "d_html_meta" ->
         """WITH h AS (SELECT doc_id,
           |    '<html><head><meta charset="utf-8"><title>Doc ' || doc_id || '</title>' ||
-          |    CASE WHEN doc_id % 4 = 0
+          |    CASE WHEN doc_id % 8 = 0
+          |         THEN '<meta name="robots" content="nofollow ,' || chr(9) || 'noindex">'
+          |         WHEN doc_id % 4 = 0
           |         THEN '<meta name="robots" content="noindex, nofollow">' ELSE '' END ||
           |    CASE WHEN doc_id % 2 = 0
           |         THEN '<link rel="canonical" href="https://ex.org/c/' || doc_id || '">' ELSE '' END ||
@@ -1329,7 +1335,7 @@ object SparkEntry {
           |  FROM h)
           |SELECT doc_id, title, robots,
           |  list_contains(list_transform(string_split(lower(robots), ','),
-          |    t -> trim(t)), 'noindex') AS noindex,
+          |    t -> trim(t, ' ' || chr(9) || chr(13) || chr(10))), 'noindex') AS noindex,
           |  canonical, charset
           |FROM x ORDER BY doc_id""".stripMargin,
 

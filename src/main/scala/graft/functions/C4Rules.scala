@@ -49,7 +49,7 @@ object C4Rules {
     val raw = coalesce(text, lit(""))
     val kept = filter(
       transform(split(raw, "\n", -1),
-        l => regexp_replace(l, "\\A[ \\t\\r]+|[ \\t\\r]+\\z", "")),
+        l => regexp_replace(l, TextFunctions.LineTrimRe, "")),
       l => l.rlike(TerminalRe) &&
         size(split(l, TextFunctions.WsClass + "+")) >= MinLineWords &&
         !lower(l).rlike(JavascriptRe))

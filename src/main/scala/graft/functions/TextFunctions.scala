@@ -33,6 +33,21 @@ object TextFunctions {
     */
   val WsClass = "[ \\t\\n\\x0B\\f\\r]"
 
+  /** Line-boundary trim, shared by every per-LINE rule (gopher, C4,
+    * boilerplate): `[ \t\r]` only — `\n` is the separator the line was
+    * split on, never line content, and `\r` tolerates CRLF input.
+    * `\A..\z` anchors, not `^..$`: Java's `$` matches before a final
+    * U+2028/U+2029/U+0085. Each use has a DuckDB twin written as the
+    * equivalent char-set `trim(l, ' ' || chr(9) || chr(13))` — change
+    * them together.
+    */
+  val LineTrimRe = "\\A[ \\t\\r]+|[ \\t\\r]+\\z"
+
+  /** Whitespace-only-line test under the same class/anchors as
+    * [[LineTrimRe]].
+    */
+  val BlankLineRe = "\\A[ \\t\\r]*\\z"
+
   /** Word array: whitespace split with the boundary stripped by the SAME
     * class as the split — SQL TRIM strips only spaces, so a doc ending in a
     * newline (ubiquitous in web text) used to sprout a phantom empty token
@@ -201,12 +216,9 @@ object TextFunctions {
   def gopherMetrics(text: Column): Column = {
     val ws = words(text)
     val nWords = size(ws)
-    // \A..\z anchors: Java's $ would match before a final U+2028/U+2029,
-    // misclassifying such lines as blank (the SQL twins' char-set trim
-    // never would)
     val lines = filter(
       transform(split(coalesce(text, lit("")), "\n", -1),
-        l => regexp_replace(l, "\\A[ \\t\\r]+|[ \\t\\r]+\\z", "")),
+        l => regexp_replace(l, LineTrimRe, "")),
       l => l =!= "")
     val nLines = size(lines)
     val meanLen = when(nWords === 0, lit(0.0))
@@ -244,7 +256,7 @@ object TextFunctions {
     when(text.isNull, lit(null).cast("string"))
       .otherwise(concat_ws("\n",
         filter(ls, (x, i) =>
-          x.rlike("\\A[ \\t\\r]*\\z") ||
+          x.rlike(BlankLineRe) ||
             array_position(ls, x) === (i + 1).cast("long"))))
   }
 }

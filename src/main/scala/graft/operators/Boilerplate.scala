@@ -44,7 +44,7 @@ object Boilerplate {
     * space-only trim).
     */
   private[operators] def isBlankLine(x: Column): Column =
-    x.rlike("\\A[ \\t\\r]*\\z") // \z, not $: Java $ matches before a final U+2028
+    x.rlike(graft.functions.TextFunctions.BlankLineRe)
 
   /** Strip every line occurring in >= `minDocs` distinct documents.
     * Returns the input frame with `textCol` rebuilt (column moves to the

@@ -497,7 +497,7 @@ object Dedup {
     * Scale: the only row-scale shuffles are the rank exchange on the
     * paragraph key and the rebuild groupBy on the doc id. The rank filter
     * `row_number() <= 1` is rewritten by InferWindowGroupLimit into a
-    * partial-before-exchange / final-after pair (PlanSpec-asserted), so the
+    * partial-before-exchange / final-after pair (DedupSpec-asserted), so the
     * pathological key — one cookie banner repeated 10^9 times, the exact
     * case this operator exists for — leaves each map task as ONE row
     * instead of concentrating on a single reducer.

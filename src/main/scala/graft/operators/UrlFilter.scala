@@ -122,7 +122,7 @@ object UrlFilter {
     * group-limit before the exchange and a final one after — so each map
     * task forwards at most k rows per host and a Zipfian hot host (the
     * norm in crawl data) never lands its full row set on one reducer.
-    * Plan-asserted in PlanSpec. Duplicate urls (crawl re-fetches) tie in
+    * Plan-asserted in UrlFilterSpec. Duplicate urls (crawl re-fetches) tie in
     * the ordering; which physical twin wins rank 1 is undefined, so
     * url-level output is deterministic but row-level payload columns are
     * only as deterministic as the url→payload mapping — canonicalize or
