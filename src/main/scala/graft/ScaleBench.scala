@@ -156,6 +156,21 @@ object ScaleBench {
         .minhashLshPairs(docs, col("url"), col("text"), threshold = 0.8)
         .count()
       ()
+    } else if (scaleMode == "spandedup") {
+      // paragraph/span dedup at row scale with the pathological key ON:
+      // every doc carries one copy of the same banner paragraph (Rows
+      // copies of ONE window key) — survivable only because the rank
+      // filter runs as a partial WindowGroupLimit before the exchange.
+      // sum(length) forces the rebuilt text to materialize (a bare count
+      // would let Catalyst prune the rebuild's concat work away).
+      import org.apache.spark.sql.functions.{col, concat, length, lit, sum}
+      val docs = s.read.parquet(dir).select(col("url"),
+        concat(col("text"),
+          lit("\n\nShared cookie banner paragraph accepted by every site."))
+          .as("text"))
+      graft.operators.Dedup.dedupParagraphs(docs, "url", "text")
+        .agg(sum(length(col("text")))).collect()
+      ()
     } else if (scaleMode == "scan") {
       // perfectly-parallel control: single stage, no shuffle, no driver work
       // (regex-extract + compare over every row) — measures the machine's
@@ -178,7 +193,7 @@ object ScaleBench {
   /** Timed pass over the fixture; returns wall seconds. */
   private def run(cores: Int): Double = {
     // cluster mode resolves the same text fixture's pair graph
-    val dedup = scaleMode == "dedup" || scaleMode == "cluster"
+    val dedup = scaleMode == "dedup" || scaleMode == "cluster" || scaleMode == "spandedup"
     val (warm, main) =
       if (dedup) (dedupFixtureDir + ".warm", dedupFixtureDir)
       else (warmDir, FixtureDir)
@@ -192,7 +207,7 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (scaleMode == "dedup" || scaleMode == "cluster") ensureDedupFixture()
+    if (scaleMode == "dedup" || scaleMode == "cluster" || scaleMode == "spandedup") ensureDedupFixture()
     else ensureFixture()
     // Single-measurement mode: `runMain graft.ScaleBench <cores> [reps]`
     // prints one JSON line. Meant to run under an OS-level core budget

@@ -608,6 +608,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sampling: quality-proportional survival --------------------------
+    // (keep each doc with probability = its qualityScore — the
+    // thin-the-junk step; survivor set is a pure (doc_id, salt, score)
+    // function both engines recompute exactly)
+    "d_sample_score" -> ((s, dir) =>
+      Sampling.byScore(s.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), TextFunctions.qualityScore(col("text")), salt = "q:")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // ---- dedup: C4-style cross-doc paragraph (span) dedup -----------------
     // (a shared banner paragraph planted on every doc — twice on 0 mod 3 —
     // survives only at its global first occurrence; per-doc "ref" paragraphs
@@ -1426,6 +1436,37 @@ object SparkEntry {
           |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
           |   AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
           |FROM m ORDER BY doc_id""".stripMargin,
+
+      // Sampling.byScore twin: per-doc q is the d_quality scored CTE
+      // (already gate-proven identical at 6 dp), threshold = q scaled to
+      // 8 zero-padded hex digits — identical lowercase hex both engines,
+      // lexicographic < IS the numeric compare; q never reaches 1.0 here
+      // but the >= 1 'g' arm mirrors the operator anyway
+      "d_sample_score" ->
+        """WITH tt AS (
+          |  SELECT doc_id, text,
+          |    regexp_replace(COALESCE(text, ''), '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g') AS t2
+          |  FROM documents),
+          |scored AS (
+          |  SELECT doc_id,
+          |    ROUND(
+          |      0.4 * LEAST(1.0, LENGTH(COALESCE(text,'')) / 200.0) +
+          |      0.4 * (CASE WHEN LENGTH(COALESCE(text,'')) = 0 THEN 0.0
+          |             ELSE CAST(LENGTH(regexp_replace(LOWER(COALESCE(text,'')), '[^a-z ]', '', 'g')) AS DOUBLE)
+          |                  / LENGTH(COALESCE(text,'')) END) +
+          |      0.2 * (CASE WHEN (CASE WHEN LENGTH(t2) = 0 THEN 0
+          |                        ELSE len(string_split_regex(t2, '[ \t\n\x0b\f\r]+')) END) = 0 THEN 0.5
+          |                  WHEN (CAST(LENGTH(COALESCE(text,'')) AS DOUBLE)
+          |                        - (len(string_split_regex(t2, '[ \t\n\x0b\f\r]+')) - 1.0))
+          |                       / len(string_split_regex(t2, '[ \t\n\x0b\f\r]+'))
+          |                       BETWEEN 3.0 AND 12.0 THEN 1.0
+          |                  ELSE 0.5 END), 6) AS q
+          |  FROM tt)
+          |SELECT doc_id FROM scored
+          |WHERE substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          |  CASE WHEN q >= 1.0 THEN 'g'
+          |       ELSE printf('%08x', CAST(FLOOR(q * 4294967296.0) AS BIGINT)) END
+          |ORDER BY doc_id""".stripMargin,
 
       // dedupParagraphs twin: same planted paragraphs, same trimmed match
       // key, same blank-singleton window partitions (1-based pos vs Spark's

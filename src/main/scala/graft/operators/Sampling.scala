@@ -77,4 +77,28 @@ object Sampling {
     // null-ordering divergence can enter the rank)
     Retention.topKPerGroup(df, stratum, hashCol(key, salt), keyStr(key), n)
   }
+
+  /** Score-weighted deterministic sampling: keep each row with probability
+    * `clamp(score, 0, 1)` — the quality-proportional subsampling step of a
+    * training-mix pipeline (high-quality docs survive more often, junk is
+    * thinned rather than cliff-dropped). Same determinism contract as
+    * [[hashFraction]]: the verdict is a pure function of (key, salt,
+    * score), decided by comparing the row's 8-hex md5 prefix against the
+    * row's own threshold `floor(p * 16^8)` rendered as zero-padded hex —
+    * lexicographic lowercase-hex comparison IS the numeric comparison, on
+    * every engine. `p >= 1` keeps unconditionally (the `"g"` sentinel
+    * sorts above every hex digit, covering the 16^8 boundary exactly);
+    * `p <= 0` and NULL scores drop (no score = no evidence to keep —
+    * filter-before-score if that is not the intent). A pure row-local
+    * filter: no shuffle, no RNG, no state; resolution is 2^-32, same as
+    * [[thresholdHex]].
+    */
+  def byScore(df: DataFrame, key: Column, score: Column,
+      salt: String = ""): DataFrame = {
+    val p = least(greatest(coalesce(score.cast("double"), lit(0.0)),
+      lit(0.0)), lit(1.0))
+    val thresh = when(p >= 1.0, lit("g"))
+      .otherwise(format_string("%08x", floor(p * 4294967296.0).cast("long")))
+    df.where(substring(hashCol(key, salt), 1, 8) < thresh)
+  }
 }

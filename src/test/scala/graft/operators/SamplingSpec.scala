@@ -71,4 +71,36 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.thresholdHex(1.0) == "g")
     intercept[IllegalArgumentException](Sampling.thresholdHex(1.5))
   }
+
+  test("byScore: survivor set exactly matches the recomputed hash-vs-threshold rule") {
+    val scored = corpus.withColumn("score", (col("doc_id") % 10) / 10.0)
+    val kept = Sampling.byScore(scored, col("doc_id"), col("score"), "q")
+      .select("doc_id").as[Long].collect().toSet
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = (0L until 10000L).filter { id =>
+      val p = (id % 10) / 10.0
+      md5hex(s"q$id").take(8) < f"${(p * 4294967296.0).toLong}%08x"
+    }.toSet
+    assert(kept == want, s"${kept.size} vs ${want.size}")
+    // proportionality: the score-0.9 decile keeps ~9x the score-0.1 decile
+    val k1 = kept.count(_ % 10 == 1).toDouble
+    val k9 = kept.count(_ % 10 == 9).toDouble
+    assert(k1 > 50 && k9 > 800 && math.abs(k9 / (k1 + k9) - 0.9) < 0.05,
+      s"k1=$k1 k9=$k9")
+  }
+
+  test("byScore edges: p>=1 keeps all, p<=0 and null scores drop; pure filter plan") {
+    val edge = Seq((1L, Some(1.0)), (2L, Some(7.5)), (3L, Some(0.0)),
+      (4L, Some(-2.0)), (5L, Option.empty[Double]))
+      .toDF("doc_id", "score")
+    val kept = Sampling.byScore(edge, col("doc_id"), col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+    val plan = Sampling.byScore(corpus.withColumn("s", lit(0.5)),
+        col("doc_id"), col("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"byScore must not shuffle:\n$plan")
+  }
 }
