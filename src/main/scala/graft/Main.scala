@@ -182,6 +182,68 @@ object Main {
         println(s"[sodspark] baseline written to $out")
         spark.stop()
 
+      // The full webtext curation chain (crawl table in → clean corpus
+      // out) as one job; stages and their order live in operators/Curate.
+      case "curate" =>
+        val Seq(in, out) = requirePositionals(positional, 2)
+        val raw = spark.read.parquet(in)
+        graft.engine.WebSchema.validate(raw) match {
+          case Left(err) =>
+            System.err.println(s"[sodspark] $err")
+            sys.exit(2)
+          case Right(_) =>
+        }
+        def onOff(flag: String, default: Boolean): Boolean =
+          opts.get(flag) match {
+            case None        => default
+            case Some("on")  => true
+            case Some("off") => false
+            case Some(other) =>
+              System.err.println(
+                s"invalid --$flag: '$other' (expected on|off)\n$usage")
+              sys.exit(64)
+              throw new IllegalStateException
+          }
+        val maxPerHost = opts.get("max-per-host").map { v =>
+          val n = scala.util.Try(v.toInt).getOrElse(-1)
+          if (n < 1) {
+            System.err.println(
+              s"invalid --max-per-host: '$v' (expected int >= 1)\n$usage")
+            sys.exit(64)
+          }
+          n
+        }.getOrElse(0)
+        val cfg = graft.operators.Curate.Config(
+          blocklist = opts.get("blocklist")
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Nil),
+          dropNoindexPages = onOff("noindex", default = true),
+          c4 = onOff("c4", default = true),
+          gopher = onOff("gopher", default = true),
+          paragraphDedup = onOff("paragraph-dedup", default = true),
+          exactTextDedup = onOff("exact-dedup", default = true),
+          maxPerHost = maxPerHost,
+          qualitySample = onOff("quality-sample", default = false),
+          salt = opts.getOrElse("salt", "curate"))
+        if (onOff("stage-counts", default = false)) {
+          val (cleaned, counts) =
+            graft.operators.Curate.curateWithCounts(raw, cfg)
+          cleaned.write.mode("overwrite").parquet(out)
+          cleaned.unpersist(false)
+          val stageJson = counts.map { case (k, v) => s""""$k":$v""" }
+            .mkString("{", ",", "}")
+          println(s"[sodspark] curate stages=$stageJson")
+          println(s"[sodspark] curate wrote ${counts.last._2} of " +
+            s"${counts.head._2} rows to $out")
+        } else {
+          graft.operators.Curate.curate(raw, cfg)
+            .write.mode("overwrite").parquet(out)
+          // count the WRITTEN table — no second execution of the chain
+          val n = spark.read.parquet(out).count()
+          println(s"[sodspark] curate wrote $n rows to $out")
+        }
+        spark.stop()
+
       // Incremental ingest (S3): each invocation = one poll tick — processes
       // only parquet files under <inputPath> not recorded in the checkpoint.
       // Runs the FULL check suite per micro-batch; with --baseline, each
@@ -393,6 +455,8 @@ object Main {
   private[graft] val commandFlags: Map[String, Set[String]] = Map(
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
+    "curate" -> Set("blocklist", "noindex", "c4", "gopher", "paragraph-dedup",
+      "exact-dedup", "max-per-host", "quality-sample", "stage-counts", "salt"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"),
@@ -436,6 +500,17 @@ object Main {
       |      [--partition-col <col>] [--baseline <dir>]
       |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
       |      [--append-policy strict|all]
+      |  graft.Main curate <inputPath> <outDir> [--blocklist d1,d2,...]
+      |      [--noindex on|off] [--c4 on|off] [--gopher on|off]
+      |      [--paragraph-dedup on|off] [--exact-dedup on|off]
+      |      [--max-per-host <k>] [--quality-sample on|off] [--salt <s>]
+      |      [--stage-counts on|off]
+      |      (the full webtext curation chain — blocklist/noindex filters,
+      |       cross-doc paragraph dedup, C4 line+page cleaning, Gopher keep,
+      |       exact-text dedup, per-host cap, quality-proportional sampling —
+      |       deterministic end to end; url must be unique (run validate's
+      |       uniqueness check first). --stage-counts on reports per-stage
+      |       survivor counts at the cost of one action per stage)
       |  graft.Main ingest <inputDir> <outDir> [--checkpoint <dir>] [--baseline <dir>]
       |      [--alert-endpoint <url>]   (per-batch {entityId,data} alert POSTs,
       |                                  spooled crash-safe under <outDir>/_alert_spool)

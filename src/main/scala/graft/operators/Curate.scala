@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{C4Rules, TextFunctions}
+
+/** The end-to-end training-data curation pipeline: every webtext operator
+  * in this package chained into ONE job (`graft.Main curate`), the way a
+  * pipeline team would actually run them — a user of the reference system
+  * who adopts this library gets crawl → clean corpus as one spark-submit.
+  *
+  * Stage order is cost-ordered for 100 TB — row-local filters first (they
+  * push toward the scan and thin the corpus before anything shuffles) —
+  * with ONE correctness-forced exception: paragraph dedup must run BEFORE
+  * the C4 line cleaning, because C4's rebuild joins kept lines with a
+  * single `\n` (blank lines fail its terminal-mark rule), which collapses
+  * every `\n\n` paragraph boundary and would leave the span dedup nothing
+  * to match on. Running it early also matches what the operator needs:
+  * raw crawl structure, not cleaned prose:
+  *
+  *   1. url_blocklist    row-local (arrays_overlap predicate)
+  *   2. noindex          row-local (robots meta token test)
+  *   3. paragraph_dedup  cross-doc span dedup on the RAW text
+  *                       (WindowGroupLimit rank); docs rebuilt empty drop
+  *   4. c4               row-local: text := C4 clean_text, drop pages
+  *                       failing the C4 page rules (a doc thinned under
+  *                       3 sentences by the dedup correctly dies here)
+  *   5. gopher           row-local keep conjunction over the CLEANED text
+  *   6. exact_text_dedup keep the min-url doc per identical normalized
+  *                       text fingerprint (same WindowGroupLimit idiom) —
+  *                       late on purpose: it also catches docs made
+  *                       identical BY the cleaning stages
+  *   7. host_cap         at most k docs per host (md5-ranked)
+  *   8. quality_sample   keep with probability qualityScore(text)
+  *
+  * Determinism: every stage is a pure function of row content (+ salt) —
+  * two runs, two engines, or two cluster sizes produce the identical
+  * surviving corpus. PRECONDITION (same as [[Dedup.dedupParagraphs]]):
+  * `url` must be unique and non-null — it is the rebuild key, the exact-
+  * dedup tie-break, and the sampling key. Run the validator's uniqueness
+  * check (or [[UrlFilter.capPerHost]] at k=1 on canonicalized urls) first
+  * on corpora that cannot promise it.
+  */
+object Curate {
+
+  /** Stage dials. Defaults run the content stages and skip the two that
+    * need corpus-specific tuning (blocklist entries, host cap size).
+    */
+  case class Config(
+      blocklist: Seq[String] = Nil,
+      dropNoindexPages: Boolean = true,
+      c4: Boolean = true,
+      gopher: Boolean = true,
+      paragraphDedup: Boolean = true,
+      exactTextDedup: Boolean = true,
+      maxPerHost: Int = 0, // 0 = off
+      qualitySample: Boolean = false,
+      salt: String = "curate")
+
+  /** The enabled stages, in execution order — ONE list drives both
+    * [[curate]] and [[curateWithCounts]] so execution and audit cannot
+    * drift apart.
+    */
+  def stages(cfg: Config): Seq[(String, DataFrame => DataFrame)] = {
+    val b = Seq.newBuilder[(String, DataFrame => DataFrame)]
+    if (cfg.blocklist.nonEmpty)
+      b += ("url_blocklist" -> ((d: DataFrame) =>
+        UrlFilter.dropBlockedDomains(d, col("url"), cfg.blocklist)))
+    if (cfg.dropNoindexPages)
+      b += ("noindex" -> ((d: DataFrame) => HtmlMeta.dropNoindex(d, col("html"))))
+    if (cfg.paragraphDedup)
+      b += ("paragraph_dedup" -> ((d: DataFrame) =>
+        Dedup.dedupParagraphs(d, "url", "text")
+          .where(length(col("text")) > 0)))
+    if (cfg.c4)
+      b += ("c4" -> ((d: DataFrame) => {
+        val m = C4Rules.c4Metrics(col("text"))
+        d.withColumn("__c4", m)
+          .where(col("__c4").getField("keep"))
+          .withColumn("text", col("__c4").getField("clean_text"))
+          .drop("__c4")
+      }))
+    if (cfg.gopher)
+      b += ("gopher" -> ((d: DataFrame) =>
+        d.where(TextFunctions.gopherMetrics(col("text")).getField("keep"))))
+    if (cfg.exactTextDedup)
+      b += ("exact_text_dedup" -> ((d: DataFrame) => {
+        // min-url survivor per identical normalized-text fingerprint; the
+        // rank <= 1 filter runs as WindowGroupLimit, so even a corpus that
+        // is 90% one template page never concentrates on a reducer
+        val w = Window.partitionBy(TextFunctions.fingerprint(col("text")))
+          .orderBy(col("url"))
+        d.withColumn("__cd_rn", row_number().over(w))
+          .where(col("__cd_rn") <= 1).drop("__cd_rn")
+      }))
+    if (cfg.maxPerHost > 0)
+      b += ("host_cap" -> ((d: DataFrame) =>
+        UrlFilter.capPerHost(d, col("url"), cfg.maxPerHost)))
+    if (cfg.qualitySample)
+      b += ("quality_sample" -> ((d: DataFrame) =>
+        Sampling.byScore(d, col("url"),
+          TextFunctions.qualityScore(col("text")), cfg.salt)))
+    b.result()
+  }
+
+  /** The cleaned corpus as ONE lazy plan — no intermediate actions; at
+    * full scale this is the call to use (write it, count the write).
+    */
+  def curate(df: DataFrame, cfg: Config = Config()): DataFrame =
+    stages(cfg).foldLeft(df) { case (d, (_, f)) => f(d) }
+
+  /** Audit mode: the cleaned corpus plus per-stage survivor counts. Each
+    * intermediate is persisted (MEMORY_AND_DISK) before its count and
+    * released once its successor is materialized, so every stage still
+    * executes exactly once — the price is one action per stage and the
+    * spill footprint of one intermediate corpus, which is why this is the
+    * dial-up audit path and [[curate]] is the default.
+    */
+  def curateWithCounts(df: DataFrame,
+      cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
+    val counts = Seq.newBuilder[(String, Long)]
+    counts += ("input" -> df.count())
+    var prev: Option[DataFrame] = None
+    var cur = df
+    for ((name, f) <- stages(cfg)) {
+      val next = f(cur).persist(StorageLevel.MEMORY_AND_DISK)
+      counts += (name -> next.count()) // materializes `next`
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      cur = next
+    }
+    (cur, counts.result())
+  }
+}

@@ -60,6 +60,12 @@ class MainSpec extends AnyFunSuite {
     assert(Main.commandFlags("ingest").contains("max-files-per-trigger"))
   }
 
+  test("curate declares exactly its stage dials") {
+    assert(Main.commandFlags("curate") == Set("blocklist", "noindex", "c4",
+      "gopher", "paragraph-dedup", "exact-dedup", "max-per-host",
+      "quality-sample", "stage-counts", "salt"))
+  }
+
   test("a positional equal to some flag's value is kept") {
     // old parse extracted positionals by value-inequality with flag values,
     // so `validate /d /out --ledger /out` lost /out → MatchError
