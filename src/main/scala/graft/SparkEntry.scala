@@ -1463,7 +1463,7 @@ object SparkEntry {
           |                  ELSE 0.5 END), 6) AS q
           |  FROM tt)
           |SELECT doc_id FROM scored
-          |WHERE substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          |WHERE substr(md5('q:' || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL')), 1, 8) <
           |  CASE WHEN q >= 1.0 THEN 'g'
           |       ELSE printf('%08x', CAST(FLOOR(q * 4294967296.0) AS BIGINT)) END
           |ORDER BY doc_id""".stripMargin,

@@ -87,15 +87,13 @@ object Curate {
       b += ("gopher" -> ((d: DataFrame) =>
         d.where(TextFunctions.gopherMetrics(col("text")).getField("keep"))))
     if (cfg.exactTextDedup)
-      b += ("exact_text_dedup" -> ((d: DataFrame) => {
-        // min-url survivor per identical normalized-text fingerprint; the
-        // rank <= 1 filter runs as WindowGroupLimit, so even a corpus that
-        // is 90% one template page never concentrates on a reducer
-        val w = Window.partitionBy(TextFunctions.fingerprint(col("text")))
-          .orderBy(col("url"))
-        d.withColumn("__cd_rn", row_number().over(w))
-          .where(col("__cd_rn") <= 1).drop("__cd_rn")
-      }))
+      b += ("exact_text_dedup" -> ((d: DataFrame) =>
+        // min-url survivor per identical normalized-text fingerprint, via
+        // the one home of the rank-n idiom; the rank <= 1 filter runs as
+        // WindowGroupLimit, so even a corpus that is 90% one template page
+        // never concentrates on a reducer
+        Retention.topKPerGroup(d, TextFunctions.fingerprint(col("text")),
+          col("url"), col("url"), 1)))
     if (cfg.maxPerHost > 0)
       b += ("host_cap" -> ((d: DataFrame) =>
         UrlFilter.capPerHost(d, col("url"), cfg.maxPerHost)))
@@ -112,24 +110,26 @@ object Curate {
   def curate(df: DataFrame, cfg: Config = Config()): DataFrame =
     stages(cfg).foldLeft(df) { case (d, (_, f)) => f(d) }
 
-  /** Audit mode: the cleaned corpus plus per-stage survivor counts. Each
-    * intermediate is persisted (MEMORY_AND_DISK) before its count and
-    * released once its successor is materialized, so every stage still
-    * executes exactly once — the price is one action per stage and the
-    * spill footprint of one intermediate corpus, which is why this is the
-    * dial-up audit path and [[curate]] is the default.
+  /** Audit mode: the cleaned corpus plus per-stage survivor counts. The
+    * input and each intermediate are persisted (MEMORY_AND_DISK) before
+    * their count and released once their successor is materialized, so the
+    * raw table is READ once and every stage EXECUTES once — the price is
+    * one action per stage and the spill footprint of one intermediate
+    * corpus, which is why this is the dial-up audit path and [[curate]] is
+    * the default. The returned frame is still persisted: write it, then
+    * unpersist.
     */
   def curateWithCounts(df: DataFrame,
       cfg: Config = Config()): (DataFrame, Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
-    counts += ("input" -> df.count())
-    var prev: Option[DataFrame] = None
-    var cur = df
+    var cur = df.persist(StorageLevel.MEMORY_AND_DISK)
+    counts += ("input" -> cur.count())
+    var prev = cur
     for ((name, f) <- stages(cfg)) {
       val next = f(cur).persist(StorageLevel.MEMORY_AND_DISK)
-      counts += (name -> next.count()) // materializes `next`
-      prev.foreach(_.unpersist(false))
-      prev = Some(next)
+      counts += (name -> next.count()) // materializes `next` off the cache
+      prev.unpersist(false)
+      prev = next
       cur = next
     }
     (cur, counts.result())

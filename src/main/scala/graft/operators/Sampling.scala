@@ -88,15 +88,18 @@ object Sampling {
     * lexicographic lowercase-hex comparison IS the numeric comparison, on
     * every engine. `p >= 1` keeps unconditionally (the `"g"` sentinel
     * sorts above every hex digit, covering the 16^8 boundary exactly);
-    * `p <= 0` and NULL scores drop (no score = no evidence to keep —
-    * filter-before-score if that is not the intent). A pure row-local
+    * `p <= 0`, NULL and NaN scores drop (no score = no evidence to keep —
+    * filter-before-score if that is not the intent; without the `nanvl`
+    * guard a 0/0-derived NaN would clamp to 1.0, because Spark orders NaN
+    * ABOVE every double — keep-all for exactly the malformed rows most
+    * likely to be junk). A pure row-local
     * filter: no shuffle, no RNG, no state; resolution is 2^-32, same as
     * [[thresholdHex]].
     */
   def byScore(df: DataFrame, key: Column, score: Column,
       salt: String = ""): DataFrame = {
-    val p = least(greatest(coalesce(score.cast("double"), lit(0.0)),
-      lit(0.0)), lit(1.0))
+    val p = least(greatest(nanvl(coalesce(score.cast("double"), lit(0.0)),
+      lit(0.0)), lit(0.0)), lit(1.0))
     val thresh = when(p >= 1.0, lit("g"))
       .otherwise(format_string("%08x", floor(p * 4294967296.0).cast("long")))
     df.where(substring(hashCol(key, salt), 1, 8) < thresh)

@@ -93,8 +93,9 @@ class SamplingSpec extends SparkSpec {
 
   test("byScore edges: p>=1 keeps all, p<=0 and null scores drop; pure filter plan") {
     val edge = Seq((1L, Some(1.0)), (2L, Some(7.5)), (3L, Some(0.0)),
-      (4L, Some(-2.0)), (5L, Option.empty[Double]))
-      .toDF("doc_id", "score")
+      (4L, Some(-2.0)), (5L, Option.empty[Double]),
+      (6L, Some(Double.NaN))) // 0/0-derived; Spark orders NaN ABOVE 1.0 —
+      .toDF("doc_id", "score") // must drop, not keep-all
     val kept = Sampling.byScore(edge, col("doc_id"), col("score"))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L), kept.toString)
