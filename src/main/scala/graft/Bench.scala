@@ -115,8 +115,10 @@ object Bench {
         "d_minhash_pairs", "d_dedup_exact", "e_ann_brute", "m_media_bytes",
         "d_quality", "q_quantiles", "e_dedup_cos", "q_drift_ks", "d_simhash_pairs",
         // r5 webtext-pipeline picks: two row-local rule families, the
-        // WindowGroupLimit host cap, and the two cross-doc rebuild ops
-        "d_gopher", "d_c4_filter", "d_host_cap", "d_para_dedup", "d_strip_lines")
+        // WindowGroupLimit host cap, the two cross-doc rebuild ops, and
+        // the full curation chain composed
+        "d_gopher", "d_c4_filter", "d_host_cap", "d_para_dedup", "d_strip_lines",
+        "d_curate")
       val results: Seq[(String, Seq[Double])] =
         ("full_suite" -> headlineReps) +: picks.map { name =>
           val fn = SparkEntry.queries(name)

@@ -608,6 +608,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- pipeline: the FULL curation chain, end to end --------------------
+    // (blocklist host on 0 mod 17, noindex meta on 0 mod 13, fingerprint
+    // twins — upper/lower case pairs — on 0 mod 5, a shared cross-doc
+    // paragraph on 0 mod 3, a '{' page poison on 0 mod 7, ten hosts capped
+    // at 5 docs each; every stage's machinery is identically composed in
+    // the oracle — the one query that gates the operators COMPOSED, where
+    // the CurateSpec e2e already caught an ordering bug no unit oracle
+    // could)
+    "d_curate" -> ((s, dir) => {
+      val k = col("doc_id")
+      def base(tag: Column): Column = concat(
+        lit("The quick brown fox named "), tag,
+        lit(" jumps over the lazy dog in the field today.\n"),
+        lit("Many people walk along the river and watch the water move slowly past them.\n"),
+        lit("Every sentence here contains plenty of ordinary words that keep the metrics happy.\n"),
+        lit("Some final words arrive at the end of this small test document now."))
+      val twin = base(lit("twincommon"))
+      val text = when(k % 5 === 0,
+          when(k % 10 === 0, upper(twin)).otherwise(twin))
+        .otherwise(concat(
+          when(k % 3 === 0, base(lit("shared")))
+            .otherwise(base(concat(lit("own"), k.cast("string")))),
+          lit("\n\n"),
+          base(concat(lit("tail"), k.cast("string"))),
+          when(k % 7 === 0, lit(" {")).otherwise(lit(""))))
+      val url = when(k % 17 === 0,
+          concat(lit("https://blocked.bad/p/"), k.cast("string")))
+        .otherwise(concat(lit("https://h"), (k % 10).cast("string"),
+          lit(".example.org/p/"), k.cast("string")))
+      val html = encode(when(k % 13 === 0,
+          lit("<html><head><meta name=\"robots\" content=\"noindex\"></head><body></body></html>"))
+        .otherwise(lit("<html><body>ok</body></html>")), "UTF-8")
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(url.as("url"), html.as("html"), text.as("text"))
+      graft.operators.Curate.curate(planted,
+          graft.operators.Curate.Config(blocklist = Seq("blocked.bad"),
+            maxPerHost = 5))
+        .select(col("url"), col("text"))
+        .orderBy(col("url"))
+    }),
+
     // ---- sampling: quality-proportional survival --------------------------
     // (keep each doc with probability = its qualityScore — the
     // thin-the-junk step; survivor set is a pure (doc_id, salt, score)
@@ -1436,6 +1477,103 @@ object SparkEntry {
           |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
           |   AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
           |FROM m ORDER BY doc_id""".stripMargin,
+
+      // Curate twin: the SAME stage machinery as the per-operator twins
+      // (d_para_dedup, d_c4_filter, d_gopher, d_fingerprint, d_host_cap),
+      // composed in Curate's stage order. Two planted-shape shortcuts,
+      // each proven elsewhere: the blocklist reduces to host-modulus
+      // equality (suffix machinery gated by d_url_filter) and noindex to
+      // its planting flag (robots regex gated by d_html_meta).
+      "d_curate" ->
+        """WITH frag AS (SELECT
+          |    'The quick brown fox named ' AS f1,
+          |    ' jumps over the lazy dog in the field today.' || chr(10) ||
+          |    'Many people walk along the river and watch the water move slowly past them.' || chr(10) ||
+          |    'Every sentence here contains plenty of ordinary words that keep the metrics happy.' || chr(10) ||
+          |    'Some final words arrive at the end of this small test document now.' AS f2),
+          |t AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN
+          |      CASE WHEN doc_id % 10 = 0 THEN upper(f1 || 'twincommon' || f2)
+          |           ELSE f1 || 'twincommon' || f2 END
+          |    ELSE
+          |      (CASE WHEN doc_id % 3 = 0 THEN f1 || 'shared' || f2
+          |            ELSE f1 || 'own' || CAST(doc_id AS VARCHAR) || f2 END)
+          |      || chr(10) || chr(10)
+          |      || f1 || 'tail' || CAST(doc_id AS VARCHAR) || f2
+          |      || CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END
+          |    END AS text,
+          |    CASE WHEN doc_id % 17 = 0 THEN 'https://blocked.bad/p/' || CAST(doc_id AS VARCHAR)
+          |         ELSE 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) END AS url
+          |  FROM documents, frag
+          |  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0),
+          |p AS (SELECT url, text,
+          |    unnest(string_split(text, chr(10) || chr(10))) AS para,
+          |    unnest(generate_series(1, len(string_split(text, chr(10) || chr(10))))) AS pos
+          |  FROM t),
+          |pk AS (SELECT url, pos, para,
+          |    regexp_replace(para, '\A[ \t\n\r]+|[ \t\n\r]+\z', '', 'g') AS key
+          |  FROM p),
+          |pr AS (SELECT url, pos, para,
+          |    row_number() OVER (
+          |      PARTITION BY (key = ''),
+          |        CASE WHEN key = '' THEN url ELSE key END,
+          |        CASE WHEN key = '' THEN pos ELSE 0 END
+          |      ORDER BY url, pos) AS rn
+          |  FROM pk),
+          |preb AS (SELECT url, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+          |  FROM pr WHERE rn <= 1 GROUP BY url),
+          |d1 AS (SELECT t.url, COALESCE(preb.text, '') AS text
+          |  FROM t LEFT JOIN preb ON t.url = preb.url
+          |  WHERE length(COALESCE(preb.text, '')) > 0),
+          |c1 AS (SELECT url, text,
+          |    list_filter(list_transform(string_split(text, chr(10)),
+          |        l -> trim(l, ' ' || chr(9) || chr(13))),
+          |      l -> regexp_matches(l, '[.!?"]\z')
+          |           AND len(string_split_regex(l, '[ \t\n\x0b\f\r]+')) >= 5
+          |           AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+          |  FROM d1),
+          |c2 AS (SELECT url, array_to_string(kept, chr(10)) AS text
+          |  FROM c1
+          |  WHERE NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+          |    AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3),
+          |gw AS (SELECT url, text,
+          |    CASE WHEN text IS NULL
+          |           OR LENGTH(regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g')) = 0
+          |         THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(
+          |           regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g'), '[ \t\n\x0b\f\r]+') END AS ws,
+          |    list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+          |                  l -> trim(l, ' ' || chr(9) || chr(13))),
+          |                x -> x <> '') AS tl
+          |  FROM c2),
+          |g1 AS (SELECT url, text FROM (
+          |  SELECT url, text,
+          |    len(ws) AS n_words,
+          |    CASE WHEN len(ws) = 0 THEN 0.0
+          |         ELSE CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE) / len(ws) END AS mwl,
+          |    CASE WHEN len(ws) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS af,
+          |    CASE WHEN len(tl) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(tl, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE) / len(tl) END AS bf,
+          |    CASE WHEN len(tl) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(tl, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(tl) END AS ef,
+          |    len(list_intersect(list_transform(ws, x -> lower(x)),
+          |        ['the','be','to','of','and','that','have','with'])) AS sh
+          |  FROM gw)
+          |  WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+          |    AND af >= 0.8 AND bf <= 0.9 AND ef <= 0.3 AND sh >= 2),
+          |x1 AS (SELECT url, text,
+          |    row_number() OVER (
+          |      PARTITION BY md5(regexp_replace(LOWER(TRIM(COALESCE(text, ''))), '[ \t\n\x0b\f\r]+', ' ', 'g'))
+          |      ORDER BY url, url) AS rn
+          |  FROM g1),
+          |x2 AS (SELECT url, text FROM x1 WHERE rn <= 1),
+          |h1 AS (SELECT url, text,
+          |    row_number() OVER (
+          |      PARTITION BY lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+          |      ORDER BY md5(url), url) AS rn
+          |  FROM x2)
+          |SELECT url, text FROM h1 WHERE rn <= 5 ORDER BY url""".stripMargin,
 
       // Sampling.byScore twin: per-doc q is the d_quality scored CTE
       // (already gate-proven identical at 6 dp), threshold = q scaled to
