@@ -186,6 +186,13 @@ object Main {
       // out) as one job; stages and their order live in operators/Curate.
       case "curate" =>
         val Seq(in, out) = requirePositionals(positional, 2)
+        // same contract as ingest: plain path-based parquet writes, the
+        // TableCommitter is never consulted — say so rather than silently
+        // ignoring an explicitly-configured iceberg mode
+        if (spark.conf.get(graft.engine.TableIO.CommitModeConf, "rename") == "iceberg")
+          System.err.println("[sodspark] note: commitMode=iceberg does not " +
+            "apply to curate (path-based parquet writes); the conf is " +
+            "ignored for this command")
         val raw = spark.read.parquet(in)
         graft.engine.WebSchema.validate(raw) match {
           case Left(err) =>
