@@ -70,4 +70,28 @@ class C4RulesSpec extends SparkSpec {
     assert(run(null) == (("", 0L, 0L, false)))
     assert(run("") == (("", 0L, 0L, false)))
   }
+
+  test("cleaning is idempotent (seeded): c4(clean) == clean, keep verdict stable") {
+    val rnd = new scala.util.Random(20260818L)
+    val lineBank = Seq(
+      "A perfectly ordinary sentence lives right here today.",
+      "Short one.",
+      "no terminal punctuation on this line at all",
+      "Please enable javascript before you continue reading this.",
+      "  An indented sentence with plenty of words survives the trim.",
+      "Another fine sentence brings the count up nicely!",
+      "Does a question also count as a sentence here?")
+    (1 to 30).foreach { _ =>
+      val text = Seq.fill(3 + rnd.nextInt(6))(lineBank(rnd.nextInt(lineBank.size)))
+        .mkString("\n")
+      val (clean1, _, _, keep1) = run(text)
+      val (clean2, n2, _, keep2) = run(clean1)
+      assert(clean2 == clean1, s"not idempotent on:\n$text")
+      // a kept page stays kept; a thin page stays dropped (no poisons in
+      // the bank, so keep is purely the sentence count — monotone here)
+      assert(keep2 == keep1, s"keep flipped on:\n$text")
+      assert(n2 == clean1.split("\n", -1).count(_.nonEmpty) ||
+        (clean1.isEmpty && n2 == 0))
+    }
+  }
 }

@@ -163,6 +163,29 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == "")
   }
 
+  test("dedupParagraphs properties (seeded): identity without dups; each key survives exactly once") {
+    val rnd = new scala.util.Random(20260818L)
+    def para(i: Int) = s"paragraph number $i with ${rnd.nextInt(1000)} inside"
+    // corpus A: all paragraphs globally unique → the operator is identity
+    val uniq = (1L to 40L).map(i =>
+      (i, Seq.tabulate(1 + rnd.nextInt(4))(j => para(i.toInt * 10 + j)).mkString("\n\n")))
+    val idOut = Dedup.dedupParagraphs(uniq.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    uniq.foreach { case (id, t) => assert(idOut(id) == t, s"doc $id changed") }
+    // corpus B: heavy random sharing from a 12-paragraph pool → across the
+    // whole output, each distinct trimmed key appears EXACTLY once
+    val pool = Seq.tabulate(12)(i => s"shared pool paragraph $i body")
+    val shared = (1L to 60L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(12))).mkString("\n\n")))
+    val out = Dedup.dedupParagraphs(shared.toDF("doc_id", "text"), "doc_id", "text")
+      .select("text").as[String].collect()
+    val survived = out.flatMap(_.split("\n\n")).filter(_.trim.nonEmpty)
+    assert(survived.sorted.toSeq == survived.distinct.sorted.toSeq,
+      "a paragraph key survived more than once")
+    val expectedKeys = shared.flatMap(_._2.split("\n\n")).map(_.trim).toSet
+    assert(survived.map(_.trim).toSet == expectedKeys, "a key vanished entirely")
+  }
+
   test("dedupParagraphs plans as WindowGroupLimit (hot-banner skew safe)") {
     val in = (1L to 50L).map(i => (i, s"shared banner\n\ndoc $i body text"))
       .toDF("doc_id", "text")
