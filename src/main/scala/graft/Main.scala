@@ -220,17 +220,29 @@ object Main {
           }
           n
         }.getOrElse(0)
+        val stripMinDocs = opts.get("strip-boilerplate-min-docs").map { v =>
+          val n = scala.util.Try(v.toLong).getOrElse(-1L)
+          if (n < 2L) {
+            System.err.println("invalid --strip-boilerplate-min-docs: " +
+              s"'$v' (expected int >= 2)\n$usage")
+            sys.exit(64)
+          }
+          n
+        }.getOrElse(0L)
         val cfg = graft.operators.Curate.Config(
           blocklist = opts.get("blocklist")
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Nil),
           dropNoindexPages = onOff("noindex", default = true),
+          unicodeNfc = onOff("unicode-nfc", default = false),
+          stripBoilerplateMinDocs = stripMinDocs,
           c4 = onOff("c4", default = true),
           gopher = onOff("gopher", default = true),
           paragraphDedup = onOff("paragraph-dedup", default = true),
           exactTextDedup = onOff("exact-dedup", default = true),
           maxPerHost = maxPerHost,
           qualitySample = onOff("quality-sample", default = false),
+          redactPii = onOff("redact-pii", default = false),
           salt = opts.getOrElse("salt", "curate"))
         if (onOff("stage-counts", default = false)) {
           val (cleaned, counts) =
@@ -462,8 +474,10 @@ object Main {
   private[graft] val commandFlags: Map[String, Set[String]] = Map(
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
-    "curate" -> Set("blocklist", "noindex", "c4", "gopher", "paragraph-dedup",
-      "exact-dedup", "max-per-host", "quality-sample", "stage-counts", "salt"),
+    "curate" -> Set("blocklist", "noindex", "unicode-nfc",
+      "strip-boilerplate-min-docs", "c4", "gopher", "paragraph-dedup",
+      "exact-dedup", "max-per-host", "quality-sample", "redact-pii",
+      "stage-counts", "salt"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"),
@@ -508,13 +522,16 @@ object Main {
       |  graft.Main save-baseline <inputPath> <baselineDir> [--partition-col <col>]
       |      [--append-policy strict|all]
       |  graft.Main curate <inputPath> <outDir> [--blocklist d1,d2,...]
-      |      [--noindex on|off] [--c4 on|off] [--gopher on|off]
+      |      [--noindex on|off] [--unicode-nfc on|off]
+      |      [--strip-boilerplate-min-docs <n>] [--c4 on|off] [--gopher on|off]
       |      [--paragraph-dedup on|off] [--exact-dedup on|off]
-      |      [--max-per-host <k>] [--quality-sample on|off] [--salt <s>]
-      |      [--stage-counts on|off]
+      |      [--max-per-host <k>] [--quality-sample on|off]
+      |      [--redact-pii on|off] [--salt <s>] [--stage-counts on|off]
       |      (the full webtext curation chain — blocklist/noindex filters,
-      |       cross-doc paragraph dedup, C4 line+page cleaning, Gopher keep,
-      |       exact-text dedup, per-host cap, quality-proportional sampling —
+      |       optional NFC normalization + cross-doc boilerplate-line
+      |       stripping, cross-doc paragraph dedup, C4 line+page cleaning,
+      |       Gopher keep, exact-text dedup, per-host cap,
+      |       quality-proportional sampling, optional PII redaction last —
       |       deterministic end to end; url must be unique (run validate's
       |       uniqueness check first). --stage-counts on reports per-stage
       |       survivor counts at the cost of one action per stage)

@@ -21,20 +21,35 @@ import graft.functions.{C4Rules, TextFunctions}
   * to match on. Running it early also matches what the operator needs:
   * raw crawl structure, not cleaned prose:
   *
-  *   1. url_blocklist    row-local (arrays_overlap predicate)
-  *   2. noindex          row-local (robots meta token test)
-  *   3. paragraph_dedup  cross-doc span dedup on the RAW text
-  *                       (WindowGroupLimit rank); docs rebuilt empty drop
-  *   4. c4               row-local: text := C4 clean_text, drop pages
-  *                       failing the C4 page rules (a doc thinned under
-  *                       3 sentences by the dedup correctly dies here)
-  *   5. gopher           row-local keep conjunction over the CLEANED text
-  *   6. exact_text_dedup keep the min-url doc per identical normalized
-  *                       text fingerprint (same WindowGroupLimit idiom) —
-  *                       late on purpose: it also catches docs made
-  *                       identical BY the cleaning stages
-  *   7. host_cap         at most k docs per host (md5-ranked)
-  *   8. quality_sample   keep with probability qualityScore(text)
+  *   1. url_blocklist      row-local (arrays_overlap predicate)
+  *   2. noindex            row-local (robots meta token test)
+  *   3. unicode_nfc        row-local NFC normalization (off by default:
+  *                         it rewrites bytes, and the engine's flagship
+  *                         invariant is byte-identical text — dial it on
+  *                         where composed/decomposed twins must collapse
+  *                         before the dedups)
+  *   4. strip_boilerplate  cross-doc frequent-line stripping (off by
+  *                         default; blank lines are immune in
+  *                         [[Boilerplate.stripFrequentLines]], so `\n\n`
+  *                         paragraph boundaries SURVIVE it and it can
+  *                         precede the span dedup)
+  *   5. paragraph_dedup    cross-doc span dedup on the RAW text
+  *                         (WindowGroupLimit rank); docs rebuilt empty drop
+  *   6. c4                 row-local: text := C4 clean_text, drop pages
+  *                         failing the C4 page rules (a doc thinned under
+  *                         3 sentences by the dedup correctly dies here)
+  *   7. gopher             row-local keep conjunction over the CLEANED text
+  *   8. exact_text_dedup   keep the min-url doc per identical normalized
+  *                         text fingerprint (same WindowGroupLimit idiom) —
+  *                         late on purpose: it also catches docs made
+  *                         identical BY the cleaning stages
+  *   9. host_cap           at most k docs per host (md5-ranked)
+  *  10. quality_sample     keep with probability qualityScore(text)
+  *  11. redact_pii         row-local typed-placeholder redaction, LAST
+  *                         (off by default): redacting after the dedups
+  *                         means docs differing only in their PII do NOT
+  *                         collapse — redact upstream yourself if they
+  *                         should
   *
   * Determinism: every stage is a pure function of row content (+ salt) —
   * two runs, two engines, or two cluster sizes produce the identical
@@ -52,12 +67,15 @@ object Curate {
   case class Config(
       blocklist: Seq[String] = Nil,
       dropNoindexPages: Boolean = true,
+      unicodeNfc: Boolean = false,
+      stripBoilerplateMinDocs: Long = 0L, // 0 = off
       c4: Boolean = true,
       gopher: Boolean = true,
       paragraphDedup: Boolean = true,
       exactTextDedup: Boolean = true,
       maxPerHost: Int = 0, // 0 = off
       qualitySample: Boolean = false,
+      redactPii: Boolean = false,
       salt: String = "curate")
 
   /** The enabled stages, in execution order — ONE list drives both
@@ -71,6 +89,14 @@ object Curate {
         UrlFilter.dropBlockedDomains(d, col("url"), cfg.blocklist)))
     if (cfg.dropNoindexPages)
       b += ("noindex" -> ((d: DataFrame) => HtmlMeta.dropNoindex(d, col("html"))))
+    if (cfg.unicodeNfc)
+      b += ("unicode_nfc" -> ((d: DataFrame) =>
+        d.withColumn("text",
+          graft.functions.UnicodeNorm.unicodeNormalize(col("text"), "NFC"))))
+    if (cfg.stripBoilerplateMinDocs > 0L)
+      b += ("strip_boilerplate" -> ((d: DataFrame) =>
+        Boilerplate.stripFrequentLines(d, "url", "text",
+          cfg.stripBoilerplateMinDocs)))
     if (cfg.paragraphDedup)
       b += ("paragraph_dedup" -> ((d: DataFrame) =>
         Dedup.dedupParagraphs(d, "url", "text")
@@ -101,6 +127,9 @@ object Curate {
       b += ("quality_sample" -> ((d: DataFrame) =>
         Sampling.byScore(d, col("url"),
           TextFunctions.qualityScore(col("text")), cfg.salt)))
+    if (cfg.redactPii)
+      b += ("redact_pii" -> ((d: DataFrame) =>
+        d.withColumn("text", TextFunctions.redactPii(col("text")))))
     b.result()
   }
 

@@ -61,9 +61,10 @@ class MainSpec extends AnyFunSuite {
   }
 
   test("curate declares exactly its stage dials") {
-    assert(Main.commandFlags("curate") == Set("blocklist", "noindex", "c4",
-      "gopher", "paragraph-dedup", "exact-dedup", "max-per-host",
-      "quality-sample", "stage-counts", "salt"))
+    assert(Main.commandFlags("curate") == Set("blocklist", "noindex",
+      "unicode-nfc", "strip-boilerplate-min-docs", "c4", "gopher",
+      "paragraph-dedup", "exact-dedup", "max-per-host", "quality-sample",
+      "redact-pii", "stage-counts", "salt"))
   }
 
   test("a positional equal to some flag's value is kept") {

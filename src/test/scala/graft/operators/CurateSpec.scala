@@ -74,6 +74,34 @@ class CurateSpec extends SparkSpec {
     assert(kept == Set("https://h1.org/a", "https://h2.org/c"), kept.toString)
   }
 
+  test("optional stages: NFC before dedup collapses twins; boilerplate keeps \\n\\n; PII redacts last") {
+    val base = Curate.Config(dropNoindexPages = false, c4 = false,
+      gopher = false, paragraphDedup = false, exactTextDedup = false)
+    // NFC: composed vs decomposed é are distinct paragraphs raw, one after
+    val composed = "café paragraph body"
+    val decomposed = "café paragraph body"
+    val nfcIn = frame(Seq(
+      row("https://n.org/a", composed), row("https://n.org/b", decomposed)))
+    val rawKept = Curate.curate(nfcIn, base.copy(paragraphDedup = true))
+    assert(rawKept.count() == 2L) // distinct bytes → both survive
+    val nfcKept = Curate.curate(nfcIn,
+      base.copy(unicodeNfc = true, paragraphDedup = true))
+    assert(nfcKept.count() == 1L) // normalized twins collapse
+    // boilerplate stripping preserves the paragraph boundary blank line
+    val bpIn = frame((1 to 40).map(i =>
+      row(s"https://b.org/$i", s"NAV | HOME\n\nbody of document $i")))
+    val stripped = Curate.curate(bpIn, base.copy(stripBoilerplateMinDocs = 30L))
+      .select("text").as[String].collect()
+    assert(stripped.length == 40)
+    stripped.zipWithIndex.foreach { case (t, _) =>
+      assert(t.startsWith("\n") && t.contains("body of document"), t) }
+    // PII redaction runs last and rewrites in place
+    val piiIn = frame(Seq(row("https://p.org/1", "mail me at a@b.example now")))
+    val red = Curate.curate(piiIn, base.copy(redactPii = true))
+      .select("text").as[String].head()
+    assert(!red.contains("a@b.example") && red.contains("<EMAIL>"), red)
+  }
+
   test("host cap and quality sampling engage only when dialed on") {
     val in = frame((1 to 6).map(i => row(s"https://one.host/$i", s"doc $i body")))
     val base = Curate.Config(dropNoindexPages = false, c4 = false,
