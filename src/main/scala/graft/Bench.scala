@@ -102,11 +102,20 @@ object Bench {
 
       // Min of N reps per query (the minimum is the plan cost; ambient noise
       // only ever adds time) — but EVERY rep is recorded in the artifact so a
-      // reader can see the spread a degraded window produces.
+      // reader can see the spread a degraded window produces. The UNTIMED
+      // cache clear between reps keeps every rep an honest recompute:
+      // operators that persist internally (Curate's multi-eval guard) would
+      // otherwise feed rep 2+ through the CacheManager's plan-dedup — the
+      // exact r2 artifact where the headline silently read the previous
+      // rep's cache.
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       def time(f: => Unit): Seq[Double] =
         (1 to reps).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          val t0 = System.nanoTime()
+          f
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
         }
 
       val headlineReps = time(fullSuite(spark, wpDir))

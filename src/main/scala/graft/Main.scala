@@ -222,9 +222,9 @@ object Main {
         }.getOrElse(0)
         val stripMinDocs = opts.get("strip-boilerplate-min-docs").map { v =>
           val n = scala.util.Try(v.toLong).getOrElse(-1L)
-          if (n < 2L) {
+          if (n != 0L && n < 2L) { // 0 = explicit off (template-friendly)
             System.err.println("invalid --strip-boilerplate-min-docs: " +
-              s"'$v' (expected int >= 2)\n$usage")
+              s"'$v' (expected 0 = off, or int >= 2)\n$usage")
             sys.exit(64)
           }
           n

@@ -68,7 +68,7 @@ object Curate {
       blocklist: Seq[String] = Nil,
       dropNoindexPages: Boolean = true,
       unicodeNfc: Boolean = false,
-      stripBoilerplateMinDocs: Long = 0L, // 0 = off
+      stripBoilerplateMinDocs: Long = 0L, // 0 = off; 1 is rejected loudly
       c4: Boolean = true,
       gopher: Boolean = true,
       paragraphDedup: Boolean = true,
@@ -93,13 +93,15 @@ object Curate {
       b += ("unicode_nfc" -> ((d: DataFrame) =>
         d.withColumn("text",
           graft.functions.UnicodeNorm.unicodeNormalize(col("text"), "NFC"))))
+    require(cfg.stripBoilerplateMinDocs != 1L,
+      "stripBoilerplateMinDocs must be 0 (off) or >= 2")
     if (cfg.stripBoilerplateMinDocs > 0L)
       b += ("strip_boilerplate" -> ((d: DataFrame) =>
-        Boilerplate.stripFrequentLines(d, "url", "text",
+        Boilerplate.stripFrequentLines(multiEvalGuard(d), "url", "text",
           cfg.stripBoilerplateMinDocs)))
     if (cfg.paragraphDedup)
       b += ("paragraph_dedup" -> ((d: DataFrame) =>
-        Dedup.dedupParagraphs(d, "url", "text")
+        Dedup.dedupParagraphs(multiEvalGuard(d), "url", "text")
           .where(length(col("text")) > 0)))
     if (cfg.c4)
       b += ("c4" -> ((d: DataFrame) => {
@@ -133,8 +135,24 @@ object Curate {
     b.result()
   }
 
-  /** The cleaned corpus as ONE lazy plan — no intermediate actions; at
-    * full scale this is the call to use (write it, count the write).
+  /** Persist hint for the inputs of the two MULTI-EVALUATING stages
+    * (strip_boilerplate evaluates its input three times — frequent-line
+    * mining, line filtering, and the rebuild join; paragraph dedup twice):
+    * without it the lazy [[curate]] plan re-executes everything upstream —
+    * including a dialed-on NFC rewrite — per evaluation. A persist is a
+    * HINT, not a materialization barrier: blocks evicted under pressure
+    * recompute, so the worst case degrades back to the re-scan, never OOM.
+    * Skipped when the caller (e.g. [[curateWithCounts]]) already persisted
+    * the frame.
+    */
+  private def multiEvalGuard(d: DataFrame): DataFrame =
+    if (d.storageLevel == StorageLevel.NONE)
+      d.persist(StorageLevel.MEMORY_AND_DISK)
+    else d
+
+  /** The cleaned corpus as ONE lazy plan — no intermediate actions beyond
+    * the multi-eval persist hints; at full scale this is the call to use
+    * (write it, count the write).
     */
   def curate(df: DataFrame, cfg: Config = Config()): DataFrame =
     stages(cfg).foldLeft(df) { case (d, (_, f)) => f(d) }

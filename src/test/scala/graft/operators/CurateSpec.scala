@@ -93,8 +93,10 @@ class CurateSpec extends SparkSpec {
     val stripped = Curate.curate(bpIn, base.copy(stripBoilerplateMinDocs = 30L))
       .select("text").as[String].collect()
     assert(stripped.length == 40)
-    stripped.zipWithIndex.foreach { case (t, _) =>
-      assert(t.startsWith("\n") && t.contains("body of document"), t) }
+    stripped.foreach(t =>
+      assert(t.startsWith("\n") && t.contains("body of document"), t))
+    intercept[IllegalArgumentException](
+      Curate.stages(base.copy(stripBoilerplateMinDocs = 1L)))
     // PII redaction runs last and rewrites in place
     val piiIn = frame(Seq(row("https://p.org/1", "mail me at a@b.example now")))
     val red = Curate.curate(piiIn, base.copy(redactPii = true))
