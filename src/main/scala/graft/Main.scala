@@ -229,7 +229,17 @@ object Main {
           }
           n
         }.getOrElse(0L)
+        val nearDup = opts.get("near-dup-jaccard").map { v =>
+          val x = scala.util.Try(v.toDouble).getOrElse(-1.0)
+          if (x < 0.0 || x > 1.0 || x.isNaN) { // 0 = explicit off
+            System.err.println("invalid --near-dup-jaccard: " +
+              s"'$v' (expected 0 = off, or a threshold in (0,1])\n$usage")
+            sys.exit(64)
+          }
+          x
+        }.getOrElse(0.0)
         val cfg = graft.operators.Curate.Config(
+          nearDupJaccard = nearDup,
           blocklist = opts.get("blocklist")
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Nil),
@@ -476,8 +486,8 @@ object Main {
     "save-baseline" -> Set("partition-col", "append-policy"),
     "curate" -> Set("blocklist", "noindex", "unicode-nfc",
       "strip-boilerplate-min-docs", "c4", "gopher", "paragraph-dedup",
-      "exact-dedup", "max-per-host", "quality-sample", "redact-pii",
-      "stage-counts", "salt"),
+      "exact-dedup", "near-dup-jaccard", "max-per-host", "quality-sample",
+      "redact-pii", "stage-counts", "salt"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"),
@@ -525,6 +535,8 @@ object Main {
       |      [--noindex on|off] [--unicode-nfc on|off]
       |      [--strip-boilerplate-min-docs <n>] [--c4 on|off] [--gopher on|off]
       |      [--paragraph-dedup on|off] [--exact-dedup on|off]
+      |      [--near-dup-jaccard <0|0..1>]  (MinHash+LSH near-dup resolution:
+      |                                  keep one doc per near-dup component)
       |      [--max-per-host <k>] [--quality-sample on|off]
       |      [--redact-pii on|off] [--salt <s>] [--stage-counts on|off]
       |      (the full webtext curation chain — blocklist/noindex filters,

@@ -43,9 +43,17 @@ import graft.functions.{C4Rules, TextFunctions}
   *                         text fingerprint (same WindowGroupLimit idiom) —
   *                         late on purpose: it also catches docs made
   *                         identical BY the cleaning stages
-  *   9. host_cap           at most k docs per host (md5-ranked)
-  *  10. quality_sample     keep with probability qualityScore(text)
-  *  11. redact_pii         row-local typed-placeholder redaction, LAST
+  *   9. near_dup           MinHash+LSH near-duplicate resolution (off by
+  *                         default): banded candidate pairs at the dialed
+  *                         Jaccard threshold → connected components →
+  *                         only each component's canonical min-url doc
+  *                         survives. NOTE: component resolution is
+  *                         iterative, so with this dial on, curate() runs
+  *                         its label-propagation jobs when the plan is
+  *                         BUILT — the one stage that is not lazy
+  *  10. host_cap           at most k docs per host (md5-ranked)
+  *  11. quality_sample     keep with probability qualityScore(text)
+  *  12. redact_pii         row-local typed-placeholder redaction, LAST
   *                         (off by default): redacting after the dedups
   *                         means docs differing only in their PII do NOT
   *                         collapse — redact upstream yourself if they
@@ -73,6 +81,7 @@ object Curate {
       gopher: Boolean = true,
       paragraphDedup: Boolean = true,
       exactTextDedup: Boolean = true,
+      nearDupJaccard: Double = 0.0, // 0 = off; (0,1] = MinHash+LSH threshold
       maxPerHost: Int = 0, // 0 = off
       qualitySample: Boolean = false,
       redactPii: Boolean = false,
@@ -122,6 +131,17 @@ object Curate {
         // never concentrates on a reducer
         Retention.topKPerGroup(d, TextFunctions.fingerprint(col("text")),
           col("url"), col("url"), 1)))
+    require(cfg.nearDupJaccard >= 0.0 && cfg.nearDupJaccard <= 1.0,
+      s"nearDupJaccard must be in [0,1], got ${cfg.nearDupJaccard}")
+    if (cfg.nearDupJaccard > 0.0)
+      b += ("near_dup" -> ((d: DataFrame) => {
+        // the pair mining and the loser anti join each traverse the input
+        val in = multiEvalGuard(d)
+        val pairs = Dedup.minhashLshPairs(in, col("url"), col("text"),
+          threshold = cfg.nearDupJaccard)
+        Dedup.dropNearDupLosers(in, pairs, col("url"),
+          col("id_a"), col("id_b"))
+      }))
     if (cfg.maxPerHost > 0)
       b += ("host_cap" -> ((d: DataFrame) =>
         UrlFilter.capPerHost(d, col("url"), cfg.maxPerHost)))

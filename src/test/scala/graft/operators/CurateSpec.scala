@@ -104,6 +104,22 @@ class CurateSpec extends SparkSpec {
     assert(!red.contains("a@b.example") && red.contains("<EMAIL>"), red)
   }
 
+  test("near-dup stage: one canonical survivor per component; bad thresholds rejected") {
+    val base = Curate.Config(dropNoindexPages = false, c4 = false,
+      gopher = false, paragraphDedup = false, exactTextDedup = false)
+    val in = frame(Seq(
+      row("https://n.org/1", "the quick brown fox jumps over the lazy dog"),
+      row("https://n.org/2", "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      row("https://n.org/3", "completely different text about spark engines and shuffles"),
+      row("https://n.org/4", "another unrelated document mentioning parquet and arrow")))
+    val kept = Curate.curate(in, base.copy(nearDupJaccard = 0.5))
+      .select("url").as[String].collect().toSet
+    assert(kept == Set("https://n.org/1", "https://n.org/3", "https://n.org/4"),
+      kept.toString)
+    intercept[IllegalArgumentException](
+      Curate.stages(base.copy(nearDupJaccard = 1.5)))
+  }
+
   test("host cap and quality sampling engage only when dialed on") {
     val in = frame((1 to 6).map(i => row(s"https://one.host/$i", s"doc $i body")))
     val base = Curate.Config(dropNoindexPages = false, c4 = false,
