@@ -608,6 +608,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- text quality: corpus-trained unigram surprisal -------------------
+    // (CCNet's LM-perplexity ranking, trained on nothing but the corpus
+    // itself: mean -ln p(word) per doc under the corpus unigram
+    // distribution; position-ordered fold pins float summation order)
+    "d_surprisal" -> ((s, dir) =>
+      CorpusStats.unigramSurprisal(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"),
+          round(col("surprisal"), 4).as("surprisal"))
+        .orderBy(col("doc_id"))),
+
     // ---- pipeline: the FULL curation chain, end to end --------------------
     // (blocklist host on 0 mod 17, noindex meta on 0 mod 13, fingerprint
     // twins — upper/lower case pairs — on 0 mod 5, a shared cross-doc
@@ -1477,6 +1488,32 @@ object SparkEntry {
           |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
           |   AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
           |FROM m ORDER BY doc_id""".stripMargin,
+
+      // unigramSurprisal twin: standard words CTE, zipped-unnest positions,
+      // vocab counts, -LN(cnt/total) per word, per-doc mean folded in
+      // position order (list(s ORDER BY pos) + list_aggregate sum — the
+      // q_entropy float-order device); wordless docs LEFT JOIN to NULL
+      "d_surprisal" ->
+        """WITH wa AS (SELECT doc_id,
+          |    CASE WHEN text IS NULL
+          |           OR LENGTH(regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g')) = 0
+          |         THEN CAST([] AS VARCHAR[])
+          |         ELSE string_split_regex(
+          |           regexp_replace(text, '\A[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+\z', '', 'g'), '[ \t\n\x0b\f\r]+') END AS ws
+          |  FROM documents),
+          |w AS (SELECT doc_id,
+          |    unnest(ws) AS word,
+          |    unnest(generate_series(1, len(ws))) AS pos
+          |  FROM wa),
+          |vc AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+          |t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vc),
+          |sc AS (SELECT word, -LN(cnt / total) AS s FROM vc CROSS JOIN t),
+          |pd AS (SELECT doc_id,
+          |    list_aggregate(list(s ORDER BY pos), 'sum') / COUNT(*) AS m
+          |  FROM w JOIN sc USING (word) GROUP BY doc_id)
+          |SELECT d.doc_id, ROUND(pd.m, 4) AS surprisal
+          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       // Curate twin: the SAME stage machinery as the per-operator twins
       // (d_para_dedup, d_c4_filter, d_gopher, d_fingerprint, d_host_cap),

@@ -35,4 +35,48 @@ object CorpusStats {
       .where(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
+
+  /** CCNet-style language-model quality signal WITHOUT an external model:
+    * each document's mean unigram surprisal `−ln p(word)` under the
+    * corpus's OWN unigram distribution (p = corpus count / total tokens).
+    * High surprisal = rare/garbled vocabulary (junk candidate); low =
+    * common fluent words — the same ranking CCNet gets from a KenLM
+    * perplexity, trained here on nothing but the corpus itself, so it is
+    * fully deterministic and SQL-oracle-reproducible.
+    *
+    * Exactly specified: words = [[TextFunctions.words]]; the per-doc mean
+    * folds surprisals in word-POSITION order (sorted list + sequential
+    * fold — the q_entropy device — so float summation order cannot
+    * diverge between engines); docs with no words get a NULL score (no
+    * evidence), never a silent drop.
+    *
+    * Scale: the vocabulary count is one hash aggregation (map-side
+    * partials absorb the Zipf head — the count of "the" leaves each task
+    * as one row); the doc↔vocab join broadcasts when the vocabulary fits
+    * (`broadcastVocab`, default) — real web vocab at 10^12 docs exceeds
+    * that, so pass false there and it runs as a shuffle join on the word
+    * key; the rebuild groupBy is the same shape as every dedup rebuild.
+    */
+  def unigramSurprisal(df: DataFrame, id: Column, text: Column,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val w = df.select(id.as("__us_id"),
+      posexplode(TextFunctions.words(text)).as(Seq("__us_pos", "__us_w")))
+    val vocab = w.groupBy(col("__us_w")).agg(count(lit(1)).as("__us_cnt"))
+    val tot = vocab.agg(sum(col("__us_cnt")).cast("double").as("__us_total"))
+    val scored = vocab.crossJoin(broadcast(tot))
+      .select(col("__us_w"),
+        (-log(col("__us_cnt").cast("double") / col("__us_total")))
+          .as("__us_s"))
+    val probe = if (broadcastVocab) broadcast(scored) else scored
+    val perDoc = w.join(probe, Seq("__us_w"))
+      .groupBy(col("__us_id"))
+      .agg(
+        (aggregate(
+          sort_array(collect_list(struct(col("__us_pos"), col("__us_s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__us_s"))
+          / count(lit(1))).as("__us_m"))
+    df.select(id.as("__us_id"))
+      .join(perDoc, Seq("__us_id"), "left")
+      .select(col("__us_id").as("id"), col("__us_m").as("surprisal"))
+  }
 }

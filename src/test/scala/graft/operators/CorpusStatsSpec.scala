@@ -33,4 +33,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
   }
+
+  test("unigramSurprisal: exact hand math; wordless docs score NULL") {
+    val docs = Seq(
+      (1L, Some("a b")),
+      (2L, Some("a")),
+      (3L, Some("")),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val got = CorpusStats.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .as[(Long, Option[Double])].collect().toMap
+    // corpus counts: a=2, b=1, total=3
+    val sA = -math.log(2.0 / 3.0)
+    val sB = -math.log(1.0 / 3.0)
+    assert(math.abs(got(1L).get - (sA + sB) / 2) < 1e-12)
+    assert(math.abs(got(2L).get - sA) < 1e-12)
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    // the ranking is the point: the doc of rare words scores strictly higher
+    val ranked = Seq((10L, Some("the the the common words")),
+      (11L, Some("zxqv flurble gnarp"))).toDF("doc_id", "text")
+    val r = CorpusStats.unigramSurprisal(
+        docs.unionByName(ranked), col("doc_id"), col("text"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(r(11L).get > r(10L).get)
+  }
 }
