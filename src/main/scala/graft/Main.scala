@@ -238,8 +238,18 @@ object Main {
           }
           x
         }.getOrElse(0.0)
+        val maxSurprisal = opts.get("max-surprisal").map { v =>
+          val x = scala.util.Try(v.toDouble).getOrElse(-1.0)
+          if (x < 0.0 || x.isNaN) { // 0 = explicit off
+            System.err.println("invalid --max-surprisal: " +
+              s"'$v' (expected 0 = off, or a positive cap)\n$usage")
+            sys.exit(64)
+          }
+          x
+        }.getOrElse(0.0)
         val cfg = graft.operators.Curate.Config(
           nearDupJaccard = nearDup,
+          maxSurprisal = maxSurprisal,
           blocklist = opts.get("blocklist")
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Nil),
@@ -486,8 +496,8 @@ object Main {
     "save-baseline" -> Set("partition-col", "append-policy"),
     "curate" -> Set("blocklist", "noindex", "unicode-nfc",
       "strip-boilerplate-min-docs", "c4", "gopher", "paragraph-dedup",
-      "exact-dedup", "near-dup-jaccard", "max-per-host", "quality-sample",
-      "redact-pii", "stage-counts", "salt"),
+      "exact-dedup", "max-surprisal", "near-dup-jaccard", "max-per-host",
+      "quality-sample", "redact-pii", "stage-counts", "salt"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"),
@@ -535,6 +545,10 @@ object Main {
       |      [--noindex on|off] [--unicode-nfc on|off]
       |      [--strip-boilerplate-min-docs <n>] [--c4 on|off] [--gopher on|off]
       |      [--paragraph-dedup on|off] [--exact-dedup on|off]
+      |      [--max-surprisal <0|x>]    (drop docs whose mean -ln p(word) under
+      |                                  the corpus's own unigram distribution
+      |                                  exceeds x — CCNet-style LM filtering
+      |                                  with no external model)
       |      [--near-dup-jaccard <0|0..1>]  (MinHash+LSH near-dup resolution:
       |                                  keep one doc per near-dup component)
       |      [--max-per-host <k>] [--quality-sample on|off]

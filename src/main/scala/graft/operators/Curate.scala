@@ -39,6 +39,12 @@ import graft.functions.{C4Rules, TextFunctions}
   *                         failing the C4 page rules (a doc thinned under
   *                         3 sentences by the dedup correctly dies here)
   *   7. gopher             row-local keep conjunction over the CLEANED text
+  *   7b. surprisal         corpus-trained unigram-surprisal cap (off by
+  *                         default): drop docs whose mean −ln p(word)
+  *                         under the corpus's own unigram distribution
+  *                         exceeds the dial — the CCNet perplexity filter
+  *                         without an external model; wordless docs have
+  *                         no evidence and drop too
   *   8. exact_text_dedup   keep the min-url doc per identical normalized
   *                         text fingerprint (same WindowGroupLimit idiom) —
   *                         late on purpose: it also catches docs made
@@ -80,6 +86,7 @@ object Curate {
       c4: Boolean = true,
       gopher: Boolean = true,
       paragraphDedup: Boolean = true,
+      maxSurprisal: Double = 0.0, // 0 = off; > 0 = drop docs above the cap
       exactTextDedup: Boolean = true,
       nearDupJaccard: Double = 0.0, // 0 = off; (0,1] = MinHash+LSH threshold
       maxPerHost: Int = 0, // 0 = off
@@ -123,6 +130,18 @@ object Curate {
     if (cfg.gopher)
       b += ("gopher" -> ((d: DataFrame) =>
         d.where(TextFunctions.gopherMetrics(col("text")).getField("keep"))))
+    require(cfg.maxSurprisal >= 0.0 && !cfg.maxSurprisal.isNaN,
+      s"maxSurprisal must be >= 0, got ${cfg.maxSurprisal}")
+    if (cfg.maxSurprisal > 0.0)
+      b += ("surprisal" -> ((d: DataFrame) => {
+        // vocab mining + the keep-set semi join each traverse the input
+        val in = multiEvalGuard(d)
+        val keep = CorpusStats.unigramSurprisal(in, col("url"), col("text"))
+          .where(col("surprisal").isNotNull &&
+            col("surprisal") <= cfg.maxSurprisal)
+          .select(col("id").as("__cs_keep"))
+        in.join(keep, in("url") === col("__cs_keep"), "left_semi")
+      }))
     if (cfg.exactTextDedup)
       b += ("exact_text_dedup" -> ((d: DataFrame) =>
         // min-url survivor per identical normalized-text fingerprint, via

@@ -104,6 +104,26 @@ class CurateSpec extends SparkSpec {
     assert(!red.contains("a@b.example") && red.contains("<EMAIL>"), red)
   }
 
+  test("surprisal cap: the garbled-vocabulary doc drops, common docs stay") {
+    val base = Curate.Config(dropNoindexPages = false, c4 = false,
+      gopher = false, paragraphDedup = false, exactTextDedup = false)
+    val in = frame(Seq(
+      row("https://s.org/1", "the common words appear here"),
+      row("https://s.org/2", "the common words appear again"),
+      row("https://s.org/3", "zxqv flurble gnarp wibble"), // all-singleton vocab
+      row("https://s.org/4", "")))                          // wordless → no evidence
+    // every word in doc 3 is a corpus singleton, so its mean surprisal is
+    // the max possible, ln(total); a cap just below that keeps only the
+    // common docs (their repeated words pull the mean well under it)
+    val total = 5 + 5 + 4 // words in docs 1-3
+    val cap = math.log(total.toDouble) - 0.2
+    val kept = Curate.curate(in, base.copy(maxSurprisal = cap))
+      .select("url").as[String].collect().toSet
+    assert(kept == Set("https://s.org/1", "https://s.org/2"), kept.toString)
+    intercept[IllegalArgumentException](
+      Curate.stages(base.copy(maxSurprisal = -1.0)))
+  }
+
   test("near-dup stage: one canonical survivor per component; bad thresholds rejected") {
     val base = Curate.Config(dropNoindexPages = false, c4 = false,
       gopher = false, paragraphDedup = false, exactTextDedup = false)
