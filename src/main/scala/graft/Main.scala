@@ -240,9 +240,11 @@ object Main {
         }.getOrElse(0.0)
         val maxSurprisal = opts.get("max-surprisal").map { v =>
           val x = scala.util.Try(v.toDouble).getOrElse(-1.0)
-          if (x < 0.0 || x.isNaN) { // 0 = explicit off
+          // 0 = explicit off; Infinity would silently enable a stage that
+          // pays the corpus-wide vocab pass yet filters nothing
+          if (x < 0.0 || x.isNaN || x.isInfinity) {
             System.err.println("invalid --max-surprisal: " +
-              s"'$v' (expected 0 = off, or a positive cap)\n$usage")
+              s"'$v' (expected 0 = off, or a finite positive cap)\n$usage")
             sys.exit(64)
           }
           x
@@ -250,6 +252,7 @@ object Main {
         val cfg = graft.operators.Curate.Config(
           nearDupJaccard = nearDup,
           maxSurprisal = maxSurprisal,
+          broadcastVocab = onOff("broadcast-vocab", default = true),
           blocklist = opts.get("blocklist")
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
             .getOrElse(Nil),
@@ -496,8 +499,8 @@ object Main {
     "save-baseline" -> Set("partition-col", "append-policy"),
     "curate" -> Set("blocklist", "noindex", "unicode-nfc",
       "strip-boilerplate-min-docs", "c4", "gopher", "paragraph-dedup",
-      "exact-dedup", "max-surprisal", "near-dup-jaccard", "max-per-host",
-      "quality-sample", "redact-pii", "stage-counts", "salt"),
+      "exact-dedup", "max-surprisal", "broadcast-vocab", "near-dup-jaccard",
+      "max-per-host", "quality-sample", "redact-pii", "stage-counts", "salt"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
       "max-files-per-trigger", "cross-batch-unique", "baseline-refresh"),
     "vacuum" -> Set("grace-hours"),
@@ -549,6 +552,10 @@ object Main {
       |                                  the corpus's own unigram distribution
       |                                  exceeds x — CCNet-style LM filtering
       |                                  with no external model)
+      |      [--broadcast-vocab on|off]  (surprisal stage: off routes the vocab
+      |                                  join as a shuffle join — required when
+      |                                  the distinct-token table exceeds
+      |                                  broadcast limits, i.e. web scale)
       |      [--near-dup-jaccard <0|0..1>]  (MinHash+LSH near-dup resolution:
       |                                  keep one doc per near-dup component)
       |      [--max-per-host <k>] [--quality-sample on|off]

@@ -59,7 +59,10 @@ object CorpusStats {
     */
   def unigramSurprisal(df: DataFrame, id: Column, text: Column,
       broadcastVocab: Boolean = true): DataFrame = {
-    val w = df.select(id.as("__us_id"),
+    // the plan traverses the input more than once (vocab mining, the
+    // per-doc probe, the final left join) — standard multi-eval guard
+    val in = Caching.multiEvalGuard(df)
+    val w = in.select(id.as("__us_id"),
       posexplode(TextFunctions.words(text)).as(Seq("__us_pos", "__us_w")))
     val vocab = w.groupBy(col("__us_w")).agg(count(lit(1)).as("__us_cnt"))
     val tot = vocab.agg(sum(col("__us_cnt")).cast("double").as("__us_total"))
@@ -75,7 +78,7 @@ object CorpusStats {
           sort_array(collect_list(struct(col("__us_pos"), col("__us_s")))),
           lit(0.0), (acc, x) => acc + x.getField("__us_s"))
           / count(lit(1))).as("__us_m"))
-    df.select(id.as("__us_id"))
+    in.select(id.as("__us_id"))
       .join(perDoc, Seq("__us_id"), "left")
       .select(col("__us_id").as("id"), col("__us_m").as("surprisal"))
   }

@@ -87,6 +87,7 @@ object Curate {
       gopher: Boolean = true,
       paragraphDedup: Boolean = true,
       maxSurprisal: Double = 0.0, // 0 = off; > 0 = drop docs above the cap
+      broadcastVocab: Boolean = true, // surprisal stage: false at web scale
       exactTextDedup: Boolean = true,
       nearDupJaccard: Double = 0.0, // 0 = off; (0,1] = MinHash+LSH threshold
       maxPerHost: Int = 0, // 0 = off
@@ -130,13 +131,17 @@ object Curate {
     if (cfg.gopher)
       b += ("gopher" -> ((d: DataFrame) =>
         d.where(TextFunctions.gopherMetrics(col("text")).getField("keep"))))
-    require(cfg.maxSurprisal >= 0.0 && !cfg.maxSurprisal.isNaN,
-      s"maxSurprisal must be >= 0, got ${cfg.maxSurprisal}")
+    require(cfg.maxSurprisal >= 0.0 && !cfg.maxSurprisal.isNaN &&
+      !cfg.maxSurprisal.isInfinity,
+      s"maxSurprisal must be a finite value >= 0, got ${cfg.maxSurprisal}")
     if (cfg.maxSurprisal > 0.0)
       b += ("surprisal" -> ((d: DataFrame) => {
-        // vocab mining + the keep-set semi join each traverse the input
+        // vocab mining + the keep-set semi join each traverse the input;
+        // broadcastVocab=false routes the vocab join as a shuffle join for
+        // corpora whose distinct-token table exceeds broadcast limits
         val in = multiEvalGuard(d)
-        val keep = CorpusStats.unigramSurprisal(in, col("url"), col("text"))
+        val keep = CorpusStats.unigramSurprisal(in, col("url"), col("text"),
+            broadcastVocab = cfg.broadcastVocab)
           .where(col("surprisal").isNotNull &&
             col("surprisal") <= cfg.maxSurprisal)
           .select(col("id").as("__cs_keep"))
@@ -174,20 +179,13 @@ object Curate {
     b.result()
   }
 
-  /** Persist hint for the inputs of the two MULTI-EVALUATING stages
-    * (strip_boilerplate evaluates its input three times — frequent-line
-    * mining, line filtering, and the rebuild join; paragraph dedup twice):
-    * without it the lazy [[curate]] plan re-executes everything upstream —
-    * including a dialed-on NFC rewrite — per evaluation. A persist is a
-    * HINT, not a materialization barrier: blocks evicted under pressure
-    * recompute, so the worst case degrades back to the re-scan, never OOM.
-    * Skipped when the caller (e.g. [[curateWithCounts]]) already persisted
-    * the frame.
+  /** The [[Caching.multiEvalGuard]] convention, applied to the inputs of
+    * every MULTI-EVALUATING stage (strip_boilerplate evaluates its input
+    * three times — frequent-line mining, line filtering, the rebuild join;
+    * paragraph dedup, near-dup, and the surprisal cap twice each).
     */
   private def multiEvalGuard(d: DataFrame): DataFrame =
-    if (d.storageLevel == StorageLevel.NONE)
-      d.persist(StorageLevel.MEMORY_AND_DISK)
-    else d
+    Caching.multiEvalGuard(d)
 
   /** The cleaned corpus as ONE lazy plan — no intermediate actions beyond
     * the multi-eval persist hints; at full scale this is the call to use

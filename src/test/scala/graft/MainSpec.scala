@@ -63,8 +63,9 @@ class MainSpec extends AnyFunSuite {
   test("curate declares exactly its stage dials") {
     assert(Main.commandFlags("curate") == Set("blocklist", "noindex",
       "unicode-nfc", "strip-boilerplate-min-docs", "c4", "gopher",
-      "paragraph-dedup", "exact-dedup", "max-surprisal", "near-dup-jaccard",
-      "max-per-host", "quality-sample", "redact-pii", "stage-counts", "salt"))
+      "paragraph-dedup", "exact-dedup", "max-surprisal", "broadcast-vocab",
+      "near-dup-jaccard", "max-per-host", "quality-sample", "redact-pii",
+      "stage-counts", "salt"))
   }
 
   test("a positional equal to some flag's value is kept") {

@@ -120,8 +120,15 @@ class CurateSpec extends SparkSpec {
     val kept = Curate.curate(in, base.copy(maxSurprisal = cap))
       .select("url").as[String].collect().toSet
     assert(kept == Set("https://s.org/1", "https://s.org/2"), kept.toString)
+    // the shuffle-join vocab path (web-scale dial) selects the same docs
+    val keptShuffle = Curate.curate(in,
+        base.copy(maxSurprisal = cap, broadcastVocab = false))
+      .select("url").as[String].collect().toSet
+    assert(keptShuffle == kept)
     intercept[IllegalArgumentException](
       Curate.stages(base.copy(maxSurprisal = -1.0)))
+    intercept[IllegalArgumentException](
+      Curate.stages(base.copy(maxSurprisal = Double.PositiveInfinity)))
   }
 
   test("near-dup stage: one canonical survivor per component; bad thresholds rejected") {
