@@ -259,6 +259,7 @@ object Main {
           dropNoindexPages = onOff("noindex", default = true),
           unicodeNfc = onOff("unicode-nfc", default = false),
           stripBoilerplateMinDocs = stripMinDocs,
+          broadcastBoilerplate = onOff("broadcast-boilerplate", default = true),
           c4 = onOff("c4", default = true),
           gopher = onOff("gopher", default = true),
           paragraphDedup = onOff("paragraph-dedup", default = true),
@@ -498,7 +499,8 @@ object Main {
     "validate" -> Set("ledger", "run", "partition-col", "baseline"),
     "save-baseline" -> Set("partition-col", "append-policy"),
     "curate" -> Set("blocklist", "noindex", "unicode-nfc",
-      "strip-boilerplate-min-docs", "c4", "gopher", "paragraph-dedup",
+      "strip-boilerplate-min-docs", "broadcast-boilerplate", "c4", "gopher",
+      "paragraph-dedup",
       "exact-dedup", "max-surprisal", "broadcast-vocab", "near-dup-jaccard",
       "max-per-host", "quality-sample", "redact-pii", "stage-counts", "salt"),
     "ingest" -> Set("checkpoint", "baseline", "alert-endpoint",
@@ -547,6 +549,10 @@ object Main {
       |  graft.Main curate <inputPath> <outDir> [--blocklist d1,d2,...]
       |      [--noindex on|off] [--unicode-nfc on|off]
       |      [--strip-boilerplate-min-docs <n>] [--c4 on|off] [--gopher on|off]
+      |      [--broadcast-boilerplate on|off]  (strip stage: off routes the
+      |                                  frequent-line anti join as a shuffle —
+      |                                  required when the frequent-line set
+      |                                  exceeds broadcast limits, i.e. web scale)
       |      [--paragraph-dedup on|off] [--exact-dedup on|off]
       |      [--max-surprisal <0|x>]    (drop docs whose mean -ln p(word) under
       |                                  the corpus's own unigram distribution

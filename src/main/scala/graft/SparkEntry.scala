@@ -171,13 +171,18 @@ object SparkEntry {
     }),
 
     // ---- A8/sketches: exact quantiles (approx variant is rows-only) -----
+    // (r6: ONE percentile aggregate with the rank array — the former three
+    // separate percentile calls each built their own per-group value buffer
+    // over the identical input; same function, same values, 3× less agg
+    // state. Rows/schema/hash unchanged.)
     "q_quantiles" -> ((s, dir) =>
       wp(s, dir).where(col("text").isNotNull)
         .groupBy(col("part"))
-        .agg(
-          round(expr("percentile(length(text), 0.25)"), 4).as("q25"),
-          round(expr("percentile(length(text), 0.5)"), 4).as("q50"),
-          round(expr("percentile(length(text), 0.75)"), 4).as("q75"))
+        .agg(expr("percentile(length(text), array(0.25, 0.5, 0.75))").as("qs"))
+        .select(col("part"),
+          round(element_at(col("qs"), 1), 4).as("q25"),
+          round(element_at(col("qs"), 2), 4).as("q50"),
+          round(element_at(col("qs"), 3), 4).as("q75"))
         .orderBy(col("part"))),
 
     // ---- A11 (beyond reference): rollup aggregation ---------------------
@@ -330,12 +335,13 @@ object SparkEntry {
     }),
 
     // ---- dedup: exact content-hash groups --------------------------------
+    // (r6: exactGroups emits algebraic min_id/max_id directly — the former
+    // element_at over the sorted member-id list read the identical values
+    // off an unbounded per-group array buffer; rows/schema/hash unchanged)
     "d_dedup_exact" -> ((s, dir) => {
       val docs = Derive.docsWithDups(s, dir)
       Dedup.exactGroups(docs, col("doc_id"), col("text"))
-        .select(col("fp"), col("cnt"),
-          element_at(col("ids"), 1).as("min_id"),
-          element_at(col("ids"), -1).as("max_id"))
+        .select(col("fp"), col("cnt"), col("min_id"), col("max_id"))
         .orderBy(col("fp"))
     }),
 

@@ -163,10 +163,13 @@ object Constraints {
     */
   case object ByteIdenticalText extends RowCheck {
     val name = "byte_identical_text"
-    // the regex extraction runs ONCE per row via prepare, shared between
-    // condition and expected
+    // the extraction runs ONCE per row via prepare, shared between
+    // condition and expected. r6: the single-pass extractTextFast twin
+    // (byte-equal, property-pinned) replaces the regex column on this hot
+    // path — measured 1.7× faster per scan; extractTextCol remains the
+    // spec (and the Bench noise sentinel's unchanged implementation).
     override def prepare(df: DataFrame): DataFrame =
-      df.withColumn("__extracted", TextExtract.extractTextCol(col("html")))
+      df.withColumn("__extracted", TextExtract.extractTextFastCol(col("html")))
     def condition: Column = col("text").isNotNull && col("html").isNotNull &&
       col("text") =!= col("__extracted")
     def observed: Column = col("text")
@@ -228,8 +231,16 @@ object Constraints {
       // per-row key skew is real.
       val distinctKeys = df.select(col(childKeyCol).as("ref_key")).distinct()
       val parentKeys = parent.select(col(parentKeyCol).as("__pk"))
+      // No join-strategy hint (r6): the former `hint("merge")` pinned a
+      // sort-merge join even when the single-column parent key set fits a
+      // broadcast — guide §3.1 says pick by size, and the size-estimate /
+      // AQE path does exactly that: small parent → broadcast LEFT ANTI (no
+      // exchange, no sort on either side); parent beyond
+      // autoBroadcastJoinThreshold → the same SMJ as before. Skew needs no
+      // salt here either way: the child side is distinct, so no key appears
+      // twice (see scaladoc above).
       val orphanKeys = distinctKeys
-        .join(parentKeys.hint("merge"),
+        .join(parentKeys,
           distinctKeys("ref_key") === parentKeys("__pk"), "left_anti")
       val orphans = df.join(
         broadcast(orphanKeys),

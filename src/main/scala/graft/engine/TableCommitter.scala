@@ -75,15 +75,30 @@ final class IcebergCommitter extends TableCommitter {
     IcebergCommitter.requireAvailable()
     val spark = df.sparkSession
     import spark.implicits._
-    val committed = df.select(col(partitionCol).cast("string"))
-      .distinct().as[String].collect().toSeq.sorted
-    if (!spark.catalog.tableExists(table)) {
-      df.writeTo(table).partitionedBy(col(partitionCol)).using("iceberg").create()
-    } else {
-      // dynamic partition overwrite at snapshot granularity: replaces
-      // exactly the partitions present in df, one atomic Iceberg commit
-      df.writeTo(table).overwritePartitions()
-    }
+    // Persist around the two actions (r6, ADVICE): the partition-value
+    // collect and the writeTo below otherwise EXECUTE the input plan twice
+    // — doubling the job cost per commit, and letting a non-deterministic
+    // input diverge between the returned `committed` list and the
+    // partitions actually written. Same single-execution discipline as the
+    // rename/manifest committers.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val committed = in.select(col(partitionCol).cast("string"))
+        .distinct().as[String].collect().toSeq.sorted
+      if (!spark.catalog.tableExists(table)) {
+        in.writeTo(table).partitionedBy(col(partitionCol)).using("iceberg").create()
+      } else {
+        // dynamic partition overwrite at snapshot granularity: replaces
+        // exactly the partitions present in df, one atomic Iceberg commit
+        in.writeTo(table).overwritePartitions()
+      }
+      finishWrite(spark, table, partitionCol, computed, committed)
+    } finally { in.unpersist(false); () }
+  }
+
+  private def finishWrite(spark: SparkSession, table: String,
+      partitionCol: String, computed: Option[Seq[String]],
+      committed: Seq[String]): Seq[String] = {
     computed.foreach { all =>
       val empty = (all.toSet -- committed).toSeq.sorted
       if (empty.nonEmpty) {

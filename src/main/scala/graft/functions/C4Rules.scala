@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   *    terminal-mark occurrences are the exactly-reproducible proxy).
   *
   * Null text behaves as empty: clean `""`, zero lines/sentences, dropped.
-  * Pure row-local codegen'd HOF/regex work — no shuffle, no UDF; composes
-  * with [[TextFunctions.gopherMetrics]] as independent keep signals.
+  * Row-local, no shuffle — a single-pass Scala UDF since r6 (the HOF
+  * expression twin remains as the executable spec, see [[c4MetricsScala]]);
+  * composes with [[TextFunctions.gopherMetrics]] as independent keep
+  * signals.
   */
 object C4Rules {
 
@@ -41,11 +43,72 @@ object C4Rules {
   /** RE2 and Java agree on ASCII `\b`. */
   private val JavascriptRe = "\\bjavascript\\b"
 
+  // precompiled patterns for the single-pass Scala twin
+  private val LineTrimP =
+    java.util.regex.Pattern.compile(TextFunctions.LineTrimRe)
+  private val TerminalP = java.util.regex.Pattern.compile(TerminalRe)
+  private val JavascriptP = java.util.regex.Pattern.compile(JavascriptRe)
+  private val WsSplitP =
+    java.util.regex.Pattern.compile(TextFunctions.WsClass + "+")
+  private val SentenceP = java.util.regex.Pattern.compile("[.!?]")
+
+  /** The [[c4Metrics]] struct row. Field names/types are the column
+    * contract shared with the DuckDB oracle — do not rename.
+    */
+  final case class C4MetricsRow(
+      clean_text: String,
+      n_lines: Long,
+      sentences: Long,
+      keep: Boolean)
+
+  /** Single-pass Scala twin of [[c4MetricsExpr]] — byte-for-byte equal
+    * output (property-pinned in C4RulesSpec), one traversal of the text.
+    * Same rationale as [[TextFunctions.gopherMetricsScala]]: the HOF
+    * expression is CodegenFallback (interpreted, no subexpression
+    * elimination) and the optimizer re-expanded the whole line pipeline
+    * once per extracted field (4× in the r6 d_curate plan).
+    */
+  def c4MetricsScala(text: String): C4MetricsRow = {
+    val raw = if (text == null) "" else text
+    val rawLines = raw.split("\n", -1)
+    val sb = new java.lang.StringBuilder
+    var nKept = 0
+    var i = 0
+    while (i < rawLines.length) {
+      val l = LineTrimP.matcher(rawLines(i)).replaceAll("")
+      if (TerminalP.matcher(l).find() &&
+          WsSplitP.split(l, -1).length >= MinLineWords &&
+          !JavascriptP.matcher(TextFunctions.sparkLower(l)).find()) {
+        if (nKept > 0) sb.append('\n')
+        sb.append(l)
+        nKept += 1
+      }
+      i += 1
+    }
+    val cleanText = sb.toString
+    var sentences = 0
+    val m = SentenceP.matcher(cleanText)
+    while (m.find()) sentences += 1
+    val keep = !raw.contains("{") &&
+      !TextFunctions.sparkLower(raw).contains("lorem ipsum") &&
+      sentences >= MinSentences
+    C4MetricsRow(cleanText, nKept.toLong, sentences.toLong, keep)
+  }
+
   /** Struct of `clean_text` (kept lines rejoined with `\n`), `n_lines`
     * (kept-line count), `sentences` (terminal marks in the cleaned text)
-    * and `keep` (the page verdict).
+    * and `keep` (the page verdict). Runs as the single-pass
+    * [[c4MetricsScala]] UDF; [[c4MetricsExpr]] remains the executable spec.
     */
   def c4Metrics(text: Column): Column = {
+    val f = udf((t: String) => c4MetricsScala(t))
+    f(text)
+  }
+
+  /** The original pure-column-function spelling — the spec/property oracle
+    * for the UDF (see [[c4MetricsScala]]).
+    */
+  private[graft] def c4MetricsExpr(text: Column): Column = {
     val raw = coalesce(text, lit(""))
     val kept = filter(
       transform(split(raw, "\n", -1),

@@ -191,6 +191,120 @@ object TextFunctions {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Exact UTF-16 → Spark `length()` parity: Spark counts CODE POINTS
+    * (UTF8String.numChars), Java's String.length counts UTF-16 units.
+    */
+  private def numChars(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Spark `lower()` parity: UTF8String lowercases all-ASCII strings with a
+    * locale-independent byte map and falls back to String.toLowerCase for
+    * anything else. Divergence beyond that fast path cannot flip any rule
+    * here: the only non-ASCII uppercase chars that lower INTO ASCII are
+    * exotic (Kelvin K → k) and appear in none of the matched words
+    * (property-pinned against the expression twin in TextFunctionsSpec).
+    */
+  private[functions] def sparkLower(s: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase
+    else {
+      val a = s.toCharArray
+      var j = 0
+      while (j < a.length) {
+        val c = a(j)
+        if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(a)
+    }
+  }
+
+  // precompiled per-JVM patterns for the single-pass metric loops
+  private val WsSplitP = java.util.regex.Pattern.compile(s"$WsClass+")
+  private val WsTrimP = java.util.regex.Pattern.compile(s"\\A$WsClass+|$WsClass+\\z")
+  private val LineTrimP = java.util.regex.Pattern.compile(LineTrimRe)
+  private val AlphaP = java.util.regex.Pattern.compile("[A-Za-z]")
+
+  /** [[words]] as a Scala function — identical regex engine (Java), identical
+    * trim/split classes and anchors; null/blank → empty.
+    */
+  private[functions] def wordsScala(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val tt = WsTrimP.matcher(text).replaceAll("")
+    if (tt.isEmpty) Array.empty else WsSplitP.split(tt, -1)
+  }
+
+  /** The [[gopherMetrics]] struct row. Field names/types are the column
+    * contract shared with the DuckDB oracle — do not rename.
+    */
+  final case class GopherMetricsRow(
+      n_words: Long,
+      mean_word_len: Double,
+      alpha_frac: Double,
+      bullet_frac: Double,
+      ellipsis_frac: Double,
+      stop_hits: Long,
+      keep: Boolean)
+
+  /** Single-pass Scala twin of [[gopherMetricsExpr]] — byte-for-byte equal
+    * output (property-pinned in TextFunctionsSpec), one traversal of the
+    * text instead of one per struct field. Exists for the same reason as
+    * the MinHash/SimHash/cosine loops: higher-order-function column
+    * expressions are CodegenFallback — interpreted per element AND excluded
+    * from subexpression elimination, so the optimizer's getField expansion
+    * re-evaluated the whole word/line pipeline once per extracted metric
+    * (7× in the d_gopher plan, measured dominant).
+    */
+  def gopherMetricsScala(text: String): GopherMetricsRow = {
+    val ws = wordsScala(text)
+    val nWords = ws.length
+    var sumLen = 0L
+    var alphaCnt = 0
+    val stopSeen = new Array[Boolean](GopherStopWords.length)
+    var i = 0
+    while (i < nWords) {
+      val w = ws(i)
+      sumLen += numChars(w)
+      if (AlphaP.matcher(w).find()) alphaCnt += 1
+      val lw = sparkLower(w)
+      var s = 0
+      while (s < GopherStopWords.length) {
+        if (!stopSeen(s) && lw == GopherStopWords(s)) stopSeen(s) = true
+        s += 1
+      }
+      i += 1
+    }
+    var stopHits = 0
+    var s = 0
+    while (s < stopSeen.length) { if (stopSeen(s)) stopHits += 1; s += 1 }
+    // non-blank lines after the per-line [ \t\r] trim — same split/anchors
+    val rawLines = (if (text == null) "" else text).split("\n", -1)
+    var nLines = 0
+    var bullets = 0
+    var ellipses = 0
+    var j = 0
+    while (j < rawLines.length) {
+      val l = LineTrimP.matcher(rawLines(j)).replaceAll("")
+      if (l.nonEmpty) {
+        nLines += 1
+        if (l.startsWith("-") || l.startsWith("*") || l.startsWith("•")) bullets += 1
+        if (l.endsWith("...") || l.endsWith("…")) ellipses += 1
+      }
+      j += 1
+    }
+    val meanLen = if (nWords == 0) 0.0 else sumLen.toDouble / nWords
+    val alphaFrac = if (nWords == 0) 0.0 else alphaCnt.toDouble / nWords
+    val bulletFrac = if (nLines == 0) 0.0 else bullets.toDouble / nLines
+    val ellipsisFrac = if (nLines == 0) 0.0 else ellipses.toDouble / nLines
+    val keep = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      alphaFrac >= 0.8 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      stopHits >= 2
+    GopherMetricsRow(nWords.toLong, meanLen, alphaFrac, bulletFrac,
+      ellipsisFrac, stopHits.toLong, keep)
+  }
+
   /** Gopher-rule quality metrics — the standard web-text repetition/format
     * filters, exactly specified for SQL-oracle parity. Returns a struct of
     *  - `n_words`      whitespace words ([[words]] semantics),
@@ -210,10 +324,25 @@ object TextFunctions {
     *                   3 <= mean_word_len <= 10, alpha_frac >= 0.8,
     *                   bullet_frac <= 0.9, ellipsis_frac <= 0.3,
     *                   stop_hits >= 2 (raw, un-rounded values).
-    * Pure row-local codegen'd HOF/regex work — no shuffle, no UDF; null
-    * text behaves as empty (n_words 0, keep false).
+    * Row-local, no shuffle; null text behaves as empty (n_words 0, keep
+    * false). Runs as the single-pass [[gopherMetricsScala]] UDF: the
+    * deterministic UDF is subexpression-eliminated to ONE evaluation per
+    * row however many fields a query extracts, where the HOF expression
+    * twin ([[gopherMetricsExpr]], kept as the spec + property oracle) is
+    * re-expanded per field by the optimizer and interpreted per element
+    * (r6 measurement: 7 expansions in the d_gopher plan).
     */
   def gopherMetrics(text: Column): Column = {
+    val f = udf((t: String) => gopherMetricsScala(t))
+    f(text)
+  }
+
+  /** The original pure-column-function spelling of [[gopherMetrics]] — the
+    * executable spec the UDF is property-pinned against (one HOF/regex
+    * subtree per metric; see [[gopherMetricsScala]] for why it is no longer
+    * the hot path).
+    */
+  private[graft] def gopherMetricsExpr(text: Column): Column = {
     val ws = words(text)
     val nWords = size(ws)
     val lines = filter(

@@ -83,6 +83,12 @@ object Curate {
       dropNoindexPages: Boolean = true,
       unicodeNfc: Boolean = false,
       stripBoilerplateMinDocs: Long = 0L, // 0 = off; 1 is rejected loudly
+      /** strip stage: hint the frequent-line set broadcast-sized. FALSE at
+        * open-web scale — the frequent set can reach tens of millions of
+        * lines, and a forced broadcast there OOMs the driver (same hazard
+        * and same dial as [[broadcastVocab]] for the surprisal stage).
+        */
+      broadcastBoilerplate: Boolean = true,
       c4: Boolean = true,
       gopher: Boolean = true,
       paragraphDedup: Boolean = true,
@@ -112,10 +118,18 @@ object Curate {
           graft.functions.UnicodeNorm.unicodeNormalize(col("text"), "NFC"))))
     require(cfg.stripBoilerplateMinDocs != 1L,
       "stripBoilerplateMinDocs must be 0 (off) or >= 2")
+    // loud rejection of sign bugs, symmetric with the nearDupJaccard /
+    // maxSurprisal checks: a negative dial silently disabling a cleaning
+    // stage is a correctness trap for library callers (CLI validates too)
+    require(cfg.stripBoilerplateMinDocs >= 0L,
+      s"stripBoilerplateMinDocs must be >= 0, got ${cfg.stripBoilerplateMinDocs}")
+    require(cfg.maxPerHost >= 0,
+      s"maxPerHost must be >= 0, got ${cfg.maxPerHost}")
     if (cfg.stripBoilerplateMinDocs > 0L)
       b += ("strip_boilerplate" -> ((d: DataFrame) =>
         Boilerplate.stripFrequentLines(multiEvalGuard(d), "url", "text",
-          cfg.stripBoilerplateMinDocs)))
+          cfg.stripBoilerplateMinDocs,
+          broadcastFrequent = cfg.broadcastBoilerplate)))
     if (cfg.paragraphDedup)
       b += ("paragraph_dedup" -> ((d: DataFrame) =>
         Dedup.dedupParagraphs(multiEvalGuard(d), "url", "text")

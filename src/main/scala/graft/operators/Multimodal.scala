@@ -223,22 +223,27 @@ object Multimodal {
       Multimodal.decode(url, bytes)
   }
 
-  /** Per-partition batched decode of (key, url, payload) rows. `mapPartitions`
-    * (the documented last resort, used deliberately: imperative per-record
-    * byte work that no built-in expresses) — one decoder instance per
-    * partition, streaming the iterator, never materializing a partition.
+  /** Decode of (key, url, payload) rows — one [[MediaMeta]] struct per row.
     * The grouping key rides along so no join-back is needed (urls may
     * legitimately duplicate; a join on url would multiply rows).
+    *
+    * r6: a deterministic struct-returning UDF, not the former typed
+    * `mapPartitions`. The typed map was an OPAQUE operator (guide §4.1):
+    * it forced a full row decode→Scala-tuple→re-encode round trip AND
+    * blocked column pruning — a downstream consumer that touches no meta
+    * field (m_media_bytes' row counting, a partition-cardinality probe)
+    * still paid sha256 + byte scans over every payload. As an expression
+    * the decode prunes like any projection (unused → never runs, reaches
+    * the scan as a column prune) and subexpression elimination collapses
+    * the 10 field extractions to ONE decoder call per row. The decoder
+    * instance still ships once per task in the UDF closure.
     */
   def decodeMeta(df: DataFrame, keyCol: String, urlCol: String, binCol: String,
       decoder: Decoder = HeaderDecoder): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(keyCol), col(urlCol), col(binCol))
-      .as[(String, String, Array[Byte])]
-      .mapPartitions { it => it.map { case (k, u, b) =>
-        (k, decoder.decode(u, if (b == null) Array.emptyByteArray else b)) } }
-      .toDF("partition", "meta")
+    val f = udf((u: String, b: Array[Byte]) =>
+      decoder.decode(u, if (b == null) Array.emptyByteArray else b))
+    df.select(col(keyCol).as("partition"),
+        f(col(urlCol), col(binCol)).as("meta"))
       .select(col("partition"), col("meta.*"))
   }
 

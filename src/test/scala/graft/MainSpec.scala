@@ -62,7 +62,8 @@ class MainSpec extends AnyFunSuite {
 
   test("curate declares exactly its stage dials") {
     assert(Main.commandFlags("curate") == Set("blocklist", "noindex",
-      "unicode-nfc", "strip-boilerplate-min-docs", "c4", "gopher",
+      "unicode-nfc", "strip-boilerplate-min-docs", "broadcast-boilerplate",
+      "c4", "gopher",
       "paragraph-dedup", "exact-dedup", "max-surprisal", "broadcast-vocab",
       "near-dup-jaccard", "max-per-host", "quality-sample", "redact-pii",
       "stage-counts", "salt"))

@@ -38,17 +38,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p.take(500))
   }
 
-  test("referential check: anti join on distinct keys, parent NOT salt-exploded") {
+  test("referential check: size-adaptive anti join on distinct keys, parent NOT salt-exploded") {
     val child = Derive.linkChild(spark, dir).withColumnRenamed("part", "partition")
     val parent = spark.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"))
-    val p = graft.engine.Constraints.Referential("ck", parent, "o_orderkey")
+    def p: String = graft.engine.Constraints.Referential("ck", parent, "o_orderkey")
       .violations(child.withColumn("url", col("url")))
       .queryExecution.executedPlan.toString
-    // post-distinct there is no hot key left: the parent side must go into
-    // the SMJ once, not ×16 salts (round-1 scale-killer, VERDICT #3)
-    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p.take(800))
-    assert(!p.toLowerCase.contains("explode"),
-      "parent side of the referential anti join is salt-exploded again")
+    // r6: the join strategy is the PLANNER's size-based choice (guide §3.1),
+    // not a pinned SMJ — a parent key set under the broadcast threshold must
+    // plan as a broadcast LEFT ANTI (no exchange/sort of either side)...
+    val small = p
+    assert(small.contains("BroadcastHashJoin") && small.contains("LeftAnti"),
+      small.take(800))
+    // ...and a parent the planner may not broadcast must degrade to exactly
+    // the old sort-merge shape, still without salt-exploding the parent
+    // (round-1 scale-killer, VERDICT #3).
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val large = p
+      assert(large.contains("SortMergeJoin") && large.contains("LeftAnti"),
+        large.take(800))
+      assert(!large.toLowerCase.contains("explode"),
+        "parent side of the referential anti join is salt-exploded again")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("uniqueness: dup-hash prefilter joins back via broadcast, not a string shuffle") {

@@ -119,4 +119,32 @@ class ConstraintsSpec extends SparkSpec {
     val v = Constraints.ArrayDim("vec", 2).violations(df)
     assert(v.select("url").as[String].collect().toSeq == Seq("u2"))
   }
+
+  test("extractTextFast == extractTextCol byte-for-byte on valid UTF-8 (r6 property pin)") {
+    import spark.implicits._
+    import graft.engine.TextExtract
+    val rng = new scala.util.Random(11)
+    val toks = Vector("<p>", "</p>", "<a href=x>", "text", "<", ">", "<>",
+      "\u00e9\u00fc\u2026", "tail<", "a<b<c>d", "\n", " ", "<<>>", "plain words")
+    val cases: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray) ++
+      (1 to 200).map(_ => (1 to rng.nextInt(12)).map(_ => toks(rng.nextInt(toks.size)))
+        .mkString.getBytes("UTF-8"))
+    val df = cases.map(Tuple1(_)).toDF("html")
+    val rows = df.select(TextExtract.extractTextCol(col("html")).as("a"),
+      TextExtract.extractTextFastCol(col("html")).as("b")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(0)}' != '${r.getString(1)}'")
+    }
+    // malformed UTF-8: BOTH twins fail the job (Spark 4 decode raises
+    // MALFORMED_CHARACTER_CODING; the fast twin a CharacterCodingException)
+    val bad = Seq(Tuple1(Array[Byte](0x41, 0xC3.toByte, 0x28))).toDF("html")
+    intercept[Exception] {
+      bad.select(TextExtract.extractTextCol(col("html")).as("a")).collect()
+    }
+    intercept[Exception] {
+      bad.select(TextExtract.extractTextFastCol(col("html")).as("b")).collect()
+    }
+  }
 }

@@ -94,4 +94,30 @@ class C4RulesSpec extends SparkSpec {
         (clean1.isEmpty && n2 == 0))
     }
   }
+
+  test("c4Metrics UDF == expression twin on adversarial inputs (r6 property pin)") {
+    import spark.implicits._
+    val s1 = "The first proper sentence of this page ends here."
+    val bank: Seq[Option[String]] = Seq(
+      None, Some(""), Some("\n"), Some("   \t\r"),
+      Some(s"$s1\n$s1\n$s1"),
+      Some(s"$s1\nPlease enable javascript to view this content.\nShort line."),
+      Some(s"$s1 {\n$s1\n$s1"),
+      Some(s"Lorem Ipsum dolor sit amet consectetur.\n$s1\n$s1\n$s1"),
+      Some("He said \"quoted speech can end a kept line here.\""),
+      Some("  \tpadded line with plenty of words ends well.  \t\r"),
+      Some("caf\u00e9 d\u00e9j\u00e0 vu sentence with accents ends here."),
+      Some("JAVASCRIPT warning in upper case with many words here."),
+      Some("a\u2028b.\u2029c?\u0085d!"),
+      Some("one.\ntwo!\nthree?"),
+      Some(("Repeated sentence with plenty of ordinary words ends here.\n" * 500)))
+    val df = bank.toDF("t")
+    val u = C4Rules.c4Metrics(col("t")).as("u")
+    val e = C4Rules.c4MetricsExpr(col("t")).as("e")
+    val rows = df.select(u, e).collect()
+    rows.zip(bank).foreach { case (r, in) =>
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"UDF != expr on ${in.map(_.take(60))}: ${r.getStruct(0)} vs ${r.getStruct(1)}")
+    }
+  }
 }

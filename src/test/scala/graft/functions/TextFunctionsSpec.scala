@@ -177,4 +177,29 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.redactPii(col("t")).as("r")).collect().head
     assert(n.isNullAt(0))
   }
+
+  test("gopherMetrics UDF == expression twin on adversarial inputs (r6 property pin)") {
+    val bank: Seq[Option[String]] = Seq(
+      None, Some(""), Some("   "), Some("\n"), Some("\n\n\n"),
+      Some("the be to of and that have with"),
+      Some("The quick brown fox jumps over the lazy dog today."),
+      Some((1 to 60).map(i => s"word$i").mkString(" ")),
+      Some(("the be " + (1 to 60).map(i => s"w$i").mkString(" "))),
+      Some("- bullet one\n* bullet two\n\u2022 bullet three\nplain line"),
+      Some("ends with dots...\nends with ellipsis\u2026\nno tail"),
+      Some("  \tpadded\t  \n\rcrlf line\r\n\u000bvertical\ftab"),
+      Some("caf\u00e9 D\u00c9J\u00c0 VU \u0130stanbul STRA\u1e9eE"),
+      Some("emoji \ud83d\ude00 pair and \u212aelvin K"),
+      Some("THE BE TO OF AND THAT HAVE WITH UPPER"),
+      Some("a\u2028b\u2029c\u0085d"),
+      Some("one"), Some("x " * 200000))
+    val df = bank.toDF("t")
+    val u = TextFunctions.gopherMetrics(col("t")).as("u")
+    val e = TextFunctions.gopherMetricsExpr(col("t")).as("e")
+    val rows = df.select(u, e).collect()
+    rows.zip(bank).foreach { case (r, in) =>
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"UDF != expr on ${in.map(_.take(60))}: ${r.getStruct(0)} vs ${r.getStruct(1)}")
+    }
+  }
 }
