@@ -58,12 +58,26 @@ object CorpusStats {
     * key; the rebuild groupBy is the same shape as every dedup rebuild.
     */
   def unigramSurprisal(df: DataFrame, id: Column, text: Column,
-      broadcastVocab: Boolean = true): DataFrame = {
+      broadcastVocab: Boolean = true,
+      /** Upper bound on the words of ONE document that enter the pass —
+        * vocabulary counts AND the per-doc mean (r6, guide §5): the
+        * position-ordered float fold buffers O(doc words) structs in one
+        * agg buffer (the q_entropy device — the price of cross-engine
+        * bit-stable summation), so an unbounded 10^8-word doc concentrates
+        * its whole payload in a single task's memory. Words beyond the cap
+        * are truncated — documented, deterministic, and far above any real
+        * document at the default (2^20 ≈ 1M words ≈ 4x the longest novel);
+        * the same guard protects the vocab-mining explode from a
+        * single-doc row blowup.
+        */
+      maxWordsPerDoc: Int = 1 << 20): DataFrame = {
+    require(maxWordsPerDoc > 0, s"maxWordsPerDoc must be > 0, got $maxWordsPerDoc")
     // the plan traverses the input more than once (vocab mining, the
     // per-doc probe, the final left join) — standard multi-eval guard
     val in = Caching.multiEvalGuard(df)
     val w = in.select(id.as("__us_id"),
-      posexplode(TextFunctions.words(text)).as(Seq("__us_pos", "__us_w")))
+      posexplode(slice(TextFunctions.words(text), 1, maxWordsPerDoc))
+        .as(Seq("__us_pos", "__us_w")))
     val vocab = w.groupBy(col("__us_w")).agg(count(lit(1)).as("__us_cnt"))
     val tot = vocab.agg(sum(col("__us_cnt")).cast("double").as("__us_total"))
     val scored = vocab.crossJoin(broadcast(tot))

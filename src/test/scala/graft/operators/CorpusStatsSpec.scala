@@ -56,4 +56,28 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().toMap
     assert(r(11L).get > r(10L).get)
   }
+
+  test("unigramSurprisal: maxWordsPerDoc truncates a pathological doc, bounded buffer (r6)") {
+    // a 10k-word doc under a 100-word cap: only the first 100 words enter
+    // the vocab AND the mean; a normal doc in the same corpus is untouched
+    val mega = ("w " * 10000).trim
+    val docs = Seq((1L, Some(mega)), (2L, Some("w x"))).toDF("doc_id", "text")
+    val got = CorpusStats.unigramSurprisal(docs, col("doc_id"), col("text"),
+        maxWordsPerDoc = 100)
+      .as[(Long, Option[Double])].collect().toMap
+    // corpus counts under the cap: w=101, x=1, total=102
+    val sW = -math.log(101.0 / 102.0)
+    val sX = -math.log(1.0 / 102.0)
+    assert(math.abs(got(1L).get - sW) < 1e-12)
+    assert(math.abs(got(2L).get - (sW + sX) / 2) < 1e-12)
+    // the default cap leaves every sane doc's math identical
+    val full = CorpusStats.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .as[(Long, Option[Double])].collect().toMap
+    val sW2 = -math.log(10001.0 / 10002.0)
+    assert(math.abs(full(1L).get - sW2) < 1e-12)
+    intercept[IllegalArgumentException] {
+      CorpusStats.unigramSurprisal(docs, col("doc_id"), col("text"),
+        maxWordsPerDoc = 0)
+    }
+  }
 }
