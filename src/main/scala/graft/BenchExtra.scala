@@ -10,7 +10,8 @@ import org.apache.spark.sql.execution.ExplainMode
   *
   * Usage:
   *   sbt "runMain graft.BenchExtra plans <outDir> <suffix> [q1,q2,...]"
-  *   sbt "runMain graft.BenchExtra time  [q1,q2,...]"
+  *   sbt "runMain graft.BenchExtra time  [q1,q2,...]"   (noop sink, §1.4)
+  *   sbt "runMain graft.BenchExtra count [q1,q2,...]"   (frozen-Bench action)
   *
   * Env contract matches Bench: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
   */
@@ -39,6 +40,10 @@ object BenchExtra {
     val mode = if (args.nonEmpty) args(0) else "time"
     try {
       mode match {
+        case "plans" if args.length < 3 =>
+          System.err.println(
+            "usage: BenchExtra plans <outDir> <suffix> [q1,q2,...]")
+          sys.exit(64)
         case "plans" =>
           val outDir = args(1)
           val suffix = args(2)
@@ -80,6 +85,9 @@ object BenchExtra {
             f""""$name":{"min":${ts.min}%.3f,"reps":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
           }
           println(rows.mkString("{", ",", "}"))
+        case other =>
+          System.err.println(s"unknown mode '$other' — expected plans|time|count")
+          sys.exit(64)
       }
     } finally spark.stop()
   }

@@ -179,11 +179,16 @@ object Validator {
     // "<global>" rows are just another partition value of the same groupBy —
     // the former where-split ran the agg twice), and the per-scope frames are
     // cheap filters of it. The counts side of the zero-fill join is
-    // BROADCAST: it is O(#partitions × #checks) — the same order validate()
-    // already collects driver-side for drift profiles — so pinning the
-    // broadcast replaces two row-scale-independent but stage-heavy shuffle
-    // exchanges with a map-side hash join (r6: verdict agg measured 0.46 s
-    // of pure small-stage overhead on cached inputs).
+    // BROADCAST — but only in drift mode: there it is O(#partitions ×
+    // #checks), the same order validate() already collects driver-side for
+    // drift profiles, so the pin adds no new scaling assumption and
+    // replaces two row-scale-independent but stage-heavy shuffle exchanges
+    // with a map-side hash join (r6: verdict agg measured 0.46 s of pure
+    // small-stage overhead on cached inputs). Without drift that
+    // justification does not hold (nothing else collects O(#partitions)),
+    // so the planner keeps its size-based choice rather than inheriting a
+    // forced broadcast a 10^7-partition table could OOM the driver with —
+    // the same hazard the broadcastVocab/broadcastBoilerplate dials guard.
     val allCounts = violations
       .groupBy(col("partition"), col("check_name"))
       .agg(count(lit(1)).as("n_violations"))
@@ -191,8 +196,10 @@ object Validator {
     val globalCounts = allCounts.where(col("partition") === "<global>")
     val checkNames = config.checks.map(_.name).toDF("check_name")
     val grid = stats.select(col("partition")).crossJoin(broadcast(checkNames))
+    val countsSide =
+      if (config.driftEnabled) broadcast(perPartCounts) else perPartCounts
     val constraintVerdicts = grid
-      .join(broadcast(perPartCounts), Seq("partition", "check_name"), "left")
+      .join(countsSide, Seq("partition", "check_name"), "left")
       .na.fill(0L, Seq("n_violations"))
       .unionByName(globalCounts)
       .select(
@@ -204,7 +211,13 @@ object Validator {
         col("n_violations"))
 
     // --- drift verdicts (driver-side over O(#partitions) profiles).
-    val driftVerdicts: DataFrame =
+    // try/finally around the drift block: the overlapped violations thread
+    // must be joined on EVERY exit path — a drift-scorer or collect failure
+    // propagating while the warm job still scans would leave a concurrent
+    // full-input job running behind the caller's back (and a retry would
+    // race it). The join blocks until that job completes or fails; its own
+    // failure is surfaced by the success-path check below.
+    val driftVerdicts: DataFrame = try {
       if (!config.driftEnabled) spark.emptyDataset[VerdictRow].toDF()
       else {
         // warm counts + both profile kinds come from the ONE cached stats
@@ -316,12 +329,12 @@ object Validator {
         rows.toDF()
       }
 
-    // join the overlapped violations job (started above) before returning:
-    // the caller's first violations consumer then reads the warm cache, and
-    // a failure in that job surfaces HERE with its own cause instead of as
-    // a later half-cached mystery.
-    violationsWarm.foreach { case (t, err) =>
-      t.join()
+    } finally violationsWarm.foreach(_._1.join())
+
+    // the warm job is joined by now (every path); surface its own failure
+    // with its cause instead of a later half-cached mystery at the caller's
+    // first violations consumer.
+    violationsWarm.foreach { case (_, err) =>
       Option(err.get()).foreach { e =>
         throw new RuntimeException(
           s"violation evaluation failed: ${e.getClass.getSimpleName}: ${e.getMessage}", e)

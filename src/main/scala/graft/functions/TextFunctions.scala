@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Text-analysis column functions for web-scale training-data pipelines:
   * language ID, quality scoring, token counting, fingerprinting, shingling.
   *
-  * Everything here is built from `org.apache.spark.sql.functions` (codegen'd,
-  * no UDFs) and is deterministic. Rules are deliberately simple and exactly
-  * specified so an external oracle can replicate them in ANSI SQL.
+  * Everything here is deterministic, deliberately simple, and exactly
+  * specified so an external oracle can replicate it in ANSI SQL. Most
+  * functions are pure `org.apache.spark.sql.functions` expressions;
+  * [[gopherMetrics]] runs as a single-pass Scala UDF since r6 (the HOF
+  * struct was re-expanded per extracted field by the optimizer — see
+  * [[gopherMetricsScala]]), with its expression twin kept as the spec.
   */
 object TextFunctions {
 

@@ -48,7 +48,12 @@ object CorpusStats {
     * folds surprisals in word-POSITION order (sorted list + sequential
     * fold — the q_entropy device — so float summation order cannot
     * diverge between engines); docs with no words get a NULL score (no
-    * evidence), never a silent drop.
+    * evidence), never a silent drop. The cross-engine reproducibility
+    * contract holds for documents within `maxWordsPerDoc`; a doc beyond
+    * the cap is DELIBERATELY truncated on the Spark side (memory bound,
+    * see the parameter doc) and an oracle computing over the full word
+    * array will diverge on it — raise the cap if byte parity on
+    * million-word pathologies matters more than the bounded buffer.
     *
     * Scale: the vocabulary count is one hash aggregation (map-side
     * partials absorb the Zipf head — the count of "the" leaves each task

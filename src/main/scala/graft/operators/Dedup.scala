@@ -189,12 +189,13 @@ object Dedup {
     // below (candidate-id extraction AND the verify joins), and without the
     // checkpoint each consumer would re-run the whole signature pass +
     // candidate shuffle as a separate job. The frame is tiny — bucketCap
-    // bounds it — so this pins O(candidates), never O(corpus). LAZY
-    // checkpoint (r6): eager=true ran a synchronous job per checkpoint at
-    // PLAN-BUILD time — two barrier jobs before the caller's action even
-    // started; eager=false keeps the identical compute-once block sharing
-    // and ContextCleaner cleanup but materializes inside the caller's one
-    // job (measured ~0.4 s off d_minhash_pairs at sf0.1).
+    // bounds it — so this pins O(candidates), never O(corpus). EAGER
+    // deliberately (re-measured r6): lazy localCheckpoint folds the two
+    // barrier jobs into the caller's action, but the multi-consumer stages
+    // then race-compute the same partitions before blocks land (no
+    // cross-stage lock) — measured SLOWER, 1.90 s vs 1.41 s at sf0.1
+    // (lazy-lazy vs eager-eager; eager+lazy 1.52 s). The two small barrier
+    // jobs ARE the cheaper synchronization; do not re-try the lazy form.
     val idPairs = cappedBucketPairs(banded, Seq("band", "band_sig"), bucketCap)
       .localCheckpoint(true)
 

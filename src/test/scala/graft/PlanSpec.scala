@@ -7,8 +7,9 @@ import graft.engine.SaltedJoin
 
 /** Physical-plan regression guards: the scale properties claimed in
   * README/COVERAGE must survive refactors — column pruning reaches the scan,
-  * global top-k avoids a full sort, the referential join stays sort-merge,
-  * the ANN query broadcasts the small side.
+  * global top-k avoids a full sort, the referential join is size-adaptive
+  * (broadcast when the parent key set fits, sort-merge above the threshold
+  * — r6), the ANN query broadcasts the small side.
   */
 class PlanSpec extends SparkSpec {
 
