@@ -99,10 +99,28 @@ object StreamingValidate {
       // Worst case is one tick under-flagging duplicates from the absorbed
       // dirs — bounded, self-healing; prefer scheduling compaction in a
       // maintenance window anyway.
-      val prior = spark.read.option("ignoreMissingFiles", "true")
+      val priorUrls = spark.read.option("ignoreMissingFiles", "true")
         .parquet(pagesPath.toString)
         .where(!(col("lineage") === lineage && col("ingest_batch") === batchId))
         .select(col("url"))
+      // r6 (guide §2.3, the dupGroups idiom): the distinct below previously
+      // shuffled EVERY distinct url string in the accumulated table, every
+      // tick. The current batch's 64-bit url-hash set is bounded by the
+      // trigger size and broadcasts, so the history scan now forwards only
+      // hash-colliding CANDIDATES into the distinct exchange — per-tick
+      // shuffle drops from O(history urls) to O(batch-matching candidates).
+      // Semantics are exact: equal urls hash equal (no false negatives) and
+      // a hash collision's false positive is dropped by the exact url
+      // equality of the left join. The scan itself remains O(history) —
+      // that is the documented table-global-invariant price above; only a
+      // seen-url digest sidecar removes it. Cost: one extra bounded
+      // evaluation of the batch frame to mine the hashes.
+      val batchHashes = broadcast(
+        df.select(xxhash64(col("url")).as("__sp_h")).distinct())
+      val prior = priorUrls
+        .withColumn("__sp_ph", xxhash64(col("url")))
+        .join(batchHashes, col("__sp_ph") === col("__sp_h"), "left_semi")
+        .drop("__sp_ph")
         .distinct() // ≤1 match per url keeps the left join row-preserving
         .withColumn(seenFlag, lit(true))
       df.join(prior, Seq("url"), "left")

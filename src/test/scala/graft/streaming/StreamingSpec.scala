@@ -250,6 +250,12 @@ class StreamingSpec extends SparkSpec {
     // tick would turn the reconciliation into a full-table read
     assert("ReadSchema: struct<url:string>".r.findFirstIn(plan).isDefined,
       plan.take(2000))
+    // r6: the history side must be hash-prefiltered by the batch's
+    // broadcast url-hash set BEFORE the distinct exchange (a broadcast
+    // LEFT SEMI join) — without it every tick shuffles every distinct
+    // history url string
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
   }
 
   test("sink replay of the same micro-batch is idempotent (ST9 exactly-once)") {
